@@ -1,0 +1,121 @@
+"""Snapshot-versioned parquet table layer (the engine's sink, SURVEY §2.1).
+
+Gives the MERGE/DELETE/append + snapshot-isolation semantics the pipeline
+needs for exact resume (Q1-Q7 of SURVEY §2.9) without requiring the Iceberg
+runtime jar (unavailable offline in this sandbox — SURVEY §7.3 risk 4).
+
+Layout per table::
+
+    <root>/<name>/data/<uuid>/...parquet        immutable data directories
+    <root>/<name>/_manifests/<version>.json     snapshot = list of data dirs
+    <root>/<name>/_LATEST                       atomic pointer (os.replace)
+
+A snapshot commit is: write new data dirs, write manifest N+1, atomically
+swap _LATEST. Readers resolve _LATEST once, so a crash mid-write never
+exposes a partial table — the same contract Iceberg snapshots give, which is
+what makes at-least-once stage re-runs safe (DistributedPipelineOrchestrator
+rollback semantics, SURVEY Q3). On a real 100TB deployment this module is
+swapped for Iceberg `MERGE INTO` — the API is deliberately the same shape;
+`merge` here rewrites matching files, which Iceberg does with positional
+deletes instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------------
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _latest_file(self, name: str) -> str:
+        return os.path.join(self._dir(name), "_LATEST")
+
+    def _manifest_path(self, name: str, version: int) -> str:
+        return os.path.join(self._dir(name), "_manifests", f"{version}.json")
+
+    # -- snapshot bookkeeping --------------------------------------------------
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._latest_file(name))
+
+    def current_version(self, name: str) -> int:
+        if not self.exists(name):
+            return 0
+        with open(self._latest_file(name)) as f:
+            return int(f.read().strip())
+
+    def _manifest(self, name: str, version: Optional[int] = None) -> dict:
+        v = version if version is not None else self.current_version(name)
+        with open(self._manifest_path(name, v)) as f:
+            return json.load(f)
+
+    def _commit(self, name: str, data_dirs: List[str]) -> int:
+        version = self.current_version(name) + 1
+        os.makedirs(os.path.join(self._dir(name), "_manifests"), exist_ok=True)
+        with open(self._manifest_path(name, version), "w") as f:
+            json.dump({"version": version, "data": data_dirs}, f)
+        tmp = self._latest_file(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._latest_file(name))  # atomic pointer swap
+        return version
+
+    def _new_data_dir(self, name: str) -> str:
+        d = os.path.join(self._dir(name), "data", uuid.uuid4().hex)
+        return d
+
+    # -- operations ------------------------------------------------------------
+
+    def read(self, spark: SparkSession, name: str,
+             version: Optional[int] = None) -> DataFrame:
+        manifest = self._manifest(name, version)
+        paths = [os.path.join(self._dir(name), d) for d in manifest["data"]]
+        return spark.read.parquet(*paths)
+
+    def overwrite(self, df: DataFrame, name: str) -> int:
+        d = self._new_data_dir(name)
+        df.write.mode("overwrite").parquet(d)
+        return self._commit(name, [os.path.relpath(d, self._dir(name))])
+
+    def append(self, df: DataFrame, name: str) -> int:
+        d = self._new_data_dir(name)
+        df.write.mode("overwrite").parquet(d)
+        rel = os.path.relpath(d, self._dir(name))
+        prev = self._manifest(name)["data"] if self.exists(name) else []
+        return self._commit(name, prev + [rel])
+
+    def merge(self, spark: SparkSession, name: str, df: DataFrame,
+              key_cols: List[str]) -> int:
+        """Upsert: rows in `df` replace existing rows with the same key.
+
+        Mirrors SaveRecordsHandler's per-record upsert (S5/S6) and Iceberg
+        MERGE INTO. Survivors = old LEFT ANTI JOIN new on key.
+        """
+        if not self.exists(name):
+            return self.overwrite(df, name)
+        old = self.read(spark, name)
+        survivors = old.join(df.select(*key_cols).distinct(), key_cols, "left_anti")
+        merged = survivors.unionByName(df)
+        return self.overwrite(merged, name)
+
+    def delete_where(self, spark: SparkSession, name: str, condition) -> int:
+        """Delete rows matching a Column condition (purge, J4/Q6)."""
+        old = self.read(spark, name)
+        return self.overwrite(old.filter(~condition), name)
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._dir(name), ignore_errors=True)
