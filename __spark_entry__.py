@@ -1,38 +1,645 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship KG-construction slice on sf0.001;
+`queries()` exposes one operator per SURVEY.md §2 line (plus the
+training-data-pipeline operators), each mirrored by `oracle_sql()` ANSI SQL
+for the DuckDB cross-check. Column names and rounding are aligned on both
+sides (the driver hashes values with columns sorted by name).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from kernel_memory_spark.operators import canonicalize as CZN
+from kernel_memory_spark.operators import extract as EX
+from kernel_memory_spark.operators import partition as PRT
+from kernel_memory_spark.operators import query as Q
+from kernel_memory_spark.operators import triples as TRI
+from kernel_memory_spark.sources.corpus import corpus_from_documents, load_table
+
+STOPSET = ["the", "a", "value", "table", "row"]
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents -> interleaved span corpus -> extract -> partition
+    (chunker pandas UDF) -> mention/pattern extraction -> lineage + mention
+    triples. Returns the triple DataFrame (subj, pred, obj, doc_id,
+    execution_id)."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = corpus_from_documents(docs)
+    extracted = EX.extract(corpus)
+    parts = PRT.partition(extracted, max_tokens=200, overlap=20)
+    lineage = TRI.lineage_triples(parts, extracted, None, "entry")
+    mentions = TRI.extract_mentions_df(parts)
+    return lineage.unionByName(TRI.mention_triples(mentions, "entry"))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query implementations
+# ---------------------------------------------------------------------------
+
+def _dbl(c):  # element-wise double cast for float vectors
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, v: acc + v)
+
+
+def q1_pricing_summary(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark, sf):
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    l = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_revenue_by_nation(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def tag_filter_and_or(spark, sf):
+    """F1: MemoryFilter semantics — AND within a filter, OR across filters —
+    compiled by operators/query.filter_to_column over a tags map."""
+    docs = load_table(spark, sf, "documents").withColumn(
+        "tags",
+        F.create_map(
+            F.lit("lang"), F.array(F.col("lang")),
+            F.lit("source"), F.array(F.col("source")),
+        ),
+    )
+    flt = Q.filter_to_column([
+        {"lang": ["en"], "source": ["src1"]},
+        {"source": ["src2"]},
+    ])
+    return docs.filter(flt).select("doc_id")
+
+
+def resume_anti_join(spark, sf):
+    """F4/Q1: already-processed skip as a left anti-join."""
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= "1997-01-01"
+    )
+    return o.join(l, o.o_orderkey == l.l_orderkey, "left_anti").select("o_orderkey")
+
+
+def purge_keepset(spark, sf):
+    """J4: purge via keep-set — rows of touched docs not in the keep-set."""
+    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    touched = l.join(o, l.l_orderkey == o.o_orderkey, "left_semi")
+    keep = touched.filter(F.col("l_linenumber") <= 2)
+    return touched.join(
+        keep, ["l_orderkey", "l_linenumber"], "left_anti"
+    ).select("l_orderkey", "l_linenumber")
+
+
+def latest_event_per_user(spark, sf):
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def rerank_events(spark, sf):
+    """A1: diminishing-returns score merge per user over bounded scores."""
+    e = load_table(spark, sf, "events").withColumn(
+        "score", F.col("value") / (1 + F.abs(F.col("value")))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("event_id"))
+    ranked = e.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.sum(F.col("score") * F.pow(F.lit(0.5), F.col("rn") - 1)),
+                ),
+                6,
+            ).alias("relevance")
+        )
+    )
+
+
+def paginate_customers(spark, sf):
+    c = load_table(spark, sf, "customer")
+    return Q.paginate(
+        c.select("c_custkey", "c_name"), [F.asc("c_custkey")], offset=100, limit=20
+    )
+
+
+def record_ids(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        F.format_string(
+            "d=doc-%09d//p=%s", F.col("doc_id").cast("long"), F.md5("text")
+        ).alias("record_id")
+    )
+
+
+def record_scaffold(spark, sf):
+    """§2.11 tag/lineage scaffold per PrepareRecord: reserved tag columns
+    flattened; file id = sha-based deterministic id."""
+    docs = load_table(spark, sf, "documents")
+    doc = F.format_string("doc-%09d", F.col("doc_id").cast("long"))
+    fid = F.substring(F.sha2(F.concat(doc, F.lit("/extract")), 256), 1, 32)
+    return docs.select(
+        F.format_string("d=%s//p=%s.partition.0", doc, fid).alias("id"),
+        doc.alias("document_id"),
+        fid.alias("file_id"),
+        F.lit("text/plain").alias("file_type"),
+        F.lit("0").alias("part_n"),
+        F.lit("0").alias("sect_n"),
+    )
+
+
+def sha256_hashes(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", F.sha2("text", 256).alias("text_sha256"))
+
+
+def index_name_normalize(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    raw = F.concat_ws(" ", F.col("source"), F.col("lang"), F.lit("Index.V1:final"))
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(raw), r"[\s\\/._:]+", "-").alias("index_name"),
+    ).dropDuplicates(["index_name"]).select("index_name")
+
+
+def dedup_exact_docs(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+
+
+def minhash_lsh_dedup(spark, sf):
+    """MinHash (4 md5 permutations) + single-band LSH over word 3-gram
+    shingles; clones (doc_id+100000) must pair with their originals."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    words = F.split(F.col("text"), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i + 1, 3), " "),
+        )
+    )
+    g = both.select("doc_id", F.explode(grams).alias("gram"))
+    sig = g.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(s) + "|"), F.col("gram")))).alias(f"m{s}")
+            for s in range(4)
+        ]
+    ).select(
+        "doc_id",
+        F.concat_ws("|", "m0", "m1", "m2", "m3").alias("band"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, F.col("a.band") == F.col("b.band"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("dup_a"), F.col("b.doc_id").alias("dup_b"))
+    )
+
+
+def knn_topk(spark, sf):
+    """T1: brute-force cosine top-k vs the vec_id=0 embedding."""
+    emb = load_table(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        _dbl("embedding").alias("qv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            (
+                _dot(_dbl("embedding"), F.col("qv"))
+                / (
+                    F.sqrt(_dot(_dbl("embedding"), _dbl("embedding")))
+                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                )
+            ).alias("raw"),
+        )
+        .select("vec_id", F.round("raw", 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+def stopword_hits(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    sw = F.array(*[F.lit(w) for w in STOPSET])
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.split(F.col("text"), r"\s+")), sw
+            )
+        ).alias("n_hits"),
+    )
+
+
+def text_quality_counts(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_text"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_alpha"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
+    )
+
+
+def token_counts(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_tokens_4char"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_words"),
+    )
+
+
+def fingerprints(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", "")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+def lineage_triples_docs(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    doc = F.format_string("doc-%09d", F.col("doc_id").cast("long"))
+    return (
+        docs.select(doc.alias("subj"), F.lit("lang").alias("pred"),
+                    F.col("lang").alias("obj"))
+        .unionByName(
+            docs.select(doc.alias("subj"), F.lit("source").alias("pred"),
+                        F.col("source").alias("obj"))
+        )
+        .unionByName(
+            docs.select(doc.alias("subj"), F.lit("n_chars").alias("pred"),
+                        F.col("n_chars").cast("string").alias("obj"))
+        )
+    )
+
+
+def events_hourly(spark, sf):
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
+
+
+def top3_orders_per_customer(spark, sf):
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def union_distinct_customers(spark, sf):
+    c = load_table(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+def connected_components_star(spark, sf):
+    """Iterative CC (canonicalize operator) on a star graph: every customer
+    links to its nation's minimum customer; components == nations."""
+    c = load_table(spark, sf, "customer")
+    node = F.lpad(F.col("c_custkey").cast("string"), 9, "0")
+    w = Window.partitionBy("c_nationkey")
+    edges = c.select(
+        node.alias("a"),
+        F.lpad(F.min("c_custkey").over(w).cast("string"), 9, "0").alias("b"),
+    )
+    cc = CZN.connected_components(edges)
+    return cc.select(F.col("norm").alias("node_id"), "component")
+
+
+def salted_supplier_counts(spark, sf):
+    """Skew-safe aggregation: explicit two-phase salted count per supplier."""
+    l = load_table(spark, sf, "lineitem")
+    salted = l.withColumn("salt", (F.col("l_linenumber") % 8))
+    partial = salted.groupBy("l_suppkey", "salt").agg(F.count("*").alias("c"))
+    return partial.groupBy("l_suppkey").agg(F.sum("c").alias("n_items"))
+
+
+def kg_triples_sf(spark, sf):
+    """Rows-only: the KG pipeline core (extract -> chunk -> mention/lineage
+    triples) over the span corpus derived from the documents table."""
+    corpus = corpus_from_documents(load_table(spark, sf, "documents"))
+    extracted = EX.extract(corpus)
+    parts = PRT.partition(extracted, max_tokens=200, overlap=20)
+    lineage = TRI.lineage_triples(parts, extracted, None, "sf")
+    mentions = TRI.extract_mentions_df(parts)
+    return lineage.unionByName(TRI.mention_triples(mentions, "sf"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_revenue_by_nation": q5_revenue_by_nation,
+        "tag_filter_and_or": tag_filter_and_or,
+        "resume_anti_join": resume_anti_join,
+        "purge_keepset": purge_keepset,
+        "latest_event_per_user": latest_event_per_user,
+        "rerank_events": rerank_events,
+        "paginate_customers": paginate_customers,
+        "record_ids": record_ids,
+        "record_scaffold": record_scaffold,
+        "sha256_hashes": sha256_hashes,
+        "index_name_normalize": index_name_normalize,
+        "dedup_exact_docs": dedup_exact_docs,
+        "minhash_lsh_dedup": minhash_lsh_dedup,
+        "knn_topk": knn_topk,
+        "stopword_hits": stopword_hits,
+        "text_quality_counts": text_quality_counts,
+        "token_counts": token_counts,
+        "fingerprints": fingerprints,
+        "lineage_triples_docs": lineage_triples_docs,
+        "events_hourly": events_hourly,
+        "top3_orders_per_customer": top3_orders_per_customer,
+        "union_distinct_customers": union_distinct_customers,
+        "connected_components_star": connected_components_star,
+        "salted_supplier_counts": salted_supplier_counts,
+        "kg_triples_sf": kg_triples_sf,  # rows-only (pandas-UDF chunker)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stopset = ", ".join(f"'{w}'" for w in STOPSET)
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY o_orderkey, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q5_revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "tag_filter_and_or": """
+            SELECT doc_id FROM documents
+            WHERE (lang = 'en' AND source = 'src1') OR source = 'src2'
+        """,
+        "resume_anti_join": """
+            SELECT o_orderkey FROM orders o
+            WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate >= TIMESTAMP '1997-01-01')
+        """,
+        "purge_keepset": """
+            SELECT l_orderkey, l_linenumber FROM lineitem l
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey
+                            AND o.o_orderstatus = 'F')
+              AND l_linenumber > 2
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "rerank_events": """
+            SELECT user_id,
+                   round(least(1.0, sum(score * pow(0.5, rn - 1))), 6) AS relevance
+            FROM (
+                SELECT user_id,
+                       value / (1 + abs(value)) AS score,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY value / (1 + abs(value)) DESC, event_id ASC
+                       ) AS rn
+                FROM events)
+            GROUP BY user_id
+        """,
+        "paginate_customers": """
+            SELECT c_custkey, c_name FROM customer
+            ORDER BY c_custkey OFFSET 100 LIMIT 20
+        """,
+        "record_ids": """
+            SELECT printf('d=doc-%09d//p=%s', doc_id, md5(text)) AS record_id
+            FROM documents
+        """,
+        "record_scaffold": """
+            SELECT printf('d=%s//p=%s.partition.0', doc, fid) AS id,
+                   doc AS document_id, fid AS file_id,
+                   'text/plain' AS file_type, '0' AS part_n, '0' AS sect_n
+            FROM (SELECT printf('doc-%09d', doc_id) AS doc,
+                         substr(sha256(printf('doc-%09d', doc_id) || '/extract'), 1, 32) AS fid
+                  FROM documents)
+        """,
+        "sha256_hashes": """
+            SELECT doc_id, sha256(text) AS text_sha256 FROM documents
+        """,
+        "index_name_normalize": """
+            SELECT DISTINCT regexp_replace(
+                lower(source || ' ' || lang || ' ' || 'Index.V1:final'),
+                '[\\s\\\\/._:]+', '-', 'g') AS index_name
+            FROM documents
+        """,
+        "dedup_exact_docs": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "minhash_lsh_dedup": """
+            WITH both_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id + 100000, text FROM documents),
+            w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+                  FROM both_docs),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(ws[i + 1 : i + 3], ' ') AS gram
+                  FROM w, range(greatest(len(ws) - 2, 1)) AS t(i)),
+            sig AS (SELECT doc_id,
+                           min(md5('0|' || gram)) || '|' ||
+                           min(md5('1|' || gram)) || '|' ||
+                           min(md5('2|' || gram)) || '|' ||
+                           min(md5('3|' || gram)) AS band
+                    FROM g GROUP BY doc_id)
+            SELECT a.doc_id AS dup_a, b.doc_id AS dup_b
+            FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id
+        """,
+        "knn_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            ex AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings WHERE vec_id <> 0),
+            qx AS (SELECT unnest(qv)::DOUBLE AS y,
+                          generate_subscripts(qv, 1) AS i FROM q),
+            s AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx
+                  FROM ex JOIN qx USING (i) GROUP BY vec_id),
+            qn AS (SELECT sum(y * y) AS ny FROM qx)
+            SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 4) AS score
+            FROM s, qn ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
+        "stopword_hits": f"""
+            SELECT doc_id,
+                   len(list_distinct(list_intersect(
+                       string_split_regex(text, '\\s+'),
+                       [{stopset}]))) AS n_hits
+            FROM documents
+        """,
+        "text_quality_counts": """
+            SELECT doc_id,
+                   length(text) AS n_chars_text,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_words
+            FROM documents
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_4char,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words
+            FROM documents
+        """,
+        "fingerprints": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
+                       AS fingerprint
+            FROM documents
+        """,
+        "lineage_triples_docs": """
+            SELECT printf('doc-%09d', doc_id) AS subj, 'lang' AS pred,
+                   lang AS obj FROM documents
+            UNION ALL
+            SELECT printf('doc-%09d', doc_id), 'source', source FROM documents
+            UNION ALL
+            SELECT printf('doc-%09d', doc_id), 'n_chars',
+                   CAST(n_chars AS VARCHAR) FROM documents
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events, round(sum(value), 3) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, rn FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC,
+                                                   o_orderkey ASC) AS rn
+                FROM orders) WHERE rn <= 3
+        """,
+        "union_distinct_customers": """
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION
+            SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        """,
+        "connected_components_star": """
+            SELECT lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS node_id,
+                   lpad(CAST(min(c_custkey) OVER (PARTITION BY c_nationkey)
+                             AS VARCHAR), 9, '0') AS component
+            FROM customer
+        """,
+        "salted_supplier_counts": """
+            SELECT l_suppkey, count(*) AS n_items
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        # kg_triples_sf: intentionally no oracle (pandas-UDF chunker inside;
+        # driver records the rows-only check; full fidelity is gated by the
+        # pytest P/R harness against the pandas oracle).
+    }

@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries + the full KG
+pipeline at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; print ONE JSON line
+{"metric", "value", "unit": "sec", "queries": {...}, "sf", ...} including
+docs/sec and triples/sec for the pipeline.
+
+--scaling mode (BASELINE.md protocol): run the identical pipeline job on the
+identical input at local[8] and local[32], report throughput at both plus
+scaling efficiency = (T8/T32)/4, and write BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def sf_value(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_docs(sf: float) -> int:
+    return int(os.environ.get(
+        "SPARK_GRAFT_BENCH_DOCS", str(max(500, int(200_000 * sf)))
+    ))
+
+
+def run_pipeline(spark, n_docs: int) -> dict:
+    """Full KG pipeline (ingest -> materialize) on the synthetic interleaved
+    corpus; returns wall, docs/sec, triples/sec."""
+    from kernel_memory_spark.sources.tables import TableCatalog
+    from kernel_memory_spark.streaming.pipeline import Pipeline, PipelineConfig
+    from kernel_memory_spark.synth import synth_corpus, synth_doc_tags
+
+    root = tempfile.mkdtemp(prefix="kms_bench_")
+    try:
+        corpus = synth_corpus(spark, n_docs)
+        tags = synth_doc_tags(spark, n_docs)
+        cfg = PipelineConfig(execution_id="bench", per_bucket_metrics=False)
+        pipe = Pipeline(spark, TableCatalog(root), cfg)
+        t0 = time.time()
+        pipe.run(corpus, tags)
+        wall = time.time() - t0
+        n_triples = pipe.catalog.read(spark, "triples").count()
+        return {
+            "wall_sec": round(wall, 2),
+            "n_docs": n_docs,
+            "n_triples": n_triples,
+            "docs_per_sec": round(n_docs / wall, 1),
+            "triples_per_sec": round(n_triples / wall, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "knn_topk",
+    "minhash_lsh_dedup",
+    "connected_components_star",
+    "latest_event_per_user",
+    "rerank_events",
+    "salted_supplier_counts",
+    "kg_triples_sf",
+]
+
+
+def run_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def default_mode() -> None:
+    from kernel_memory_spark.session import get_spark
+
+    sf = sf_value(SF_DIR)
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=max(32, CPUS))
+    t_start = time.time()
+    queries = run_queries(spark, SF_DIR)
+    pipe = run_pipeline(spark, bench_docs(sf))
+    queries["kg_pipeline"] = pipe["wall_sec"]
+    total = round(time.time() - t_start, 2)
+    print(json.dumps({
+        "metric": "kg_pipeline_plus_headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": CPUS,
+        "pipeline": pipe,
+    }))
+    spark.stop()
+
+
+def scaling_mode() -> None:
+    from kernel_memory_spark.session import get_spark
+
+    sf = sf_value(SF_DIR)
+    n_docs = bench_docs(sf)
+    results = {}
+    for cores in (8, 32):
+        spark = get_spark(
+            master=f"local[{cores}]", shuffle_partitions=max(16, cores)
+        )
+        run_pipeline(spark, min(2000, n_docs))  # JIT/code-path warmup
+        results[cores] = run_pipeline(spark, n_docs)
+        spark.stop()
+        print(f"local[{cores}]: {results[cores]}", file=sys.stderr)
+
+    eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
+    report = {
+        "metric": "scaling_efficiency_local8_to_local32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_docs": n_docs,
+        "local8": results[8],
+        "local32": results[32],
+    }
+    print(json.dumps(report))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured scaling (sandbox protocol)
+
+Same job (full KG pipeline: ingest -> extract -> partition -> embeddings ->
+records -> triples -> link -> canonicalize -> materialize), same input
+({n_docs} synthetic interleaved docs, seed 42), two parallelism levels.
+
+| parallelism | wall (s) | docs/sec | triples/sec |
+|---|---|---|---|
+| local[8]  | {results[8]['wall_sec']} | {results[8]['docs_per_sec']} | {results[8]['triples_per_sec']} |
+| local[32] | {results[32]['wall_sec']} | {results[32]['docs_per_sec']} | {results[32]['triples_per_sec']} |
+
+**Scaling efficiency (N -> 4N cores) = (throughput@32 / throughput@8) / 4 =
+{eff:.3f}** (target >= 0.8, BASELINE.json).
+
+Output invariance across parallelism levels is asserted by
+tests/test_triples_pr.py::TestParallelismInvariance.
+""")
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling_mode()
+    else:
+        default_mode()

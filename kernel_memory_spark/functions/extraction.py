@@ -1,0 +1,80 @@
+"""Deterministic mention detection + (subj, pred, obj) pattern extraction.
+
+These are the fixed KG-construction rules (SURVEY.md §2.11: "the
+mention/pattern rules are fixed by us — they're the KG-construction payload,
+not present in the C# reference"). Both the distributed pandas UDFs
+(operators/triples.py) and the single-node oracle (oracle.py) call these
+exact functions, so any P/R loss measures distribution effects only.
+
+Rules:
+- sentence split: on whitespace following [.!?]
+- mention: a maximal capitalized phrase within one sentence
+  ([A-Z][A-Za-z.'-]* words joined by single spaces), trailing '.' stripped
+- triple: a sentence of the exact shape "<mention> <predicate> <mention>."
+  with predicate drawn from the closed predicate vocabulary
+- normalization: lowercase, non-alphanumerics collapsed to single spaces
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+PREDICATE_VOCAB = [
+    "works at",
+    "leads",
+    "founded",
+    "studied at",
+    "visited",
+    "lives in",
+    "acquired",
+    "partnered with",
+    "located in",
+]
+
+# split after sentence enders, but not after single-letter initials ("M.")
+_SENTENCE_RE = re.compile(r"(?<! [A-Z]\.)(?<=[.!?])\s+")
+_MENTION_RE = re.compile(r"[A-Z][A-Za-z.'-]*(?: [A-Z][A-Za-z.'-]*)*")
+_PRED_ALT = "|".join(re.escape(p) for p in PREDICATE_VOCAB)
+_TRIPLE_RE = re.compile(
+    r"([A-Z][A-Za-z.'-]*(?: [A-Z][A-Za-z.'-]*)*)"
+    rf" ({_PRED_ALT}) "
+    r"([A-Z][A-Za-z.'-]*(?: [A-Z][A-Za-z.'-]*)*)"
+)
+
+_NORM_RE = re.compile(r"[^a-z0-9]+")
+
+
+def normalize_mention(mention: str) -> str:
+    return _NORM_RE.sub(" ", mention.lower()).strip()
+
+
+def _clean(m: str) -> str:
+    return m.rstrip(".")
+
+
+def sentences(text: str) -> List[str]:
+    return [s for s in _SENTENCE_RE.split(text) if s]
+
+
+def extract_mentions(text: str) -> List[str]:
+    """All capitalized phrases, per sentence, trailing '.' stripped."""
+    out: List[str] = []
+    for sent in sentences(text):
+        for m in _MENTION_RE.findall(sent):
+            c = _clean(m)
+            if c:
+                out.append(c)
+    return out
+
+
+def extract_triples(text: str) -> List[Tuple[str, str, str]]:
+    """(subj, pred, obj) per pattern sentence."""
+    out: List[Tuple[str, str, str]] = []
+    for sent in sentences(text):
+        for m in _TRIPLE_RE.finditer(sent):
+            subj = _clean(m.group(1))
+            obj = _clean(m.group(3))
+            if subj and obj:
+                out.append((subj, m.group(2), obj))
+    return out

@@ -1,0 +1,102 @@
+"""Stage `canonicalize`: alias edges -> canonical entity ids via iterative
+connected components, then node/edge materialization.
+
+Min-label propagation over the undirected alias graph: every surface starts
+as its own label; each round a surface adopts the minimum label among itself
+and its neighbors; fixpoint when no label changes. Deterministic: the
+canonical id of a component is its lexicographically smallest member, so
+distributed and single-node runs agree exactly.
+
+Spark-specific physical concerns (SURVEY §4 last row):
+- each round is two equi-joins + one aggregation (shuffles on surface id);
+- `localCheckpoint()` after every round truncates the lineage so the plan
+  does not grow exponentially with iterations;
+- rounds are O(graph diameter); alias clusters are tiny (entity alias sets),
+  so this converges in a handful of rounds even at 10^12 docs — the cost is
+  proportional to |distinct surfaces|, not |mentions|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges(a, b) -> (norm, component) where component = min member id."""
+    # Undirected: symmetrize once.
+    sym = edges.select("a", "b").unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    vertices = sym.select(F.col("a").alias("norm")).distinct()
+    labels = vertices.withColumn("component", F.col("norm")).localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["norm"])
+            .select(sym["a"].alias("norm"), F.col("component"))
+            .groupBy("norm")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, "norm", "left")
+            .select(
+                "norm",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (F.coalesce("nbr_component", "component") < F.col("component")).alias(
+                    "changed"
+                ),
+            )
+        ).localCheckpoint()
+        changes = updated.filter("changed").count()
+        labels = updated.select("norm", "component")
+        if changes == 0:
+            break
+
+    return labels
+
+
+def entity_map(mentions: DataFrame, edges: DataFrame) -> DataFrame:
+    """All surfaces (incl. singletons) -> canonical_id (= component min)."""
+    surfaces = mentions.select("norm").distinct()
+    components = connected_components(edges)
+    return (
+        surfaces.join(components, "norm", "left")
+        .select(
+            "norm",
+            F.coalesce("component", "norm").alias("canonical_id"),
+        )
+    )
+
+
+def materialize_nodes(
+    mentions: DataFrame, emap: DataFrame
+) -> DataFrame:
+    """Canonical entity nodes with alias/mention counts (-> NODES schema)."""
+    per_surface = mentions.groupBy("norm").agg(F.count("*").alias("n"))
+    return (
+        per_surface.join(emap, "norm")
+        .groupBy("canonical_id")
+        .agg(
+            F.count("*").cast("int").alias("n_aliases"),
+            F.sum("n").alias("n_mentions"),
+        )
+        .select(
+            F.col("canonical_id").alias("node_id"),
+            F.col("canonical_id").alias("label"),
+            F.lit("entity").alias("kind"),
+            "n_aliases",
+            "n_mentions",
+        )
+    )
+
+
+def materialize_edges(canonical_triples: DataFrame) -> DataFrame:
+    """Canonical (subj, pred, obj) -> weighted edge table (-> EDGES schema)."""
+    return canonical_triples.groupBy("subj", "pred", "obj").agg(
+        F.count("*").alias("weight")
+    ).select(
+        F.col("subj").alias("src"), "pred", F.col("obj").alias("dst"), "weight"
+    )

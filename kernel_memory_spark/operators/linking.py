@@ -1,0 +1,117 @@
+"""Stage `link`: entity mentions -> similarity edges via MinHash-LSH blocking
++ embedding-cosine scoring.
+
+Scale design (the O(n²) pairwise comparison is the thing to avoid at 10^12
+docs):
+
+1. distinct normalized surfaces — a SALTED two-phase aggregation because
+   mention frequency is Zipfian (hot entities would funnel into single
+   reducers otherwise): pre-aggregate on (norm, salt), then final-aggregate
+   on norm. AQE skew-join handling is also on (session.py).
+2. MinHash signatures per distinct surface (Arrow-batched pandas UDF using
+   functions/minhash.py — identical seeds to the single-node oracle).
+3. explode the 32 LSH band keys, self-join on band key -> candidate pairs.
+   Pair generation is per-band equi-join, so candidates ≈ true near-pairs,
+   not n².
+4. exact verification per candidate: char-3-gram Jaccard AND cosine of the
+   deterministic hash embeddings; both thresholds must pass.
+
+The output edge set feeds connected components (operators/canonicalize.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kernel_memory_spark.functions.minhash import band_keys, jaccard, minhash_signature
+from kernel_memory_spark.functions.vectors import cosine, hash_embed
+
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.6
+DEFAULT_SALT_BUCKETS = 16
+
+
+def salted_surface_counts(
+    mentions: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS
+) -> DataFrame:
+    """(norm, n_mentions) with explicit two-phase salted aggregation.
+
+    Phase 1 groups on (norm, salt) so a hot surface spreads over
+    `salt_buckets` reducers; phase 2 sums the per-salt partials. Spark's
+    map-side partial aggregation already helps, but at 10^12-doc scale the
+    final exchange for a Zipf-1 head key still bottlenecks one task —
+    salting bounds that task's input to 1/salt_buckets.
+    """
+    salted = mentions.withColumn(
+        "salt", (F.crc32(F.col("partition_id")) % salt_buckets).cast("int")
+    )
+    partial = salted.groupBy("norm", "salt").agg(F.count("*").alias("c"))
+    return partial.groupBy("norm").agg(F.sum("c").alias("n_mentions"))
+
+
+def surface_signatures(surfaces: DataFrame) -> DataFrame:
+    """(norm) -> (norm, band array<string>) via Arrow-batched minhash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bands = [band_keys(minhash_signature(n)) for n in pdf["norm"]]
+            yield pd.DataFrame({"norm": pdf["norm"], "bands": bands})
+
+    return surfaces.select("norm").mapInPandas(
+        run, schema="norm string, bands array<string>"
+    )
+
+
+def candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """LSH band equi-join -> distinct candidate (a, b) pairs, a < b."""
+    exploded = signatures.select(
+        "norm", F.explode("bands").alias("band")
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(right, (F.col("l.band") == F.col("r.band")))
+        .filter(F.col("l.norm") < F.col("r.norm"))
+        .select(F.col("l.norm").alias("a"), F.col("r.norm").alias("b"))
+        .distinct()
+    )
+
+
+def score_pairs(pairs: DataFrame) -> DataFrame:
+    """Exact verification: (a, b, jaccard, cosine)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            jac = [jaccard(a, b) for a, b in zip(pdf["a"], pdf["b"])]
+            cos = [
+                cosine(hash_embed(a), hash_embed(b))
+                for a, b in zip(pdf["a"], pdf["b"])
+            ]
+            yield pd.DataFrame(
+                {"a": pdf["a"], "b": pdf["b"], "jaccard": jac, "cosine": cos}
+            )
+
+    return pairs.mapInPandas(
+        run, schema="a string, b string, jaccard double, cosine double"
+    )
+
+
+def link_entities(
+    mentions: DataFrame,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    cosine_threshold: float = COSINE_THRESHOLD,
+) -> DataFrame:
+    """MENTIONS -> alias edges (a, b, jaccard, cosine), both thresholds met."""
+    surfaces = salted_surface_counts(mentions).select("norm")
+    sigs = surface_signatures(surfaces)
+    pairs = candidate_pairs(sigs)
+    scored = score_pairs(pairs)
+    return scored.filter(
+        (F.col("jaccard") >= jaccard_threshold)
+        & (F.col("cosine") >= cosine_threshold)
+    )

@@ -1,0 +1,103 @@
+"""Stage `partition`: extracted text -> token-bounded partitions.
+
+Re-expresses TextPartitioningHandler (archived/km-v1/service/Core/Handlers/
+TextPartitioningHandler.cs:71-194): runs the hierarchical chunker per
+document, emits one row per partition with deterministic ids
+(`{file_id}.partition.{n}`, DataPipeline.cs:196-199) and the content sha256
+(TextPartitioningHandler.cs:177). Pipeline defaults MaxTokensPerParagraph=1000
+/ OverlappingTokens=100 (TextPartitioningOptions.cs:14-19).
+
+Execution shape: the chunker is Python, so it runs as one Arrow-batched
+pandas UDF `text -> array<string>` — embarrassingly parallel per document,
+no shuffle; posexplode afterwards is a narrow op. At 100TB the cost profile
+is pure map-side CPU that scales with executor count.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from kernel_memory_spark.functions.chunker import (
+    PlainTextChunker,
+    PlainTextChunkerOptions,
+)
+from kernel_memory_spark.functions.tokenizers import (
+    NCharTokenizer,
+    WordTokenizer,
+)
+
+DEFAULT_MAX_TOKENS = 1000
+DEFAULT_OVERLAP = 100
+
+
+def _make_tokenizer(name: str):
+    if name.endswith("char"):
+        return NCharTokenizer(int(name[:-4]))
+    if name == "word":
+        return WordTokenizer()
+    raise ValueError(f"unknown tokenizer {name!r}")
+
+
+def chunk_udf(
+    max_tokens: int = DEFAULT_MAX_TOKENS,
+    overlap: int = DEFAULT_OVERLAP,
+    tokenizer: str = "4char",
+    chunk_header: Optional[str] = None,
+):
+    """Arrow-vectorized pandas UDF: text -> array<string> of chunks."""
+
+    opts = dict(
+        max_tokens_per_chunk=max_tokens, overlap=overlap, chunk_header=chunk_header
+    )
+    tok_name = tokenizer
+
+    @pandas_udf("array<string>")
+    def _chunk(texts: pd.Series) -> pd.Series:
+        chunker = PlainTextChunker(_make_tokenizer(tok_name))
+        options = PlainTextChunkerOptions(**opts)
+        return texts.map(lambda t: chunker.split(t or "", options))
+
+    return _chunk
+
+
+def partition(
+    extracted: DataFrame,
+    max_tokens: int = DEFAULT_MAX_TOKENS,
+    overlap: int = DEFAULT_OVERLAP,
+    tokenizer: str = "4char",
+) -> DataFrame:
+    """EXTRACTED -> PARTITIONS (schema.PARTITIONS)."""
+    chunks = chunk_udf(max_tokens, overlap, tokenizer)
+
+    token_count = (
+        F.ceil(F.length("text") / F.lit(float(tokenizer[:-4]))).cast("int")
+        if tokenizer.endswith("char")
+        else F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]|\s+"), 0))
+    )
+
+    return (
+        extracted.withColumn("chunks", chunks(F.col("text")))
+        .select(
+            "doc_id",
+            "file_id",
+            F.posexplode("chunks").alias("partition_number", "text"),
+        )
+        .select(
+            "doc_id",
+            "file_id",
+            F.format_string("%s.partition.%d", "file_id", "partition_number").alias(
+                "partition_id"
+            ),
+            F.col("partition_number").cast("int"),
+            F.lit(0).cast("int").alias("section_number"),
+            "text",
+            F.sha2("text", 256).alias("text_sha256"),
+            token_count.alias("token_count"),
+        )
+    )

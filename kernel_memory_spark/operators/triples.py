@@ -1,0 +1,186 @@
+"""Stage `triples`: records/partitions -> (subj, pred, obj) rows.
+
+Two deterministic sources (SURVEY.md §2.11):
+
+1. Tag/lineage triples — exact flattening of the record structure built by
+   SaveRecordsHandler.PrepareRecord (SaveRecordsHandler.cs:375-441):
+   (doc, has_file, file), (file, has_part, part), (part, part_n, n),
+   (part, sect_n, n), (file, file_type, mime), (doc, tag:K, V) per user tag.
+   Pure column ops — unions of projections, no Python.
+
+2. Mention/pattern triples — the fixed extraction rules of
+   functions/extraction.py run as one Arrow-batched pandas UDF over
+   partition text: (part, mentions, entity_norm) and
+   (subj_norm, pred, obj_norm). Entity endpoints are normalized surface
+   forms here; the linking + canonicalization stages rewrite them to
+   canonical entity ids.
+
+Skew note: hot entities (Zipfian) concentrate on few `obj` values. That is
+harmless here (no aggregation), and downstream consumers that group by
+entity use salted aggregation (operators/linking.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kernel_memory_spark.functions.extraction import (
+    extract_mentions,
+    extract_triples,
+    normalize_mention,
+)
+
+
+def lineage_triples(
+    partitions: DataFrame,
+    extracted: DataFrame,
+    doc_tags: DataFrame | None,
+    execution_id: str,
+) -> DataFrame:
+    """Exact tag/lineage triple set from the record structure."""
+    p = partitions
+    doc_file = extracted.select(
+        F.col("doc_id").alias("subj"),
+        F.lit("has_file").alias("pred"),
+        F.col("file_id").alias("obj"),
+        F.col("doc_id"),
+    )
+    file_type = extracted.select(
+        F.col("file_id").alias("subj"),
+        F.lit("file_type").alias("pred"),
+        F.col("mime_type").alias("obj"),
+        F.col("doc_id"),
+    )
+    file_part = p.select(
+        F.col("file_id").alias("subj"),
+        F.lit("has_part").alias("pred"),
+        F.col("partition_id").alias("obj"),
+        F.col("doc_id"),
+    )
+    part_n = p.select(
+        F.col("partition_id").alias("subj"),
+        F.lit("part_n").alias("pred"),
+        F.col("partition_number").cast("string").alias("obj"),
+        F.col("doc_id"),
+    )
+    sect_n = p.select(
+        F.col("partition_id").alias("subj"),
+        F.lit("sect_n").alias("pred"),
+        F.col("section_number").cast("string").alias("obj"),
+        F.col("doc_id"),
+    )
+    out = doc_file.unionByName(file_type).unionByName(file_part).unionByName(
+        part_n
+    ).unionByName(sect_n)
+
+    if doc_tags is not None:
+        tag_triples = (
+            doc_tags.select(
+                "doc_id", F.explode("tags").alias("k", "vs")
+            )
+            .select("doc_id", "k", F.explode("vs").alias("v"))
+            .select(
+                F.col("doc_id").alias("subj"),
+                F.concat(F.lit("tag:"), F.col("k")).alias("pred"),
+                F.col("v").alias("obj"),
+                F.col("doc_id"),
+            )
+        )
+        out = out.unionByName(tag_triples)
+
+    return out.withColumn("execution_id", F.lit(execution_id))
+
+
+_MENTION_SCHEMA = "doc_id string, partition_id string, mention string, norm string"
+_PATTERN_SCHEMA = (
+    "doc_id string, partition_id string, subj string, pred string, obj string"
+)
+
+
+def extract_mentions_df(partitions: DataFrame) -> DataFrame:
+    """-> MENTIONS (schema.MENTIONS), one row per detected mention."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, pid, text in zip(
+                pdf["doc_id"], pdf["partition_id"], pdf["text"]
+            ):
+                for m in extract_mentions(text or ""):
+                    rows.append((doc_id, pid, m, normalize_mention(m)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "partition_id", "mention", "norm"]
+            )
+
+    return partitions.select("doc_id", "partition_id", "text").mapInPandas(
+        run, schema=_MENTION_SCHEMA
+    )
+
+
+def extract_pattern_triples_df(partitions: DataFrame) -> DataFrame:
+    """Raw pattern triples with normalized-surface endpoints."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, pid, text in zip(
+                pdf["doc_id"], pdf["partition_id"], pdf["text"]
+            ):
+                for s, p, o in extract_triples(text or ""):
+                    rows.append(
+                        (doc_id, pid, normalize_mention(s), p, normalize_mention(o))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "partition_id", "subj", "pred", "obj"]
+            )
+
+    return partitions.select("doc_id", "partition_id", "text").mapInPandas(
+        run, schema=_PATTERN_SCHEMA
+    )
+
+
+def mention_triples(mentions: DataFrame, execution_id: str) -> DataFrame:
+    """(part, mentions, entity_norm) triples."""
+    return mentions.select(
+        F.col("partition_id").alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.col("norm").alias("obj"),
+        F.col("doc_id"),
+        F.lit(execution_id).alias("execution_id"),
+    )
+
+
+def entity_triples(
+    pattern_triples: DataFrame,
+    entity_map: DataFrame,
+    execution_id: str,
+) -> DataFrame:
+    """Rewrite pattern-triple endpoints to canonical entity ids and dedupe
+    per document. entity_map: (norm, canonical_id) from canonicalization.
+
+    The two joins are equi-joins against the (small) entity map — Catalyst
+    broadcasts it; the final distinct() is the only shuffle.
+    """
+    subj_map = entity_map.select(
+        F.col("norm").alias("subj"), F.col("canonical_id").alias("subj_c")
+    )
+    obj_map = entity_map.select(
+        F.col("norm").alias("obj"), F.col("canonical_id").alias("obj_c")
+    )
+    return (
+        pattern_triples.join(F.broadcast(subj_map), "subj", "left")
+        .join(F.broadcast(obj_map), "obj", "left")
+        .select(
+            F.coalesce("subj_c", "subj").alias("subj"),
+            F.col("pred"),
+            F.coalesce("obj_c", "obj").alias("obj"),
+            F.col("doc_id"),
+            F.lit(execution_id).alias("execution_id"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,254 @@
+"""Resumable KG-construction pipeline orchestrator.
+
+Reproduces the reference's pipeline-step/resumability contract (SURVEY §2.9)
+on Spark:
+
+- the step chain extract -> partition -> gen_embeddings -> save_records ->
+  triples -> link -> canonicalize -> materialize mirrors the default handler
+  chain (Constants.cs:166-169) extended with the KG stages;
+- after every stage the output is committed as a table snapshot and a
+  `step_ledger` row (step, execution_id, bucket, rows, wall_ms) is appended —
+  the columnar analog of MoveToNextStep + UpdatePipelineStatusAsync
+  (InProcessPipelineOrchestrator.cs:157-204) with per-partition lineage;
+- `resume=True` skips any step already in the ledger for this execution_id —
+  the anti-join analog of the per-file `processed_by` markers
+  (DataPipeline.cs:132-147): a re-run of a completed stage is a no-op;
+- stage inputs are read back from the committed snapshots, so a crash
+  between stages resumes exactly (snapshot isolation = Q3's rollback safety);
+- a new execution_id over the same documents purges superseded records
+  (SaveRecordsHandler.cs:297-323) via the keep-set anti-join.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kernel_memory_spark import schema as S
+from kernel_memory_spark.operators import (
+    canonicalize as czn,
+    embeddings as emb,
+    extract as ext,
+    linking as lnk,
+    partition as prt,
+    save_records as sav,
+    triples as tri,
+)
+from kernel_memory_spark.sources.tables import TableCatalog
+
+LEDGER = "step_ledger"
+
+
+@dataclass
+class PipelineConfig:
+    execution_id: str = "exec-0001"
+    max_tokens: int = 1000
+    overlap: int = 100
+    tokenizer: str = "4char"
+    embedding_dim: int = 64
+    jaccard_threshold: float = lnk.JACCARD_THRESHOLD
+    cosine_threshold: float = lnk.COSINE_THRESHOLD
+    last_update: str = "1970-01-01T00:00:00"
+    per_bucket_metrics: bool = True
+    steps: List[str] = field(default_factory=lambda: list(S.KG_STEPS))
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, catalog: TableCatalog,
+                 config: Optional[PipelineConfig] = None):
+        self.spark = spark
+        self.catalog = catalog
+        self.cfg = config or PipelineConfig()
+        self.metrics: Dict[str, dict] = {}
+
+    # -- ledger ------------------------------------------------------------
+
+    def _completed_steps(self) -> set:
+        if not self.catalog.exists(LEDGER):
+            return set()
+        rows = (
+            self.catalog.read(self.spark, LEDGER)
+            .filter(F.col("execution_id") == self.cfg.execution_id)
+            .select("step")
+            .distinct()
+            .collect()
+        )
+        return {r.step for r in rows}
+
+    def _commit_step(self, step: str, rows_in: int, rows_out: int,
+                     wall_ms: int, buckets: Optional[List[tuple]] = None) -> None:
+        rows = [
+            (step, self.cfg.execution_id, int(b), int(n_in), int(n_out),
+             int(wall_ms), None)
+            for b, n_in, n_out in (buckets or [(0, rows_in, rows_out)])
+        ]
+        df = self.spark.createDataFrame(rows, S.STEP_LEDGER).withColumn(
+            "committed_at", F.current_timestamp()
+        )
+        self.catalog.append(df, LEDGER)
+        self.metrics[step] = {
+            "rows_in": rows_in, "rows_out": rows_out, "wall_ms": wall_ms,
+        }
+
+    def _run_step(self, step: str, fn: Callable[[], DataFrame],
+                  table: str, writer: str = "overwrite") -> None:
+        t0 = time.time()
+        df = fn()
+        if writer == "merge_records":
+            out = df
+            self.catalog.merge(self.spark, table, out, ["id"])
+        else:
+            out = df
+            self.catalog.overwrite(out, table)
+
+        committed = self.catalog.read(self.spark, table)
+        if self.cfg.per_bucket_metrics:
+            per_bucket = (
+                committed.groupBy(F.spark_partition_id().alias("bucket"))
+                .count()
+                .collect()
+            )
+            rows_out = sum(r["count"] for r in per_bucket)
+            buckets = [(r["bucket"], 0, r["count"]) for r in per_bucket]
+        else:
+            rows_out = committed.count()
+            buckets = None
+        wall_ms = int((time.time() - t0) * 1000)
+        self._commit_step(step, 0, rows_out, wall_ms, buckets)
+
+    # -- the DAG -------------------------------------------------------------
+
+    def run(self, corpus: Optional[DataFrame] = None,
+            doc_tags: Optional[DataFrame] = None, resume: bool = False,
+            stop_after: Optional[str] = None) -> dict:
+        """Run (or resume) the full pipeline. `corpus`/`doc_tags` are only
+        required on the first run; resumed runs read committed snapshots.
+        `stop_after` simulates a crash directly after that step's commit
+        (used by the resume tests)."""
+        cat, spark, cfg = self.catalog, self.spark, self.cfg
+        done = self._completed_steps() if resume else set()
+
+        def crashed(step: str) -> bool:
+            return stop_after is not None and step == stop_after
+
+        if "ingest" not in done:
+            if corpus is None:
+                raise ValueError("corpus required for a fresh run")
+            t0 = time.time()
+            cat.overwrite(corpus, "corpus")
+            if doc_tags is not None:
+                cat.overwrite(doc_tags, "doc_tags")
+            self._commit_step("ingest", 0, cat.read(spark, "corpus").count(),
+                              int((time.time() - t0) * 1000))
+        if crashed("ingest"):
+            return self.metrics
+
+        corpus_t = cat.read(spark, "corpus")
+        tags_t = cat.read(spark, "doc_tags") if cat.exists("doc_tags") else None
+
+        if "extract" not in done:
+            self._run_step("extract", lambda: ext.extract(corpus_t), "extracted")
+        if crashed("extract"):
+            return self.metrics
+        extracted = cat.read(spark, "extracted")
+
+        if "partition" not in done:
+            self._run_step(
+                "partition",
+                lambda: prt.partition(
+                    extracted, cfg.max_tokens, cfg.overlap, cfg.tokenizer
+                ),
+                "partitions",
+            )
+        if crashed("partition"):
+            return self.metrics
+        partitions = cat.read(spark, "partitions")
+
+        if "gen_embeddings" not in done:
+            self._run_step(
+                "gen_embeddings",
+                lambda: emb.gen_embeddings(partitions, cfg.embedding_dim),
+                "embeddings",
+            )
+        if crashed("gen_embeddings"):
+            return self.metrics
+        embeddings = cat.read(spark, "embeddings")
+
+        if "save_records" not in done:
+            records = sav.build_records(
+                partitions, embeddings, tags_t, extracted,
+                cfg.execution_id, cfg.last_update,
+            )
+            t0 = time.time()
+            sav.purge_previous_executions(spark, self.catalog, records)
+            self.catalog.merge(spark, "records", records, ["id"])
+            rows_out = cat.read(spark, "records").count()
+            self._commit_step("save_records", 0, rows_out,
+                              int((time.time() - t0) * 1000))
+        if crashed("save_records"):
+            return self.metrics
+
+        if "triples" not in done:
+            def _triples():
+                lineage = tri.lineage_triples(
+                    partitions, extracted, tags_t, cfg.execution_id
+                )
+                mentions = tri.extract_mentions_df(partitions)
+                cat.overwrite(mentions, "mentions")
+                patterns = tri.extract_pattern_triples_df(partitions)
+                cat.overwrite(patterns, "pattern_triples")
+                m_triples = tri.mention_triples(
+                    cat.read(spark, "mentions"), cfg.execution_id
+                )
+                return lineage.unionByName(m_triples)
+
+            self._run_step("triples", _triples, "triples_base")
+        if crashed("triples"):
+            return self.metrics
+
+        if "link" not in done:
+            self._run_step(
+                "link",
+                lambda: lnk.link_entities(
+                    cat.read(spark, "mentions"),
+                    cfg.jaccard_threshold, cfg.cosine_threshold,
+                ),
+                "alias_edges",
+            )
+        if crashed("link"):
+            return self.metrics
+
+        if "canonicalize" not in done:
+            self._run_step(
+                "canonicalize",
+                lambda: czn.entity_map(
+                    cat.read(spark, "mentions"), cat.read(spark, "alias_edges")
+                ),
+                "entity_map",
+            )
+        if crashed("canonicalize"):
+            return self.metrics
+
+        if "materialize" not in done:
+            def _materialize():
+                emap = cat.read(spark, "entity_map")
+                canonical = tri.entity_triples(
+                    cat.read(spark, "pattern_triples"), emap, cfg.execution_id
+                )
+                all_triples = cat.read(spark, "triples_base").unionByName(canonical)
+                cat.overwrite(all_triples, "triples")
+                nodes = czn.materialize_nodes(cat.read(spark, "mentions"), emap)
+                cat.overwrite(nodes, "nodes")
+                return czn.materialize_edges(canonical)
+
+            self._run_step("materialize", _materialize, "edges")
+
+        return self.metrics
+
+
+def read_triples(spark: SparkSession, catalog: TableCatalog) -> DataFrame:
+    return catalog.read(spark, "triples")

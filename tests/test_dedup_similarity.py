@@ -1,0 +1,133 @@
+"""Dedup + similarity-search operators on the driver-provided testdata."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kernel_memory_spark.operators import dedup as D
+from kernel_memory_spark.operators import similarity as SIM
+from kernel_memory_spark.operators import textstats as TS
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark):
+        df = spark.createDataFrame(
+            [("1", "same text"), ("2", "same text"), ("3", "other")],
+            "doc_id string, text string",
+        )
+        got = {r.doc_id for r in D.dedup_exact(df).collect()}
+        assert got == {"1", "3"}
+
+    def test_minhash_finds_near_dups(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("1", "the quick brown fox jumps over the lazy dog"),
+                ("2", "the quick brown fox jumps over the lazy dogs"),
+                ("3", "completely different content about spark engines"),
+            ],
+            "doc_id string, text string",
+        )
+        pairs = D.minhash_dup_pairs(df, threshold=0.7).collect()
+        assert {(p.a, p.b) for p in pairs} == {("1", "2")}
+
+    def test_simhash_finds_near_dups(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("1", "the quick brown fox jumps over the lazy dog"),
+                ("2", "the quick brown fox jumps over the lazy dog!"),
+                ("3", "completely different content about spark engines"),
+            ],
+            "doc_id string, text string",
+        )
+        pairs = D.simhash_dup_pairs(df, max_hamming=3).collect()
+        assert ("1", "2") in {(p.a, p.b) for p in pairs}
+        assert ("1", "3") not in {(p.a, p.b) for p in pairs}
+
+    def test_ngram_jaccard(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("1", "a b c d e f g h"),
+                ("2", "a b c d e f g x"),
+                ("3", "q w e r t y u i"),
+            ],
+            "doc_id string, text string",
+        )
+        pairs = {(p.a, p.b) for p in D.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+        assert pairs == {("1", "2")}
+
+    def test_exact_dedup_on_testdata(self, documents):
+        # idempotent: deduping a dedup output changes nothing
+        once = D.dedup_exact(documents)
+        assert D.dedup_exact(once).count() == once.count()
+
+
+class TestSimilarity:
+    def test_brute_force_self_top1(self, spark, embeddings):
+        q = embeddings.filter(F.col("vec_id") == 0).first().embedding
+        top = SIM.brute_force_topk(embeddings, list(q), k=3).collect()
+        assert top[0].vec_id == 0
+        assert top[0].score == pytest.approx(1.0, abs=1e-5)
+
+    def test_ann_lsh_contains_self(self, spark, embeddings):
+        row = embeddings.filter(F.col("vec_id") == 0).first()
+        dim = len(row.embedding)
+        top = SIM.ann_lsh_topk(embeddings, list(row.embedding), dim, k=5).collect()
+        assert top[0].vec_id == 0
+
+    def test_ann_recall_vs_brute_force(self, spark, embeddings):
+        row = embeddings.filter(F.col("vec_id") == 7).first()
+        dim = len(row.embedding)
+        exact = [r.vec_id for r in SIM.brute_force_topk(embeddings, list(row.embedding), k=10).collect()]
+        approx = [r.vec_id for r in SIM.ann_lsh_topk(embeddings, list(row.embedding), dim, k=10).collect()]
+        overlap = len(set(exact) & set(approx)) / 10
+        assert overlap >= 0.3  # multiprobe LSH recall floor on 500 vecs
+
+    def test_ivf_topk(self, spark, embeddings):
+        rows = embeddings.orderBy("vec_id").limit(4).collect()
+        centroids = [list(r.embedding) for r in rows]
+        q = list(rows[0].embedding)
+        got = SIM.ivf_topk(embeddings, centroids, q, k=5, nprobe=2).collect()
+        assert got[0].vec_id == rows[0].vec_id
+
+
+class TestTextStats:
+    def test_language_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("1", "the cat and the dog sat in that house for a while"),
+                ("2", "der hund ist nicht mit der katze auf dem sofa"),
+                ("3", "xyzzy plugh"),
+            ],
+            "doc_id string, text string",
+        )
+        got = {r.doc_id: r.lang_id for r in TS.with_language_id(df).collect()}
+        assert got["1"] == "en" and got["2"] == "de" and got["3"] == "und"
+
+    def test_quality_and_tokens(self, spark, documents):
+        out = TS.with_token_counts(TS.with_quality_score(documents)).limit(50).collect()
+        for r in out:
+            assert 0.0 <= r.quality_score <= 1.0
+            assert r.n_tokens_4char >= 1
+            assert r.n_words >= 1
+
+    def test_fingerprint_ignores_punct_and_case(self, spark):
+        df = spark.createDataFrame(
+            [("1", "Hello, World!"), ("2", "hello world"), ("3", "bye")],
+            "doc_id string, text string",
+        )
+        got = {r.doc_id: r.fingerprint for r in TS.with_fingerprint(df).collect()}
+        assert got["1"] == got["2"] != got["3"]
