@@ -551,9 +551,11 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT doc_id + 100000, text FROM documents),
             w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
                   FROM both_docs),
+            ix AS (SELECT doc_id, ws,
+                          unnest(range(greatest(len(ws) - 2, 1))) AS i FROM w),
             g AS (SELECT DISTINCT doc_id,
                          array_to_string(ws[i + 1 : i + 3], ' ') AS gram
-                  FROM w, range(greatest(len(ws) - 2, 1)) AS t(i)),
+                  FROM ix),
             sig AS (SELECT doc_id,
                            min(md5('0|' || gram)) || '|' ||
                            min(md5('1|' || gram)) || '|' ||

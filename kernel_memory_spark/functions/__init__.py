@@ -7,6 +7,7 @@ from kernel_memory_spark.functions.tokenizers import (
     default_tokenizer,
 )
 from kernel_memory_spark.functions.chunker import (
+    MarkDownChunker,
     PlainTextChunker,
     PlainTextChunkerOptions,
     SeparatorTrie,
@@ -19,6 +20,7 @@ __all__ = [
     "FourCharsTokenizer",
     "WordTokenizer",
     "default_tokenizer",
+    "MarkDownChunker",
     "PlainTextChunker",
     "PlainTextChunkerOptions",
     "SeparatorTrie",

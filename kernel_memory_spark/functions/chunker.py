@@ -106,6 +106,55 @@ _TRIES = [
     None,  # NotASeparator: every char is a fragment
 ]
 
+# Markdown separator tiers (MarkDownChunker.cs:50-124): structure first
+# (headings, hr, blockquotes, lists, fences, tables/links), prose later.
+MD_EXPLICIT_SEPARATORS = [
+    ".\n\n", "!\n\n", "!!\n\n", "!!!\n\n", "?\n\n", "??\n\n", "???\n\n",
+    "\n\n", "\n#", "\n##", "\n###", "\n####", "\n#####", "\n---",
+]
+
+MD_POTENTIAL_SEPARATORS = [
+    "\n> ", "\n>- ", "\n>* ",
+    "\n1. ", "\n2. ", "\n3. ", "\n4. ", "\n5. ",
+    "\n6. ", "\n7. ", "\n8. ", "\n9. ", "\n10. ",
+    "\n```",
+]
+
+MD_WEAK_SEPARATORS_1 = ["![", "[", "| ", " |\n", "-|\n", "\n: "]
+
+MD_WEAK_SEPARATORS_2 = [
+    ". ", ".\t", ".\n",
+    "? ", "?\t", "?\n",
+    "! ", "!\t", "!\n",
+    "⁉ ", "⁉\t", "⁉\n",
+    "⁈ ", "⁈\t", "⁈\n",
+    "⁇ ", "⁇\t", "⁇\n",
+    "… ", "…\t", "…\n",
+    "!!!!", "????", "!!!", "???", "?!?", "!?!", "!?", "?!", "!!", "??",
+    "....", "...", "..",
+    ".", "?", "!", "⁉", "⁈", "⁇", "…",
+]
+
+MD_WEAK_SEPARATORS_3 = [
+    "; ", ";\t", ";\n", ";",
+    "} ", "}\t", "}\n", "}",
+    ") ", ")\t", ")\n",
+    "] ", "]\t", "]\n",
+    ")", "]",
+    ": ", ":",
+    ", ", ",",
+    "\n",
+]
+
+_MD_TRIES = [
+    SeparatorTrie(MD_EXPLICIT_SEPARATORS),
+    SeparatorTrie(MD_POTENTIAL_SEPARATORS),
+    SeparatorTrie(MD_WEAK_SEPARATORS_1),
+    SeparatorTrie(MD_WEAK_SEPARATORS_2),
+    SeparatorTrie(MD_WEAK_SEPARATORS_3),
+    None,
+]
+
 
 def normalize_newlines(text: str, trim: bool = False) -> str:
     """StringExtensions.NormalizeNewlines: \\r\\n|\\r -> \\n, optional trim."""
@@ -140,8 +189,9 @@ class _State:
 class PlainTextChunker:
     """Split plain text into chunks of at most N tokens (lossless concat)."""
 
-    def __init__(self, tokenizer: Optional[Tokenizer] = None):
+    def __init__(self, tokenizer: Optional[Tokenizer] = None, tries=None):
         self._tokenizer = tokenizer or default_tokenizer()
+        self._tries = tries or _TRIES
 
     # -- public API --------------------------------------------------------
 
@@ -189,7 +239,7 @@ class PlainTextChunker:
         max_chunk = max_n if st.first_chunk_done else max1
         if self._count(text) <= max_chunk:
             return [text]
-        fragments = split_to_fragments(text, _TRIES[tier])
+        fragments = split_to_fragments(text, self._tries[tier])
         return self._generate_chunks(fragments, max1, max_n, tier, st)
 
     def _generate_chunks(
@@ -312,3 +362,12 @@ def split_to_fragments(
     if buf:
         fragments.append(("".join(buf), False))
     return fragments
+
+
+class MarkDownChunker(PlainTextChunker):
+    """Markdown-aware chunker: identical recursion/assembly algorithm with
+    markdown separator tiers (MarkDownChunker.cs:31-124 — structure first:
+    headings/hr, blockquotes/lists/fences, tables/links, then prose)."""
+
+    def __init__(self, tokenizer: Optional[Tokenizer] = None):
+        super().__init__(tokenizer, tries=_MD_TRIES)

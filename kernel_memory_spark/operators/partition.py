@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from kernel_memory_spark.functions.chunker import (
+    MarkDownChunker,
     PlainTextChunker,
     PlainTextChunkerOptions,
 )
@@ -49,17 +50,20 @@ def chunk_udf(
     overlap: int = DEFAULT_OVERLAP,
     tokenizer: str = "4char",
     chunk_header: Optional[str] = None,
+    fmt: str = "plain",
 ):
-    """Arrow-vectorized pandas UDF: text -> array<string> of chunks."""
+    """Arrow-vectorized pandas UDF: text -> array<string> of chunks.
+    fmt='markdown' selects the markdown separator tiers (C6)."""
 
     opts = dict(
         max_tokens_per_chunk=max_tokens, overlap=overlap, chunk_header=chunk_header
     )
     tok_name = tokenizer
+    cls = MarkDownChunker if fmt == "markdown" else PlainTextChunker
 
     @pandas_udf("array<string>")
     def _chunk(texts: pd.Series) -> pd.Series:
-        chunker = PlainTextChunker(_make_tokenizer(tok_name))
+        chunker = cls(_make_tokenizer(tok_name))
         options = PlainTextChunkerOptions(**opts)
         return texts.map(lambda t: chunker.split(t or "", options))
 
