@@ -45,10 +45,14 @@ class TestDedup:
         assert {(p.a, p.b) for p in pairs} == {("1", "2")}
 
     def test_simhash_finds_near_dups(self, spark):
+        # simhash is built for long documents: a one-char edit in a long text
+        # stays within the banding's Hamming budget; short unrelated text not.
+        long_a = "the quick brown fox jumps over the lazy dog. " * 10
+        long_b = long_a[:-2] + "!"
         df = spark.createDataFrame(
             [
-                ("1", "the quick brown fox jumps over the lazy dog"),
-                ("2", "the quick brown fox jumps over the lazy dog!"),
+                ("1", long_a),
+                ("2", long_b),
                 ("3", "completely different content about spark engines"),
             ],
             "doc_id string, text string",
@@ -89,12 +93,14 @@ class TestSimilarity:
         assert top[0].vec_id == 0
 
     def test_ann_recall_vs_brute_force(self, spark, embeddings):
+        # 4 hyperplanes (16 buckets) + multiprobe on 500 unclustered vectors:
+        # ~30% of rows probed, >= 50% top-10 recall (exactness/latency dial).
         row = embeddings.filter(F.col("vec_id") == 7).first()
         dim = len(row.embedding)
         exact = [r.vec_id for r in SIM.brute_force_topk(embeddings, list(row.embedding), k=10).collect()]
-        approx = [r.vec_id for r in SIM.ann_lsh_topk(embeddings, list(row.embedding), dim, k=10).collect()]
+        approx = [r.vec_id for r in SIM.ann_lsh_topk(embeddings, list(row.embedding), dim, k=10, n_planes=4).collect()]
         overlap = len(set(exact) & set(approx)) / 10
-        assert overlap >= 0.3  # multiprobe LSH recall floor on 500 vecs
+        assert overlap >= 0.5
 
     def test_ivf_topk(self, spark, embeddings):
         rows = embeddings.orderBy("vec_id").limit(4).collect()
