@@ -47,24 +47,31 @@ def run_pipeline(spark, n_docs: int) -> dict:
     corpus; returns wall, docs/sec, triples/sec."""
     from kernel_memory_spark.sources.tables import TableCatalog
     from kernel_memory_spark.streaming.pipeline import Pipeline, PipelineConfig
-    from kernel_memory_spark.synth import synth_corpus, synth_doc_tags
+    from kernel_memory_spark.synth import synth_full
 
     root = tempfile.mkdtemp(prefix="kms_bench_")
     try:
-        corpus = synth_corpus(spark, n_docs)
-        tags = synth_doc_tags(spark, n_docs)
+        # generate once, project twice (synth is the input, not the engine)
+        full_path = os.path.join(root, "_synth_full")
+        synth_full(spark, n_docs).write.parquet(full_path)
+        full = spark.read.parquet(full_path)
+        corpus = full.select("doc_id", "spans")
+        tags = full.select("doc_id", "tags")
         cfg = PipelineConfig(execution_id="bench", per_bucket_metrics=False)
         pipe = Pipeline(spark, TableCatalog(root), cfg)
         t0 = time.time()
-        pipe.run(corpus, tags)
+        metrics = pipe.run(corpus, tags)
         wall = time.time() - t0
-        n_triples = pipe.catalog.read(spark, "triples").count()
+        from kernel_memory_spark.sources.tables import table_row_count
+
+        n_triples = table_row_count(pipe.catalog, "triples")
         return {
             "wall_sec": round(wall, 2),
             "n_docs": n_docs,
             "n_triples": n_triples,
             "docs_per_sec": round(n_docs / wall, 1),
             "triples_per_sec": round(n_triples / wall, 1),
+            "step_wall_ms": {k: v["wall_ms"] for k, v in metrics.items()},
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -119,3 +119,30 @@ class TableCatalog:
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._dir(name), ignore_errors=True)
+
+
+def _parquet_file_counts(root: str) -> list:
+    """(file, num_rows) per parquet part file under root, from footers only —
+    no Spark job. Used for step-ledger metrics: the written files ARE the
+    per-partition lineage."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                p = os.path.join(dirpath, fn)
+                out.append((p, pq.ParquetFile(p).metadata.num_rows))
+    return out
+
+
+def table_file_counts(catalog: "TableCatalog", name: str) -> list:
+    manifest = catalog._manifest(name)
+    counts = []
+    for d in manifest["data"]:
+        counts.extend(_parquet_file_counts(os.path.join(catalog._dir(name), d)))
+    return counts
+
+
+def table_row_count(catalog: "TableCatalog", name: str) -> int:
+    return sum(n for _, n in table_file_counts(catalog, name))

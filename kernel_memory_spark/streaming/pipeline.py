@@ -38,6 +38,7 @@ from kernel_memory_spark.operators import (
     save_records as sav,
     triples as tri,
 )
+from kernel_memory_spark.sources import tables
 from kernel_memory_spark.sources.tables import TableCatalog
 
 LEDGER = "step_ledger"
@@ -99,23 +100,17 @@ class Pipeline:
         t0 = time.time()
         df = fn()
         if writer == "merge_records":
-            out = df
-            self.catalog.merge(self.spark, table, out, ["id"])
+            self.catalog.merge(self.spark, table, df, ["id"])
         else:
-            out = df
-            self.catalog.overwrite(out, table)
+            self.catalog.overwrite(df, table)
 
-        committed = self.catalog.read(self.spark, table)
+        # Per-partition lineage from parquet footers — the committed files
+        # ARE the partitions; no extra Spark job for metrics.
+        file_counts = tables.table_file_counts(self.catalog, table)
+        rows_out = sum(n for _, n in file_counts)
         if self.cfg.per_bucket_metrics:
-            per_bucket = (
-                committed.groupBy(F.spark_partition_id().alias("bucket"))
-                .count()
-                .collect()
-            )
-            rows_out = sum(r["count"] for r in per_bucket)
-            buckets = [(r["bucket"], 0, r["count"]) for r in per_bucket]
+            buckets = [(i, 0, n) for i, (_, n) in enumerate(file_counts)]
         else:
-            rows_out = committed.count()
             buckets = None
         wall_ms = int((time.time() - t0) * 1000)
         self._commit_step(step, 0, rows_out, wall_ms, buckets)
@@ -142,7 +137,8 @@ class Pipeline:
             cat.overwrite(corpus, "corpus")
             if doc_tags is not None:
                 cat.overwrite(doc_tags, "doc_tags")
-            self._commit_step("ingest", 0, cat.read(spark, "corpus").count(),
+            self._commit_step("ingest", 0,
+                              tables.table_row_count(cat, "corpus"),
                               int((time.time() - t0) * 1000))
         if crashed("ingest"):
             return self.metrics
@@ -186,7 +182,7 @@ class Pipeline:
             t0 = time.time()
             sav.purge_previous_executions(spark, self.catalog, records)
             self.catalog.merge(spark, "records", records, ["id"])
-            rows_out = cat.read(spark, "records").count()
+            rows_out = tables.table_row_count(cat, "records")
             self._commit_step("save_records", 0, rows_out,
                               int((time.time() - t0) * 1000))
         if crashed("save_records"):

@@ -130,3 +130,24 @@ class TestPurge:
         # untouched doc b survives; superseded d=a//p=2 purged
         exe = {r.id: r.execution_id for r in cat.read(spark, "records").collect()}
         assert exe["d=a//p=1"] == "e2"  # upserted to current execution
+
+
+class TestJsonRoundTrip:
+    def test_record_json_round_trip(self, spark):
+        # MemoryRecordTest.cs:11-107: JSON round-trip preserves id/tags/payload
+        from pyspark.sql import functions as F
+        from kernel_memory_spark import schema as S
+
+        recs = build(spark, 5).drop("vector")  # float32 json round-trip excluded
+        as_json = recs.select(F.to_json(F.struct(*recs.columns)).alias("j"))
+        schema_no_vec = "struct<" + ",".join(
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in S.RECORDS.fields if f.name != "vector"
+        ) + ">"
+        back = as_json.select(F.from_json("j", schema_no_vec).alias("r")).select("r.*")
+        a = sorted(recs.collect(), key=lambda r: r.id)
+        b = sorted(back.collect(), key=lambda r: r.id)
+        assert [r.id for r in a] == [r.id for r in b]
+        assert [r.tags for r in a] == [r.tags for r in b]
+        assert [r.payload for r in a] == [r.payload for r in b]
+        assert all(r.payload.schema == S.PAYLOAD_SCHEMA_VERSION for r in b)
