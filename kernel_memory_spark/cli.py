@@ -19,7 +19,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# spark-submit runs this file as a bare script: make the package importable
+# without requiring PYTHONPATH (the --py-files zip covers the executors).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> int:

@@ -57,13 +57,19 @@ def sentences(text: str) -> List[str]:
     return [s for s in _SENTENCE_RE.split(text) if s]
 
 
+MIN_NORM_LEN = 3  # drop sub-3-char normalized mentions (chunk-split noise)
+
+
 def extract_mentions(text: str) -> List[str]:
-    """All capitalized phrases, per sentence, trailing '.' stripped."""
+    """All capitalized phrases, per sentence, trailing '.' stripped.
+    Mentions whose normalized form is shorter than MIN_NORM_LEN are dropped —
+    they are chunk-boundary fragments, and at scale their near-empty shingle
+    sets turn into LSH mega-buckets."""
     out: List[str] = []
     for sent in sentences(text):
         for m in _MENTION_RE.findall(sent):
             c = _clean(m)
-            if c:
+            if c and len(normalize_mention(c)) >= MIN_NORM_LEN:
                 out.append(c)
     return out
 

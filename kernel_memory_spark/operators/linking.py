@@ -34,6 +34,12 @@ from kernel_memory_spark.functions.vectors import cosine, hash_embed
 JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.6
 DEFAULT_SALT_BUCKETS = 16
+# LSH hot-bucket cap: a band bucket with more members than this is dropped
+# before pair generation. True alias pairs share many bands (high Jaccard),
+# so they survive; garbage mega-buckets (short/common shingle patterns)
+# would otherwise contribute O(bucket^2) candidate pairs. The single-node
+# oracle applies the identical cap (oracle.link_surfaces).
+BAND_BUCKET_CAP = 64
 
 
 def salted_surface_counts(
@@ -67,13 +73,24 @@ def surface_signatures(surfaces: DataFrame) -> DataFrame:
     )
 
 
-def candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """LSH band equi-join -> distinct candidate (a, b) pairs, a < b."""
+def candidate_pairs(
+    signatures: DataFrame, bucket_cap: int = BAND_BUCKET_CAP
+) -> DataFrame:
+    """LSH band equi-join -> distinct candidate (a, b) pairs, a < b.
+    Buckets above `bucket_cap` members are dropped first (hot-bucket guard:
+    pair volume is Σ bucket², so one mega-bucket dominates the stage)."""
     exploded = signatures.select(
         "norm", F.explode("bands").alias("band")
     )
-    left = exploded.alias("l")
-    right = exploded.alias("r")
+    hot = (
+        exploded.groupBy("band")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select("band")
+    )
+    cool = exploded.join(F.broadcast(hot), "band", "left_anti")
+    left = cool.alias("l")
+    right = cool.alias("r")
     return (
         left.join(right, (F.col("l.band") == F.col("r.band")))
         .filter(F.col("l.norm") < F.col("r.norm"))

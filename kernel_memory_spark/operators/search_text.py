@@ -1,0 +1,124 @@
+"""Full-text scoring: BM25 over a tokenized corpus (T2) and RAG-prompt
+assembly helpers (A5 token budget, C12 fact template, F8 dupe-fact skip).
+
+The reference delegates BM25 to SQLite FTS5 (src/Core/Search/
+SqliteFtsIndex.cs:59-67, 155-175: porter/unicode61 tokens, bm25() score,
+ORDER BY LIMIT). Here the inverted index is a DataFrame of (term, doc)
+postings and BM25 is a closed-form column expression — one groupBy(term)
+for document frequencies (broadcast back) and one groupBy(doc) for scores;
+everything stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def tokenize_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, term, tf) postings + doc length (lowercased word tokens)."""
+    words = F.split(
+        F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]", " ")), r"\s+"
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(words).alias("dl"),
+        F.explode(words).alias("term"),
+    ).filter(F.length("term") > 0)
+    return toks.groupBy("doc", "dl", "term").agg(F.count("*").alias("tf"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k docs for a bag of query terms."""
+    postings = tokenize_terms(df, id_col, text_col)
+    n_docs = df.count()
+    avgdl_row = postings.select("doc", "dl").distinct().agg(
+        F.avg("dl").alias("avgdl")
+    ).first()
+    avgdl = float(avgdl_row.avgdl or 1.0)
+
+    q = postings.filter(F.col("term").isin(list(query_terms)))
+    dfreq = q.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = q.join(F.broadcast(dfreq), "term").withColumn(
+        "w",
+        idf
+        * (F.col("tf") * (BM25_K1 + 1))
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)),
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(k)
+    )
+
+
+def dedupe_facts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """F8 (SearchClient.cs:316-319): skip results whose partition text was
+    already used — keep the first by relevance."""
+    w = Window.partitionBy(text_col).orderBy(F.desc("score"))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def take_within_token_budget(
+    df: DataFrame,
+    budget: int,
+    order_by: List,
+    token_col: str = "token_count",
+) -> DataFrame:
+    """A5 (SearchClient.cs:341-352): accumulate facts in rank order while the
+    running token total stays under budget — cumulative-sum window + filter."""
+    w = Window.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        df.withColumn("__cum", F.sum(token_col).over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )
+
+
+def render_facts(
+    df: DataFrame,
+    template: str = "==== [File:{{$source}};Relevance:{{$relevance}}]:\n{{$content}}",
+    source_col: str = "source",
+    relevance_col: str = "relevance",
+    content_col: str = "text",
+) -> DataFrame:
+    """C12 (SearchClientConfig.cs:54): fact template substitution as a pure
+    column expression."""
+    fmt = (
+        template.replace("%", "%%")
+        .replace("{{$source}}", "%s")
+        .replace("{{$relevance}}", "%s")
+        .replace("{{$content}}", "%s")
+    )
+    # order of %s fills must match placeholder appearance order
+    order = sorted(
+        [
+            ("{{$source}}", source_col),
+            ("{{$relevance}}", relevance_col),
+            ("{{$content}}", content_col),
+        ],
+        key=lambda kv: template.find(kv[0]),
+    )
+    cols = [
+        F.col(c).cast("string") for marker, c in order if template.find(marker) >= 0
+    ]
+    return df.withColumn("fact", F.format_string(fmt, *cols))

@@ -100,6 +100,56 @@ _MENTION_SCHEMA = "doc_id string, partition_id string, mention string, norm stri
 _PATTERN_SCHEMA = (
     "doc_id string, partition_id string, subj string, pred string, obj string"
 )
+# combined single-pass schema: kind='m' rows carry (mention, norm) in
+# (subj, obj); kind='t' rows carry (subj_norm, pred, obj_norm)
+_EXTRACT_SCHEMA = (
+    "doc_id string, partition_id string, kind string,"
+    " subj string, pred string, obj string"
+)
+
+
+def extract_all_df(partitions: DataFrame) -> DataFrame:
+    """Single Arrow-batched pass over partition text producing BOTH mention
+    rows (kind='m': subj=mention surface, obj=norm) and pattern-triple rows
+    (kind='t': normalized endpoints). One scan instead of two — the regex
+    sentence split is the expensive part and is shared.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, pid, text in zip(
+                pdf["doc_id"], pdf["partition_id"], pdf["text"]
+            ):
+                t = text or ""
+                for m in extract_mentions(t):
+                    rows.append((doc_id, pid, "m", m, "", normalize_mention(m)))
+                for s, p, o in extract_triples(t):
+                    rows.append(
+                        (doc_id, pid, "t",
+                         normalize_mention(s), p, normalize_mention(o))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "partition_id", "kind", "subj", "pred", "obj"],
+            )
+
+    return partitions.select("doc_id", "partition_id", "text").mapInPandas(
+        run, schema=_EXTRACT_SCHEMA
+    )
+
+
+def mentions_from_extractions(extractions: DataFrame) -> DataFrame:
+    return extractions.filter(F.col("kind") == "m").select(
+        "doc_id", "partition_id",
+        F.col("subj").alias("mention"), F.col("obj").alias("norm"),
+    )
+
+
+def patterns_from_extractions(extractions: DataFrame) -> DataFrame:
+    return extractions.filter(F.col("kind") == "t").select(
+        "doc_id", "partition_id", "subj", "pred", "obj"
+    )
 
 
 def extract_mentions_df(partitions: DataFrame) -> DataFrame:

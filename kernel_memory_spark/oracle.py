@@ -26,6 +26,7 @@ from kernel_memory_spark.functions.minhash import band_keys, jaccard, minhash_si
 from kernel_memory_spark.functions.tokenizers import NCharTokenizer
 from kernel_memory_spark.functions.vectors import cosine, hash_embed
 from kernel_memory_spark.operators.linking import (
+    BAND_BUCKET_CAP,
     COSINE_THRESHOLD,
     JACCARD_THRESHOLD,
 )
@@ -82,6 +83,8 @@ def link_surfaces(norms: Iterable[str]) -> Dict[str, str]:
     pairs: Set[Tuple[str, str]] = set()
     for members in buckets.values():
         members = sorted(set(members))
+        if len(members) > BAND_BUCKET_CAP:  # identical hot-bucket guard
+            continue
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
                 pairs.add((members[i], members[j]))

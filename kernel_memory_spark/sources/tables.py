@@ -146,3 +146,20 @@ def table_file_counts(catalog: "TableCatalog", name: str) -> list:
 
 def table_row_count(catalog: "TableCatalog", name: str) -> int:
     return sum(n for _, n in table_file_counts(catalog, name))
+
+
+def commit_union(catalog: "TableCatalog", name: str, sources: List[str]) -> int:
+    """Zero-copy union commit: `name` becomes a snapshot over the data
+    directories of the source tables (no rewrite — the Iceberg-style trick
+    of composing a table from existing immutable files). Sources must share
+    a schema."""
+    import os as _os
+
+    dirs = []
+    for src in sources:
+        manifest = catalog._manifest(src)
+        for d in manifest["data"]:
+            abs_d = _os.path.join(catalog._dir(src), d)
+            dirs.append(_os.path.relpath(abs_d, catalog._dir(name)))
+    _os.makedirs(catalog._dir(name), exist_ok=True)
+    return catalog._commit(name, dirs)

@@ -190,28 +190,30 @@ class Pipeline:
 
         if "triples" not in done:
             def _triples():
+                # one Arrow pass extracts mentions AND pattern triples
+                cat.overwrite(tri.extract_all_df(partitions), "extractions")
                 lineage = tri.lineage_triples(
                     partitions, extracted, tags_t, cfg.execution_id
                 )
-                mentions = tri.extract_mentions_df(partitions)
-                cat.overwrite(mentions, "mentions")
-                patterns = tri.extract_pattern_triples_df(partitions)
-                cat.overwrite(patterns, "pattern_triples")
-                m_triples = tri.mention_triples(
-                    cat.read(spark, "mentions"), cfg.execution_id
+                mentions = tri.mentions_from_extractions(
+                    cat.read(spark, "extractions")
                 )
-                return lineage.unionByName(m_triples)
+                return lineage.unionByName(
+                    tri.mention_triples(mentions, cfg.execution_id)
+                )
 
             self._run_step("triples", _triples, "triples_base")
         if crashed("triples"):
             return self.metrics
 
+        def _mentions():
+            return tri.mentions_from_extractions(cat.read(spark, "extractions"))
+
         if "link" not in done:
             self._run_step(
                 "link",
                 lambda: lnk.link_entities(
-                    cat.read(spark, "mentions"),
-                    cfg.jaccard_threshold, cfg.cosine_threshold,
+                    _mentions(), cfg.jaccard_threshold, cfg.cosine_threshold,
                 ),
                 "alias_edges",
             )
@@ -222,7 +224,7 @@ class Pipeline:
             self._run_step(
                 "canonicalize",
                 lambda: czn.entity_map(
-                    cat.read(spark, "mentions"), cat.read(spark, "alias_edges")
+                    _mentions(), cat.read(spark, "alias_edges")
                 ),
                 "entity_map",
             )
@@ -233,13 +235,18 @@ class Pipeline:
             def _materialize():
                 emap = cat.read(spark, "entity_map")
                 canonical = tri.entity_triples(
-                    cat.read(spark, "pattern_triples"), emap, cfg.execution_id
+                    tri.patterns_from_extractions(cat.read(spark, "extractions")),
+                    emap, cfg.execution_id,
                 )
-                all_triples = cat.read(spark, "triples_base").unionByName(canonical)
-                cat.overwrite(all_triples, "triples")
-                nodes = czn.materialize_nodes(cat.read(spark, "mentions"), emap)
+                cat.overwrite(canonical, "triples_canonical")
+                # zero-copy union: `triples` snapshot points at the base +
+                # canonical data files, nothing is rewritten
+                tables.commit_union(
+                    self.catalog, "triples", ["triples_base", "triples_canonical"]
+                )
+                nodes = czn.materialize_nodes(_mentions(), emap)
                 cat.overwrite(nodes, "nodes")
-                return czn.materialize_edges(canonical)
+                return czn.materialize_edges(cat.read(spark, "triples_canonical"))
 
             self._run_step("materialize", _materialize, "edges")
 
