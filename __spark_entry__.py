@@ -400,6 +400,41 @@ def salted_supplier_counts(spark, sf):
     return partial.groupBy("l_suppkey").agg(F.sum("c").alias("n_items"))
 
 
+def bm25_topk_docs(spark, sf):
+    """T2: BM25 over DataFrame postings (SqliteFtsIndex semantics)."""
+    from kernel_memory_spark.operators import search_text as ST
+
+    docs = load_table(spark, sf, "documents")
+    scored = ST.bm25_topk(docs, ["spark", "vector", "merge"], k=1 << 20)
+    return (
+        scored.select("doc", F.round("score", 3).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(10)
+    )
+
+
+def facts_token_budget(spark, sf):
+    """A5: accumulate ranked facts while the running token total <= budget."""
+    from kernel_memory_spark.operators import search_text as ST
+
+    e = load_table(spark, sf, "events").select(
+        "event_id", "value", F.length("props").alias("token_count")
+    )
+    return ST.take_within_token_budget(
+        e, 4000, [F.desc("value"), F.asc("event_id")]
+    ).select("event_id")
+
+
+def summarize_docs(spark, sf):
+    """Rows-only: A4 iterative map-reduce summarization (chunker inside)."""
+    from kernel_memory_spark.operators.summarize import summarize
+
+    docs = load_table(spark, sf, "documents").limit(200).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return summarize(docs, target_tokens=40, chunk_tokens=120)
+
+
 def kg_triples_sf(spark, sf):
     """Rows-only: the KG pipeline core (extract -> chunk -> mention/lineage
     triples) over the span corpus derived from the documents table."""
@@ -439,6 +474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct_customers": union_distinct_customers,
         "connected_components_star": connected_components_star,
         "salted_supplier_counts": salted_supplier_counts,
+        "bm25_topk_docs": bm25_topk_docs,
+        "facts_token_budget": facts_token_budget,
+        "summarize_docs": summarize_docs,  # rows-only (pandas-UDF chunker)
         "kg_triples_sf": kg_triples_sf,  # rows-only (pandas-UDF chunker)
     }
 
@@ -640,6 +678,39 @@ def oracle_sql() -> dict[str, str]:
         "salted_supplier_counts": """
             SELECT l_suppkey, count(*) AS n_items
             FROM lineitem GROUP BY l_suppkey
+        """,
+        "bm25_topk_docs": """
+            WITH toks AS (
+                SELECT doc_id AS doc,
+                       len(string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+')) AS dl,
+                       unnest(string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+')) AS term
+                FROM documents),
+            postings AS (
+                SELECT doc, dl, term, count(*) AS tf FROM toks
+                WHERE length(term) > 0 GROUP BY doc, dl, term),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n,
+                       (SELECT avg(dl) FROM (SELECT DISTINCT doc, dl FROM postings)) AS avgdl),
+            q AS (SELECT * FROM postings WHERE term IN ('spark', 'vector', 'merge')),
+            dfreq AS (SELECT term, count(DISTINCT doc) AS df FROM q GROUP BY term),
+            w AS (
+                SELECT q.doc,
+                       ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                       * (q.tf * 2.2)
+                       / (q.tf + 1.2 * (1 - 0.75 + 0.75 * q.dl / stats.avgdl)) AS wt
+                FROM q JOIN dfreq USING (term), stats)
+            SELECT doc, round(sum(wt), 3) AS score
+            FROM w GROUP BY doc
+            ORDER BY score DESC, doc ASC LIMIT 10
+        """,
+        "facts_token_budget": """
+            SELECT event_id FROM (
+                SELECT event_id,
+                       sum(length(props)) OVER (
+                           ORDER BY value DESC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum
+                FROM events) WHERE cum <= 4000
         """,
         # kg_triples_sf: intentionally no oracle (pandas-UDF chunker inside;
         # driver records the rows-only check; full fidelity is gated by the

@@ -34,12 +34,18 @@ PREDICATE_VOCAB = [
 
 # split after sentence enders, but not after single-letter initials ("M.")
 _SENTENCE_RE = re.compile(r"(?<! [A-Z]\.)(?<=[.!?])\s+")
-_MENTION_RE = re.compile(r"[A-Z][A-Za-z.'-]*(?: [A-Z][A-Za-z.'-]*)*")
+# A mention word starts capitalized and may end in a caps run (PhD, LLC,
+# NASA) — but a lower->Upper transition into a LOWERCASE continuation ends
+# the word, so span-concatenation artifacts ("...Maria GarciaRobert Chen...")
+# cannot weld two entities into one mention and bridge their components
+# during linking.
+_WORD = r"[A-Z][a-z.'-]*(?:[A-Z](?![a-z]))*"
+_MENTION_RE = re.compile(rf"{_WORD}(?: {_WORD})*")
 _PRED_ALT = "|".join(re.escape(p) for p in PREDICATE_VOCAB)
 _TRIPLE_RE = re.compile(
-    r"([A-Z][A-Za-z.'-]*(?: [A-Z][A-Za-z.'-]*)*)"
+    rf"({_WORD}(?: {_WORD})*)"
     rf" ({_PRED_ALT}) "
-    r"([A-Z][A-Za-z.'-]*(?: [A-Z][A-Za-z.'-]*)*)"
+    rf"({_WORD}(?: {_WORD})*)"
 )
 
 _NORM_RE = re.compile(r"[^a-z0-9]+")
@@ -81,6 +87,9 @@ def extract_triples(text: str) -> List[Tuple[str, str, str]]:
         for m in _TRIPLE_RE.finditer(sent):
             subj = _clean(m.group(1))
             obj = _clean(m.group(3))
-            if subj and obj:
+            if (
+                len(normalize_mention(subj)) >= MIN_NORM_LEN
+                and len(normalize_mention(obj)) >= MIN_NORM_LEN
+            ):
                 out.append((subj, m.group(2), obj))
     return out

@@ -27,11 +27,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     # Undirected: symmetrize once.
     sym = edges.select("a", "b").unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    ).localCheckpoint()
     vertices = sym.select(F.col("a").alias("norm")).distinct()
     labels = vertices.withColumn("component", F.col("norm")).localCheckpoint()
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["norm"])
             .select(sym["a"].alias("norm"), F.col("component"))
@@ -50,10 +50,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
                 ),
             )
         ).localCheckpoint()
-        changes = updated.filter("changed").count()
         labels = updated.select("norm", "component")
-        if changes == 0:
-            break
+        # driver-side convergence check is one extra job per round; alias
+        # graphs converge in 2-3 rounds, so probe every other round only
+        if it % 2 == 1 or it == max_iter - 1:
+            if updated.filter("changed").isEmpty():
+                break
 
     return labels
 
@@ -74,8 +76,15 @@ def entity_map(mentions: DataFrame, edges: DataFrame) -> DataFrame:
 def materialize_nodes(
     mentions: DataFrame, emap: DataFrame
 ) -> DataFrame:
-    """Canonical entity nodes with alias/mention counts (-> NODES schema)."""
-    per_surface = mentions.groupBy("norm").agg(F.count("*").alias("n"))
+    """Canonical entity nodes with alias/mention counts (-> NODES schema).
+    Mention counts use the explicit salted two-phase aggregation: surface
+    frequency is Zipfian, so the hot entities would otherwise funnel into
+    single reducers."""
+    from kernel_memory_spark.operators.linking import salted_surface_counts
+
+    per_surface = salted_surface_counts(mentions).withColumnRenamed(
+        "n_mentions", "n"
+    )
     return (
         per_surface.join(emap, "norm")
         .groupBy("canonical_id")

@@ -100,15 +100,37 @@ def candidate_pairs(
 
 
 def score_pairs(pairs: DataFrame) -> DataFrame:
-    """Exact verification: (a, b, jaccard, cosine)."""
+    """Exact verification: (a, b, jaccard, cosine). Each surface appears in
+    many candidate pairs, so shingle sets and embeddings are memoized per
+    Arrow batch instead of recomputed per pair."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kernel_memory_spark.functions.minhash import shingles
+
+        sh_memo: dict = {}
+        emb_memo: dict = {}
+
+        def sh(x):
+            v = sh_memo.get(x)
+            if v is None:
+                v = shingles(x)
+                sh_memo[x] = v
+            return v
+
+        def em(x):
+            v = emb_memo.get(x)
+            if v is None:
+                v = hash_embed(x)
+                emb_memo[x] = v
+            return v
+
         for pdf in batches:
-            jac = [jaccard(a, b) for a, b in zip(pdf["a"], pdf["b"])]
-            cos = [
-                cosine(hash_embed(a), hash_embed(b))
-                for a, b in zip(pdf["a"], pdf["b"])
-            ]
+            jac, cos = [], []
+            for a, b in zip(pdf["a"], pdf["b"]):
+                sa, sb = sh(a), sh(b)
+                union = len(sa | sb)
+                jac.append(len(sa & sb) / union if union else 1.0)
+                cos.append(cosine(em(a), em(b)))
             yield pd.DataFrame(
                 {"a": pdf["a"], "b": pdf["b"], "jaccard": jac, "cosine": cos}
             )
@@ -124,7 +146,10 @@ def link_entities(
     cosine_threshold: float = COSINE_THRESHOLD,
 ) -> DataFrame:
     """MENTIONS -> alias edges (a, b, jaccard, cosine), both thresholds met."""
-    surfaces = salted_surface_counts(mentions).select("norm")
+    # distinct() partial-aggregates map-side; the salted two-phase variant
+    # (salted_surface_counts) is used where the counts are actually needed
+    # (canonicalize.materialize_nodes)
+    surfaces = mentions.select("norm").distinct()
     sigs = surface_signatures(surfaces)
     pairs = candidate_pairs(sigs)
     scored = score_pairs(pairs)

@@ -163,3 +163,20 @@ def commit_union(catalog: "TableCatalog", name: str, sources: List[str]) -> int:
             dirs.append(_os.path.relpath(abs_d, catalog._dir(name)))
     _os.makedirs(catalog._dir(name), exist_ok=True)
     return catalog._commit(name, dirs)
+
+
+def append_rows_local(catalog: "TableCatalog", name: str, rows: List[dict],
+                      arrow_schema) -> int:
+    """Append a small batch of driver-side rows (metadata like the step
+    ledger) as a parquet file written directly with pyarrow — a metadata
+    commit must not cost a distributed job."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = catalog._new_data_dir(name)
+    os.makedirs(d, exist_ok=True)
+    table = pa.Table.from_pylist(rows, schema=arrow_schema)
+    pq.write_table(table, os.path.join(d, "part-0.parquet"))
+    rel = os.path.relpath(d, catalog._dir(name))
+    prev = catalog._manifest(name)["data"] if catalog.exists(name) else []
+    return catalog._commit(name, prev + [rel])

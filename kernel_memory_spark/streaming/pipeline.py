@@ -65,6 +65,13 @@ class Pipeline:
         self.catalog = catalog
         self.cfg = config or PipelineConfig()
         self.metrics: Dict[str, dict] = {}
+        # (step_name, input_table, DataFrame -> DataFrame), run after the
+        # built-in chain — the IPipelineStepHandler extension point
+        self.custom_steps: List[tuple] = []
+
+    def register_step(self, name: str, input_table: str, fn) -> "Pipeline":
+        self.custom_steps.append((name, input_table, fn))
+        return self
 
     # -- ledger ------------------------------------------------------------
 
@@ -82,15 +89,30 @@ class Pipeline:
 
     def _commit_step(self, step: str, rows_in: int, rows_out: int,
                      wall_ms: int, buckets: Optional[List[tuple]] = None) -> None:
+        import datetime
+
+        import pyarrow as pa
+
+        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
         rows = [
-            (step, self.cfg.execution_id, int(b), int(n_in), int(n_out),
-             int(wall_ms), None)
+            {
+                "step": step, "execution_id": self.cfg.execution_id,
+                "bucket": int(b), "rows_in": int(n_in), "rows_out": int(n_out),
+                "wall_ms": int(wall_ms), "committed_at": now,
+            }
             for b, n_in, n_out in (buckets or [(0, rows_in, rows_out)])
         ]
-        df = self.spark.createDataFrame(rows, S.STEP_LEDGER).withColumn(
-            "committed_at", F.current_timestamp()
+        arrow_schema = pa.schema(
+            [
+                ("step", pa.string()), ("execution_id", pa.string()),
+                ("bucket", pa.int32()), ("rows_in", pa.int64()),
+                ("rows_out", pa.int64()), ("wall_ms", pa.int64()),
+                ("committed_at", pa.timestamp("us")),
+            ]
         )
-        self.catalog.append(df, LEDGER)
+        # ledger rows are driver-side metadata: written with pyarrow directly,
+        # not a Spark job (9 stages x 1 job of pure scheduling otherwise)
+        tables.append_rows_local(self.catalog, LEDGER, rows, arrow_schema)
         self.metrics[step] = {
             "rows_in": rows_in, "rows_out": rows_out, "wall_ms": wall_ms,
         }
@@ -249,6 +271,22 @@ class Pipeline:
                 return czn.materialize_edges(cat.read(spark, "triples_canonical"))
 
             self._run_step("materialize", _materialize, "edges")
+        if crashed("materialize"):
+            return self.metrics
+
+        # Custom steps (the IPipelineStepHandler surface, SURVEY §2.10): a
+        # stage is a named DataFrame -> DataFrame function over a catalog
+        # table; output commits to a table of the step's name with the same
+        # ledger/resume semantics as the built-in chain.
+        for step_name, input_table, fn in self.custom_steps:
+            if step_name not in done:
+                self._run_step(
+                    step_name,
+                    lambda fn=fn, t=input_table: fn(cat.read(spark, t)),
+                    step_name,
+                )
+            if crashed(step_name):
+                return self.metrics
 
         return self.metrics
 

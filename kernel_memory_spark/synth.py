@@ -115,8 +115,9 @@ _BY_CLASS = {
 _W_BY_CLASS = {k: _zipf_weights(len(v)) for k, v in _BY_CLASS.items()}
 
 
-def gen_doc(doc_idx: int, seed: int = SEED) -> dict:
-    """Generate one document + its ground truth. Pure function of inputs."""
+def gen_doc(doc_idx: int, seed: int = SEED, scale: int = 1) -> dict:
+    """Generate one document + its ground truth. Pure function of inputs.
+    `scale` multiplies sentences per span (heavier docs for benchmarks)."""
     rng = random.Random((seed << 32) ^ doc_idx)
     doc_id = f"doc-{doc_idx:09d}"
 
@@ -128,7 +129,7 @@ def gen_doc(doc_idx: int, seed: int = SEED) -> dict:
     for offset in range(n_spans):
         is_media = rng.random() < 0.25
         sentences = []
-        for _ in range(rng.randint(1, 4)):
+        for _ in range(rng.randint(1, 4) * scale):
             if rng.random() < 0.7:
                 pred, s_cls, o_cls = rng.choice(PREDICATES)
                 subj_c, subj_aliases, _ = rng.choices(
@@ -182,12 +183,12 @@ _GEN_SCHEMA = (
 
 
 def synth_full(spark: SparkSession, n_docs: int, seed: int = SEED,
-               partitions: int | None = None) -> DataFrame:
+               partitions: int | None = None, scale: int = 1) -> DataFrame:
     """Corpus + truth columns, generated distributed over spark.range."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [gen_doc(int(i), seed) for i in pdf["id"]]
+            rows = [gen_doc(int(i), seed, scale) for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
     if partitions is None:

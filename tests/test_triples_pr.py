@@ -114,3 +114,30 @@ class TestParallelismInvariance:
             Pipeline(spark, cat, PipelineConfig(execution_id="e")).run(corpus)
             out.append(spark_triple_set(spark, cat))
         assert out[0] == out[1]
+
+
+class TestCustomSteps:
+    def test_registered_step_runs_and_resumes(self, spark, tmp_path_factory):
+        # IPipelineStepHandler analog (SURVEY §2.10): a named
+        # DataFrame -> DataFrame stage with ledger/resume semantics.
+        from pyspark.sql import functions as F
+
+        cat = TableCatalog(str(tmp_path_factory.mktemp("custom")))
+        corpus = synth_corpus(spark, 30)
+        pipe = Pipeline(spark, cat, PipelineConfig(execution_id="e"))
+        pipe.register_step(
+            "node_degree", "edges",
+            lambda edges: edges.groupBy("src").agg(F.sum("weight").alias("deg")),
+        )
+        metrics = pipe.run(corpus)
+        assert "node_degree" in metrics
+        assert cat.exists("node_degree")
+        deg = cat.read(spark, "node_degree")
+        assert deg.columns == ["src", "deg"]
+
+        resumed = Pipeline(spark, cat, PipelineConfig(execution_id="e"))
+        resumed.register_step(
+            "node_degree", "edges",
+            lambda edges: edges.groupBy("src").agg(F.sum("weight").alias("deg")),
+        )
+        assert resumed.run(resume=True) == {}
