@@ -38,21 +38,35 @@ _SENTENCE_RE = re.compile(r"(?<! [A-Z]\.)(?<=[.!?])\s+")
 # NASA) — but a lower->Upper transition into a LOWERCASE continuation ends
 # the word, so span-concatenation artifacts ("...Maria GarciaRobert Chen...")
 # cannot weld two entities into one mention and bridge their components
-# during linking.
-_WORD = r"[A-Z][a-z.'-]*(?:[A-Z](?![a-z]))*"
+# during linking. The optional caps tail uses one bounded backtrack
+# (`[A-Z]+(?![a-z])`) instead of a per-character lookahead — this regex runs
+# over every byte of the corpus, so its constant factor matters.
+_WORD = r"[A-Z][a-z.'-]*(?:[A-Z]+(?![a-z]))?"
 _MENTION_RE = re.compile(rf"{_WORD}(?: {_WORD})*")
-_PRED_ALT = "|".join(re.escape(p) for p in PREDICATE_VOCAB)
-_TRIPLE_RE = re.compile(
-    rf"({_WORD}(?: {_WORD})*)"
-    rf" ({_PRED_ALT}) "
-    rf"({_WORD}(?: {_WORD})*)"
-)
+_PRED_SET = frozenset(PREDICATE_VOCAB)
 
 _NORM_RE = re.compile(r"[^a-z0-9]+")
 
 
 def normalize_mention(mention: str) -> str:
     return _NORM_RE.sub(" ", mention.lower()).strip()
+
+
+# surface vocabulary is small relative to mention volume; memoize the
+# normalization regex (bounded: reset if an adversarial open vocabulary
+# would grow it without limit)
+_NORM_MEMO: dict = {}
+_NORM_MEMO_MAX = 1_000_000
+
+
+def _norm_cached(mention: str) -> str:
+    v = _NORM_MEMO.get(mention)
+    if v is None:
+        if len(_NORM_MEMO) >= _NORM_MEMO_MAX:
+            _NORM_MEMO.clear()
+        v = normalize_mention(mention)
+        _NORM_MEMO[mention] = v
+    return v
 
 
 def _clean(m: str) -> str:
@@ -66,30 +80,47 @@ def sentences(text: str) -> List[str]:
 MIN_NORM_LEN = 3  # drop sub-3-char normalized mentions (chunk-split noise)
 
 
-def extract_mentions(text: str) -> List[str]:
-    """All capitalized phrases, per sentence, trailing '.' stripped.
-    Mentions whose normalized form is shorter than MIN_NORM_LEN are dropped —
-    they are chunk-boundary fragments, and at scale their near-empty shingle
-    sets turn into LSH mega-buckets."""
-    out: List[str] = []
+def extract_all(text: str) -> Tuple[List[str], List[Tuple[str, str, str]]]:
+    """One pass over the sentences: (mentions, triples).
+
+    Mentions are maximal capitalized phrases (trailing '.' stripped, min
+    normalized length MIN_NORM_LEN — shorter ones are chunk-boundary
+    fragments whose near-empty shingle sets become LSH mega-buckets).
+    A triple is two ADJACENT phrases whose gap is exactly one predicate from
+    the closed vocabulary (" pred ") — equivalent to the phrase-pred-phrase
+    pattern, but reusing the mention scan instead of a second regex pass,
+    and it also catches chained facts ("A works at B located in C").
+    """
+    mentions: List[str] = []
+    triples: List[Tuple[str, str, str]] = []
     for sent in sentences(text):
-        for m in _MENTION_RE.findall(sent):
-            c = _clean(m)
-            if c and len(normalize_mention(c)) >= MIN_NORM_LEN:
-                out.append(c)
-    return out
+        spans = list(_MENTION_RE.finditer(sent))
+        cleaned = []
+        for m in spans:
+            c = _clean(m.group())
+            ok = bool(c) and len(_norm_cached(c)) >= MIN_NORM_LEN
+            cleaned.append((c, ok))
+            if ok:
+                mentions.append(c)
+        for i in range(len(spans) - 1):
+            gap = sent[spans[i].end(): spans[i + 1].start()]
+            if (
+                len(gap) >= 3
+                and gap[0] == " "
+                and gap[-1] == " "
+                and gap[1:-1] in _PRED_SET
+            ):
+                (s, s_ok), (o, o_ok) = cleaned[i], cleaned[i + 1]
+                if s_ok and o_ok:
+                    triples.append((s, gap[1:-1], o))
+    return mentions, triples
+
+
+def extract_mentions(text: str) -> List[str]:
+    """All capitalized phrases, per sentence (see extract_all)."""
+    return extract_all(text)[0]
 
 
 def extract_triples(text: str) -> List[Tuple[str, str, str]]:
-    """(subj, pred, obj) per pattern sentence."""
-    out: List[Tuple[str, str, str]] = []
-    for sent in sentences(text):
-        for m in _TRIPLE_RE.finditer(sent):
-            subj = _clean(m.group(1))
-            obj = _clean(m.group(3))
-            if (
-                len(normalize_mention(subj)) >= MIN_NORM_LEN
-                and len(normalize_mention(obj)) >= MIN_NORM_LEN
-            ):
-                out.append((subj, m.group(2), obj))
-    return out
+    """(subj, pred, obj) per pattern sentence (see extract_all)."""
+    return extract_all(text)[1]

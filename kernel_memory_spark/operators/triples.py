@@ -116,22 +116,39 @@ def extract_all_df(partitions: DataFrame) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kernel_memory_spark.functions.extraction import extract_all
+
+        # surface vocabulary is tiny relative to mention volume: memoize the
+        # normalization regex, and build columnar buffers (dict-of-lists is
+        # an order of magnitude cheaper than 10^7 row tuples)
+        norm_memo: dict = {}
+
+        def norm(m: str) -> str:
+            v = norm_memo.get(m)
+            if v is None:
+                v = normalize_mention(m)
+                norm_memo[m] = v
+            return v
+
         for pdf in batches:
-            rows = []
+            c_doc, c_pid, c_kind, c_s, c_p, c_o = [], [], [], [], [], []
             for doc_id, pid, text in zip(
                 pdf["doc_id"], pdf["partition_id"], pdf["text"]
             ):
-                t = text or ""
-                for m in extract_mentions(t):
-                    rows.append((doc_id, pid, "m", m, "", normalize_mention(m)))
-                for s, p, o in extract_triples(t):
-                    rows.append(
-                        (doc_id, pid, "t",
-                         normalize_mention(s), p, normalize_mention(o))
-                    )
+                ments, trips = extract_all(text or "")
+                for m in ments:
+                    c_doc.append(doc_id); c_pid.append(pid)
+                    c_kind.append("m"); c_s.append(m)
+                    c_p.append(""); c_o.append(norm(m))
+                for s, p, o in trips:
+                    c_doc.append(doc_id); c_pid.append(pid)
+                    c_kind.append("t"); c_s.append(norm(s))
+                    c_p.append(p); c_o.append(norm(o))
             yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "partition_id", "kind", "subj", "pred", "obj"],
+                {
+                    "doc_id": c_doc, "partition_id": c_pid, "kind": c_kind,
+                    "subj": c_s, "pred": c_p, "obj": c_o,
+                }
             )
 
     return partitions.select("doc_id", "partition_id", "text").mapInPandas(

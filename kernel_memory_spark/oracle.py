@@ -18,8 +18,7 @@ from typing import Dict, Iterable, List, Set, Tuple
 
 from kernel_memory_spark.functions.chunker import PlainTextChunker, PlainTextChunkerOptions
 from kernel_memory_spark.functions.extraction import (
-    extract_mentions,
-    extract_triples,
+    extract_all,
     normalize_mention,
 )
 from kernel_memory_spark.functions.minhash import band_keys, jaccard, minhash_signature
@@ -136,11 +135,12 @@ def oracle_triples(
             triples.add((fid, "has_part", pid, doc_id))
             triples.add((pid, "part_n", str(n), doc_id))
             triples.add((pid, "sect_n", "0", doc_id))
-            for m in extract_mentions(chunk):
+            ments, trips = extract_all(chunk)
+            for m in ments:
                 norm = normalize_mention(m)
                 all_norms.add(norm)
                 mention_rows.append((doc_id, pid, norm))
-            for s, p, o in extract_triples(chunk):
+            for s, p, o in trips:
                 sn, on = normalize_mention(s), normalize_mention(o)
                 all_norms.update((sn, on))
                 pattern_rows.append((doc_id, sn, p, on))
