@@ -262,6 +262,39 @@ def minhash_lsh_dedup(spark, sf):
     )
 
 
+def _docs_with_clones(spark, sf):
+    """documents + exact clones at doc_id+100000, ids zero-padded so string
+    ordering == numeric ordering (pair output is (a < b) on string ids)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return both.select(
+        F.lpad(F.col("doc_id").cast("string"), 9, "0").alias("doc_id"), "text"
+    )
+
+
+def simhash_dup_pairs(spark, sf):
+    """SimHash near-dup pairs via the production operator (operators/dedup).
+    md5-derived 64-bit simhash, 4x16-bit band blocking with hot-bucket cap,
+    exact Hamming verify — clones must pair with originals at distance 0."""
+    from kernel_memory_spark.operators import dedup as D
+
+    return D.simhash_dup_pairs(
+        _docs_with_clones(spark, sf), max_hamming=3
+    ).select("a", "b", "hamming")
+
+
+def ngram_dup_pairs(spark, sf):
+    """Word-3gram Jaccard pairs via the production operator: gram
+    document-frequency cap, JVM-only blocking join, exact Jaccard over the
+    capped gram space."""
+    from kernel_memory_spark.operators import dedup as D
+
+    pairs = D.ngram_jaccard_pairs(_docs_with_clones(spark, sf), threshold=0.8)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def knn_topk(spark, sf):
     """T1: brute-force cosine top-k vs the vec_id=0 embedding."""
     emb = load_table(spark, sf, "embeddings")
@@ -463,6 +496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_name_normalize": index_name_normalize,
         "dedup_exact_docs": dedup_exact_docs,
         "minhash_lsh_dedup": minhash_lsh_dedup,
+        "simhash_dup_pairs": simhash_dup_pairs,
+        "ngram_dup_pairs": ngram_dup_pairs,
         "knn_topk": knn_topk,
         "stopword_hits": stopword_hits,
         "text_quality_counts": text_quality_counts,
@@ -602,6 +637,86 @@ def oracle_sql() -> dict[str, str]:
                     FROM g GROUP BY doc_id)
             SELECT a.doc_id AS dup_a, b.doc_id AS dup_b
             FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id
+        """,
+        "simhash_dup_pairs": """
+            WITH both_docs AS (
+                SELECT lpad(CAST(doc_id AS VARCHAR), 9, '0') AS id, text
+                FROM documents
+                UNION ALL
+                SELECT lpad(CAST(doc_id + 100000 AS VARCHAR), 9, '0'), text
+                FROM documents),
+            t AS (SELECT id, ' ' || lower(text) || ' ' AS t FROM both_docs),
+            ix AS (SELECT id, t,
+                          unnest(range(greatest(length(t) - 2, 1))) AS i
+                   FROM t),
+            g AS (SELECT id, md5(substr(t, i + 1, 3)) AS hx FROM ix),
+            pos AS (SELECT id, hx, unnest(range(32)) AS j FROM g),
+            nib AS (SELECT id, j,
+                           strpos('0123456789abcdef', substr(hx, j + 1, 1)) - 1 AS v
+                    FROM pos),
+            votes AS (SELECT id, j,
+                             sum(CASE WHEN v % 2 = 1 THEN 1 ELSE -1 END) AS s0,
+                             sum(CASE WHEN (v // 2) % 2 = 1 THEN 1 ELSE -1 END) AS s1
+                      FROM nib GROUP BY id, j),
+            bits AS (
+                SELECT id, 2 * j AS b,
+                       CASE WHEN s0 > 0 THEN 1 ELSE 0 END AS bit FROM votes
+                UNION ALL
+                SELECT id, 2 * j + 1,
+                       CASE WHEN s1 > 0 THEN 1 ELSE 0 END FROM votes),
+            bands AS (SELECT id, b // 16 AS k,
+                             sum(bit * (1 << (b % 16))) AS val
+                      FROM bits GROUP BY id, b // 16),
+            cool AS (SELECT k, val FROM bands
+                     GROUP BY k, val HAVING count(*) <= 64),
+            cands AS (SELECT DISTINCT l.id AS a, r.id AS b
+                      FROM bands l
+                      JOIN cool USING (k, val)
+                      JOIN bands r ON l.k = r.k AND l.val = r.val
+                                  AND l.id < r.id),
+            sig AS (SELECT id,
+                           sum(CASE WHEN k = 0 THEN val END) AS v0,
+                           sum(CASE WHEN k = 1 THEN val END) AS v1,
+                           sum(CASE WHEN k = 2 THEN val END) AS v2,
+                           sum(CASE WHEN k = 3 THEN val END) AS v3
+                    FROM bands GROUP BY id)
+            SELECT a, b, hamming FROM (
+                SELECT a, b,
+                       CAST(bit_count(xor(sa.v0, sb.v0))
+                          + bit_count(xor(sa.v1, sb.v1))
+                          + bit_count(xor(sa.v2, sb.v2))
+                          + bit_count(xor(sa.v3, sb.v3)) AS INT) AS hamming
+                FROM cands
+                JOIN sig sa ON cands.a = sa.id
+                JOIN sig sb ON cands.b = sb.id)
+            WHERE hamming <= 3
+        """,
+        "ngram_dup_pairs": """
+            WITH both_docs AS (
+                SELECT lpad(CAST(doc_id AS VARCHAR), 9, '0') AS id, text
+                FROM documents
+                UNION ALL
+                SELECT lpad(CAST(doc_id + 100000 AS VARCHAR), 9, '0'), text
+                FROM documents),
+            w AS (SELECT id, string_split_regex(lower(text), '\\s+') AS ws
+                  FROM both_docs),
+            ix AS (SELECT id, ws,
+                          unnest(range(greatest(len(ws) - 3, 0) + 1)) AS i
+                   FROM w),
+            g AS (SELECT DISTINCT id,
+                         array_to_string(ws[i + 1 : i + 3], ' ') AS gram
+                  FROM ix),
+            cool AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 64),
+            cg AS (SELECT id, gram FROM g JOIN cool USING (gram)),
+            sizes AS (SELECT id, count(*) AS n FROM cg GROUP BY id),
+            inter AS (SELECT l.id AS a, r.id AS b, count(*) AS i
+                      FROM cg l JOIN cg r ON l.gram = r.gram AND l.id < r.id
+                      GROUP BY l.id, r.id)
+            SELECT a, b, round(i / (na.n + nb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes na ON inter.a = na.id
+            JOIN sizes nb ON inter.b = nb.id
+            WHERE i / (na.n + nb.n - i) >= 0.8
         """,
         "knn_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -19,8 +19,13 @@ def normalize_newlines_col(col: Column, trim: bool = False) -> Column:
 
 
 def unicode_trim(col: Column) -> Column:
-    """C# string.Trim() trims all unicode whitespace; Spark trim() only ' '."""
-    return F.regexp_replace(col, r"^\s+|\s+$", "")
+    """C# string.Trim() trims all unicode whitespace; Spark trim() only ' '.
+
+    Java regex \\s is ASCII-only by default — (?U) (UNICODE_CHARACTER_CLASS)
+    extends it to U+00A0, U+2000-U+200A, U+3000 etc., matching both
+    string.Trim() and the Python oracle's .strip().
+    """
+    return F.regexp_replace(col, r"(?U)^\s+|\s+$", "")
 
 
 def strip_bom(col: Column) -> Column:

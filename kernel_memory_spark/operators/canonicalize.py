@@ -18,12 +18,29 @@ Spark-specific physical concerns (SURVEY §4 last row):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+log = logging.getLogger(__name__)
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
-    """edges(a, b) -> (norm, component) where component = min member id."""
+
+class NonConvergenceError(RuntimeError):
+    """Raised when label propagation has not reached a fixpoint in max_iter
+    rounds (component diameter > max_iter): the labels would be silently
+    wrong otherwise."""
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, strict: bool = True
+) -> DataFrame:
+    """edges(a, b) -> (norm, component) where component = min member id.
+
+    Min-label propagation advances one hop per round, so a component whose
+    diameter exceeds max_iter does not converge; with strict=True that
+    raises NonConvergenceError, otherwise it is logged as a warning and the
+    (incorrect on the long component) labels are returned."""
     # Undirected: symmetrize once.
     sym = edges.select("a", "b").unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -31,6 +48,8 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     vertices = sym.select(F.col("a").alias("norm")).distinct()
     labels = vertices.withColumn("component", F.col("norm")).localCheckpoint()
 
+    converged = False
+    updated = None
     for it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["norm"])
@@ -55,7 +74,20 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         # graphs converge in 2-3 rounds, so probe every other round only
         if it % 2 == 1 or it == max_iter - 1:
             if updated.filter("changed").isEmpty():
+                converged = True
                 break
+
+    if not converged and updated is not None and not updated.filter(
+        "changed"
+    ).isEmpty():
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            "(a component's diameter exceeds max_iter); labels are stale "
+            "on the unconverged component(s)"
+        )
+        if strict:
+            raise NonConvergenceError(msg)
+        log.warning(msg)
 
     return labels
 

@@ -1,24 +1,36 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Four strategies over a (id, text) corpus, all shuffle-bounded:
+Four strategies over a (id, text) corpus, all shuffle-bounded and all using
+the same scale discipline as entity linking (operators/linking.py):
 
 - exact:   sha-256 hash groupBy, keep the minimum id per group (one shuffle
            on the content hash — uniform keys, no skew);
 - minhash: MinHash+LSH near-dup pairs (shingle -> signature -> band ->
            bucket equi-join), same construction as entity linking;
 - simhash: 64-bit simhash with banded blocking (4 x 16-bit bands; Hamming
-           distance <= 3 verified on candidates);
-- ngram:   word n-gram Jaccard over LSH candidates (exact verify).
+           distance <= max_hamming verified on candidates). The hash is
+           md5-derived (2 low bits per hex nibble), so the construction is
+           bit-for-bit reproducible in ANSI SQL — the DuckDB oracle in
+           __spark_entry__ replays it exactly;
+- ngram:   word n-gram Jaccard with a gram document-frequency cap (exact
+           verify over the capped gram space).
 
-Each returns either survivors or the duplicate pair set so callers can pick
-keep-strategy separately.
+Scale invariants (the 100TB contract):
+- candidate pairs are generated from band/gram equi-joins, never from a
+  cross join — pair volume is Σ bucket², bounded by the hot-bucket cap;
+- band buckets larger than `bucket_cap` are dropped BEFORE pair generation
+  (a common-shingle mega-bucket is O(bucket²); true near-dups share many
+  bands, so they survive the cap — same guard as linking.candidate_pairs);
+- joins carry ids only; document text / signatures are re-joined onto the
+  (far smaller) deduplicated candidate set for the verify stage.
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -30,6 +42,14 @@ from kernel_memory_spark.functions.minhash import (
     minhash_signature,
 )
 
+# Same hot-bucket guard as entity linking (linking.BAND_BUCKET_CAP): a band
+# bucket with more members than this is dropped before pair generation.
+BAND_BUCKET_CAP = 64
+# Word n-grams occurring in more than this many documents are too common to
+# block on (stopword-like) — a frequency cap keeps the gram self-join from
+# going quadratic on one shared gram.
+GRAM_DF_CAP = 64
+
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep min(id) per identical normalized text (hash-groupBy)."""
@@ -40,20 +60,35 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def _drop_hot_buckets(exploded: DataFrame, keys: list, cap: int) -> DataFrame:
+    """Remove rows whose bucket (grouped by `keys`) exceeds `cap` members."""
+    hot = (
+        exploded.groupBy(*keys)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > cap)
+        .select(*keys)
+    )
+    return exploded.join(F.broadcast(hot), keys, "left_anti")
+
+
 def minhash_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    bucket_cap: int = BAND_BUCKET_CAP,
 ) -> DataFrame:
-    """Near-duplicate (a, b, jaccard) pairs via MinHash-LSH blocking."""
+    """Near-duplicate (a, b, jaccard) pairs via MinHash-LSH blocking.
+
+    Signatures carry ids only through the 32-band explode + self-join (text
+    would amplify the shuffle 32x); text is joined back onto the deduplicated
+    candidate set for exact-Jaccard verification."""
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
-                    "text": pdf[text_col],
                     "bands": [
                         band_keys(minhash_signature(t or ""))
                         for t in pdf[text_col]
@@ -62,20 +97,26 @@ def minhash_dup_pairs(
             )
 
     sigs = df.select(id_col, text_col).mapInPandas(
-        sig, schema="id string, text string, bands array<string>"
+        sig, schema="id string, bands array<string>"
     )
-    exploded = sigs.select("id", "text", F.explode("bands").alias("band"))
-    l, r = exploded.alias("l"), exploded.alias("r")
+    exploded = sigs.select("id", F.explode("bands").alias("band"))
+    cool = _drop_hot_buckets(exploded, ["band"], bucket_cap)
+    l, r = cool.alias("l"), cool.alias("r")
     cands = (
         l.join(r, F.col("l.band") == F.col("r.band"))
         .filter(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("l.text").alias("ta"),
-            F.col("r.id").alias("b"),
-            F.col("r.text").alias("tb"),
-        )
-        .dropDuplicates(["a", "b"])
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+    texts = df.select(
+        F.col(id_col).alias("__tid"), F.col(text_col).alias("__text")
+    )
+    with_text = (
+        cands.join(texts, cands["a"] == texts["__tid"])
+        .select("a", "b", F.col("__text").alias("ta"))
+        .join(texts, F.col("b") == texts["__tid"])
+        .select("a", "b", "ta", F.col("__text").alias("tb"))
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -91,23 +132,59 @@ def minhash_dup_pairs(
                 }
             )
 
-    scored = cands.mapInPandas(verify, schema="a string, b string, jaccard double")
+    scored = with_text.mapInPandas(verify, schema="a string, b string, jaccard double")
     return scored.filter(F.col("jaccard") >= threshold)
 
 
-def _simhash64(text: str) -> int:
-    acc = [0] * 64
+# ---------------------------------------------------------------------------
+# SimHash — md5-derived bits, SQL-reproducible, numpy-vectorized
+# ---------------------------------------------------------------------------
+
+def _char_3grams(text: str) -> list:
+    """Char 3-grams of ' '+lower(text)+' ', WITH repeats (classic simhash
+    weights bits by term frequency). Identical construction to the SQL form
+    `substr(' ' || lower(text) || ' ', i+1, 3)` for
+    i in range(greatest(len - 2, 1)), so the Python, Spark, and DuckDB
+    variants agree byte-for-byte."""
     t = " " + (text or "").lower() + " "
-    for i in range(max(1, len(t) - 2)):
-        h = zlib.crc32(t[i : i + 3].encode("utf-8"))
-        h = (h << 32) | zlib.crc32(t[i : i + 3].encode("utf-16-le"))
-        for b in range(64):
-            acc[b] += 1 if (h >> b) & 1 else -1
-    out = 0
-    for b in range(64):
-        if acc[b] > 0:
-            out |= 1 << b
+    n = max(len(t) - 2, 1)
+    return [t[i : i + 3] for i in range(n)]
+
+
+def _gram_bits(gram: str) -> np.ndarray:
+    """(64,) int8 bit vector for one gram: bits (2j, 2j+1) are the two low
+    bits of hex-nibble j of md5(gram) — a construction any SQL engine with
+    md5/substr can replay (no 64-bit hex parsing needed)."""
+    digest = hashlib.md5(gram.encode("utf-8")).digest()
+    v = np.frombuffer(digest, dtype=np.uint8)
+    nib = np.empty(32, dtype=np.uint8)
+    nib[0::2] = v >> 4
+    nib[1::2] = v & 15
+    out = np.empty(64, dtype=np.int8)
+    out[0::2] = nib & 1
+    out[1::2] = (nib >> 1) & 1
     return out
+
+
+def simhash_bands(text: str, memo: dict | None = None) -> list:
+    """[b0, b1, b2, b3] — four 16-bit band values of the 64-bit simhash.
+    Majority vote per bit over the gram bit matrix (+1/-1, ties -> 0)."""
+    grams = _char_3grams(text)
+    if memo is None:
+        rows = [_gram_bits(g) for g in grams]
+    else:
+        rows = []
+        for g in grams:
+            r = memo.get(g)
+            if r is None:
+                r = _gram_bits(g)
+                memo[g] = r
+            rows.append(r)
+    bits = np.stack(rows).astype(np.int32)  # (n, 64)
+    votes = bits.sum(axis=0) * 2 - len(grams)
+    final = (votes > 0).astype(np.int64)  # (64,)
+    weights = 1 << np.arange(16, dtype=np.int64)
+    return [int(x) for x in final.reshape(4, 16) @ weights]
 
 
 def simhash_dup_pairs(
@@ -115,43 +192,61 @@ def simhash_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bucket_cap: int = BAND_BUCKET_CAP,
 ) -> DataFrame:
-    """SimHash near-dups: 4x16-bit band blocking guarantees detection of any
-    pair within Hamming distance 3 (pigeonhole), then exact popcount verify."""
+    """SimHash near-dups (a, b, hamming): 4x16-bit band blocking guarantees
+    detection of any pair within Hamming distance 3 (pigeonhole), exact
+    popcount verify on candidates. Ids-only band join; the four band values
+    (the full signature) are re-joined per side for the verify."""
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
         for pdf in batches:
-            hs = [_simhash64(t) for t in pdf[text_col]]
-            signed = [h - (1 << 64) if h & (1 << 63) else h for h in hs]
+            vals = np.array(
+                [simhash_bands(t, memo) for t in pdf[text_col]], dtype=np.int64
+            ).reshape(-1, 4)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
-                    "sim": pd.array(signed, dtype="int64"),
-                    "bands": [
-                        [f"{k}:{(h >> (16 * k)) & 0xFFFF:04x}" for k in range(4)]
-                        for h in hs
-                    ],
+                    "v0": vals[:, 0], "v1": vals[:, 1],
+                    "v2": vals[:, 2], "v3": vals[:, 3],
                 }
             )
 
     sigs = df.select(id_col, text_col).mapInPandas(
-        sig, schema="id string, sim long, bands array<string>"
+        sig, schema="id string, v0 long, v1 long, v2 long, v3 long"
+    ).localCheckpoint()
+
+    exploded = sigs.select(
+        "id",
+        F.posexplode(F.array("v0", "v1", "v2", "v3")).alias("k", "val"),
     )
-    exploded = sigs.select("id", "sim", F.explode("bands").alias("band"))
-    l, r = exploded.alias("l"), exploded.alias("r")
+    cool = _drop_hot_buckets(exploded, ["k", "val"], bucket_cap)
+    l, r = cool.alias("l"), cool.alias("r")
     cands = (
-        l.join(r, F.col("l.band") == F.col("r.band"))
+        l.join(r, (F.col("l.k") == F.col("r.k")) & (F.col("l.val") == F.col("r.val")))
         .filter(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("a"), F.col("l.sim").alias("sa"),
-            F.col("r.id").alias("b"), F.col("r.sim").alias("sb"),
-        )
-        .dropDuplicates(["a", "b"])
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
     )
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return cands.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("a", "b", "hamming")
+    sa = sigs.select(
+        F.col("id").alias("a"), F.col("v0").alias("a0"), F.col("v1").alias("a1"),
+        F.col("v2").alias("a2"), F.col("v3").alias("a3"),
+    )
+    sb = sigs.select(
+        F.col("id").alias("b"), F.col("v0").alias("b0"), F.col("v1").alias("b1"),
+        F.col("v2").alias("b2"), F.col("v3").alias("b3"),
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}"))) for k in range(4)
+    )
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -160,10 +255,13 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    gram_df_cap: int = GRAM_DF_CAP,
 ) -> DataFrame:
     """Word n-gram Jaccard, fully JVM-side (no Python): explode distinct
-    n-grams, pair docs sharing a gram, count intersections, compute
-    |A∩B| / (|A|+|B|-|A∩B|). The gram equi-join is the blocking step."""
+    n-grams, drop grams shared by more than `gram_df_cap` documents
+    (stopword-like grams are quadratic in the self-join and carry no dedup
+    signal), pair docs sharing a surviving gram, compute
+    |A∩B| / (|A|+|B|-|A∩B|) over the capped gram space."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     grams = df.select(
         F.col(id_col).alias("id"),
@@ -173,22 +271,24 @@ def ngram_jaccard_pairs(
                 lambda i: F.array_join(F.slice(words, i + 1, n), " "),
             )
         ).alias("grams"),
-    ).withColumn("n_grams", F.size("grams"))
+    )
+    exploded = grams.select("id", F.explode("grams").alias("g"))
+    cool = _drop_hot_buckets(exploded, ["g"], gram_df_cap)
+    sizes = cool.groupBy("id").agg(F.count("*").alias("n_grams"))
 
-    exploded = grams.select("id", "n_grams", F.explode("grams").alias("g"))
-    l, r = exploded.alias("l"), exploded.alias("r")
+    l, r = cool.alias("l"), cool.alias("r")
     inter = (
         l.join(r, F.col("l.g") == F.col("r.g"))
         .filter(F.col("l.id") < F.col("r.id"))
-        .groupBy(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.col("l.n_grams").alias("na"),
-            F.col("r.n_grams").alias("nb"),
-        )
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
+    na = sizes.select(F.col("id").alias("a"), F.col("n_grams").alias("na"))
+    nb = sizes.select(F.col("id").alias("b"), F.col("n_grams").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return inter.select(
-        "a", "b", jac.alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

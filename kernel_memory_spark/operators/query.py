@@ -101,13 +101,18 @@ def knn_top_k(
 
 
 def paginate(df: DataFrame, order_by: Sequence[Column], offset: int, limit: int) -> DataFrame:
-    """Skip(offset).Take(limit) via a row_number window (T4)."""
+    """Skip(offset).Take(limit) (T4, SearchService.cs:83-87).
+
+    orderBy().limit(offset+limit) first: that executes as
+    TakeOrderedAndProject (a per-partition k-row heap, then a k*partitions
+    merge) instead of funneling the whole table through one window task.
+    The row_number window then runs over at most offset+limit survivors —
+    a single tiny partition by construction, not a scale concern."""
+    head = df.orderBy(*order_by).limit(offset + limit)
     w = Window.orderBy(*order_by)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(
-            (F.col("__rn") > offset) & (F.col("__rn") <= offset + limit)
-        )
+        head.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > offset)
         .drop("__rn")
     )
 

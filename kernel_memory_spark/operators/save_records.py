@@ -27,6 +27,40 @@ from kernel_memory_spark.sources.tables import TableCatalog
 
 SCHEMA_VERSION = S.PAYLOAD_SCHEMA_VERSION
 
+# TagCollection.ValidateKey (archived/km-v1/service/Abstractions/Models/
+# TagCollection.cs:180-198): tag keys must not contain ':' or '=' (both
+# reserved for the key:value wire format).
+_INVALID_TAG_KEY_CHARS = r"[:=]"
+
+
+def valid_tag_key(key_col) -> "F.Column":
+    """Boolean Column: True when a tag key passes TagCollection.ValidateKey."""
+    return ~key_col.rlike(_INVALID_TAG_KEY_CHARS)
+
+
+def sanitize_user_tags(tags_col) -> "F.Column":
+    """Drop user-tag entries whose key fails validation (':'/'=' chars).
+
+    The reference THROWS on invalid keys at collection-build time
+    (TagCollection.cs:180-198); in a distributed batch the per-row analog is
+    filter + quarantine (operators/quarantine.py routes the dropped rows)."""
+    return F.map_filter(tags_col, lambda k, _v: valid_tag_key(k))
+
+
+def merge_tags(reserved, user_tags) -> "F.Column":
+    """Merge reserved + user tag maps, concatenating value lists on key
+    collision — TagCollection.CopyTo merges values instead of failing
+    (TagCollection.cs:139-148), whereas map_concat would throw
+    DUPLICATED_MAP_KEY when a user tag reuses a reserved key like
+    __document_id."""
+    return F.map_zip_with(
+        reserved,
+        user_tags,
+        lambda _k, v1, v2: F.when(v1.isNull(), v2)
+        .when(v2.isNull(), v1)
+        .otherwise(F.concat(v1, v2)),
+    )
+
 
 def build_records(
     partitions: DataFrame,
@@ -78,7 +112,7 @@ def build_records(
     return recs.select(
         F.format_string("d=%s//p=%s", "doc_id", "partition_id").alias("id"),
         F.col("vector"),
-        F.map_concat(reserved, user_tags).alias("tags"),
+        merge_tags(reserved, sanitize_user_tags(user_tags)).alias("tags"),
         payload.alias("payload"),
         F.col("doc_id"),
         F.lit(execution_id).alias("execution_id"),

@@ -40,24 +40,38 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """BM25 top-k docs for a bag of query terms."""
+    """BM25 top-k docs for a bag of query terms.
+
+    Corpus stats (N, avgdl) are a 1-row DataFrame cross-joined in — not
+    df.count()/.first() driver actions — so the whole query is ONE job; at
+    production scale the stats table is precomputed once at index-build time
+    and reused across queries (the SQLite FTS5 analog keeps them in the
+    index header)."""
     postings = tokenize_terms(df, id_col, text_col)
-    n_docs = df.count()
-    avgdl_row = postings.select("doc", "dl").distinct().agg(
-        F.avg("dl").alias("avgdl")
-    ).first()
-    avgdl = float(avgdl_row.avgdl or 1.0)
+    stats = df.agg(F.count("*").cast("double").alias("n_docs")).crossJoin(
+        postings.select("doc", "dl")
+        .distinct()
+        .agg(F.coalesce(F.avg("dl"), F.lit(1.0)).alias("avgdl"))
+    )
 
     q = postings.filter(F.col("term").isin(list(query_terms)))
     dfreq = q.groupBy("term").agg(F.countDistinct("doc").alias("df"))
     idf = F.log(
-        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
-    scored = q.join(F.broadcast(dfreq), "term").withColumn(
-        "w",
-        idf
-        * (F.col("tf") * (BM25_K1 + 1))
-        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)),
+    scored = (
+        q.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            idf
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
     )
     return (
         scored.groupBy("doc")
@@ -83,12 +97,27 @@ def take_within_token_budget(
     budget: int,
     order_by: List,
     token_col: str = "token_count",
+    min_tokens_per_fact: int = 1,
 ) -> DataFrame:
     """A5 (SearchClient.cs:341-352): accumulate facts in rank order while the
-    running token total stays under budget — cumulative-sum window + filter."""
+    running token total stays under budget.
+
+    The semantics are a global ranked prefix, but the budget bounds the
+    output: at most budget/min_tokens_per_fact rows can fit, so pre-cut with
+    orderBy().limit(...) — TakeOrderedAndProject, per-partition heaps —
+    before the cumulative-sum window. The window then sees at most that many
+    rows (one tiny task), never the full table. Facts with fewer than
+    min_tokens_per_fact tokens are excluded (the reference never emits an
+    empty fact — SearchClient.cs:290-293 skips empty partitions)."""
+    cap = max(1, budget // max(1, min_tokens_per_fact))
+    head = (
+        df.filter(F.col(token_col) >= min_tokens_per_fact)
+        .orderBy(*order_by)
+        .limit(cap)
+    )
     w = Window.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, 0)
     return (
-        df.withColumn("__cum", F.sum(token_col).over(w))
+        head.withColumn("__cum", F.sum(token_col).over(w))
         .filter(F.col("__cum") <= budget)
         .drop("__cum")
     )

@@ -230,8 +230,12 @@ def entity_triples(
     """Rewrite pattern-triple endpoints to canonical entity ids and dedupe
     per document. entity_map: (norm, canonical_id) from canonicalization.
 
-    The two joins are equi-joins against the (small) entity map — Catalyst
-    broadcasts it; the final distinct() is the only shuffle.
+    The two joins are equi-joins against the entity map. No broadcast hint:
+    the map is O(|distinct surfaces|) and grows with the corpus, so a forced
+    broadcast would bypass Spark's size threshold and OOM at scale — AQE
+    picks broadcast when the map actually fits
+    (spark.sql.autoBroadcastJoinThreshold) and a shuffled hash join when it
+    doesn't. The final distinct() is the only guaranteed shuffle.
     """
     subj_map = entity_map.select(
         F.col("norm").alias("subj"), F.col("canonical_id").alias("subj_c")
@@ -240,8 +244,8 @@ def entity_triples(
         F.col("norm").alias("obj"), F.col("canonical_id").alias("obj_c")
     )
     return (
-        pattern_triples.join(F.broadcast(subj_map), "subj", "left")
-        .join(F.broadcast(obj_map), "obj", "left")
+        pattern_triples.join(subj_map, "subj", "left")
+        .join(obj_map, "obj", "left")
         .select(
             F.coalesce("subj_c", "subj").alias("subj"),
             F.col("pred"),
