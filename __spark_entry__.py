@@ -126,6 +126,21 @@ def tag_filter_and_or(spark, sf):
     return docs.filter(flt).select("doc_id")
 
 
+def mongo_query_filter(spark, sf):
+    """IQueryParser surface: MongoJSON query -> AST -> one boolean Column
+    (plans/ast.parse_mongo + compile_node); same AST the infix parser
+    produces for the equivalent query (QueryParserEquivalenceTests port)."""
+    from kernel_memory_spark.plans import ast as AST
+
+    docs = load_table(spark, sf, "documents")
+    node = AST.parse_query(
+        '{"$and": [{"lang": {"$in": ["en", "de"]}},'
+        ' {"n_chars": {"$gte": 200, "$lt": 450}},'
+        ' {"$not": {"source": "src3"}}]}'
+    )
+    return docs.filter(AST.compile_node(node)).select("doc_id")
+
+
 def resume_anti_join(spark, sf):
     """F4/Q1: already-processed skip as a left anti-join."""
     o = load_table(spark, sf, "orders")
@@ -260,6 +275,43 @@ def minhash_lsh_dedup(spark, sf):
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("dup_a"), F.col("b.doc_id").alias("dup_b"))
     )
+
+
+def citations_for_matches(spark, sf):
+    """Citation derivation (SearchClient.ProcessMemoryRecord): match records
+    (2 partitions per doc, differing relevance) -> grouped Citation structs
+    -> flattened with each partition's ordinal (relevance desc, part asc)."""
+    from kernel_memory_spark import schema as S
+    from kernel_memory_spark.operators import citations as CIT
+
+    docs = load_table(spark, sf, "documents")
+    doc = F.format_string("doc-%09d", F.col("doc_id").cast("long"))
+    fid = F.substring(F.sha2(F.concat(doc, F.lit("/extract")), 256), 1, 32)
+
+    def part(pn, text_col, rel_col):
+        return docs.select(
+            F.create_map(
+                F.lit(S.TAG_DOCUMENT_ID), F.array(doc),
+                F.lit(S.TAG_FILE_ID), F.array(fid),
+                F.lit(S.TAG_FILE_TYPE), F.array(F.lit("text/plain")),
+                F.lit(S.TAG_PART_N), F.array(F.lit(str(pn))),
+                F.lit(S.TAG_SECT_N), F.array(F.lit("0")),
+            ).alias("tags"),
+            F.struct(
+                text_col.alias("text"),
+                F.concat(doc, F.lit(".txt")).alias("file"),
+                F.lit("").alias("url"),
+                F.lit("1970-01-01T00:00:00").alias("last_update"),
+            ).alias("payload"),
+            rel_col.alias("relevance"),
+        )
+
+    p0 = part(0, F.substring("text", 1, 100),
+              F.round(((F.col("doc_id") % 7) + 1) / 10.0, 6))
+    p1 = part(1, F.substring("text", 101, 1000000),
+              F.round(((F.col("doc_id") % 4) + 1) / 10.0, 6))
+    matches = p0.unionByName(p1)
+    return CIT.flatten_citations(CIT.build_citations(matches, index="default"))
 
 
 def _docs_with_clones(spark, sf):
@@ -485,11 +537,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_revenue_by_nation": q5_revenue_by_nation,
         "tag_filter_and_or": tag_filter_and_or,
+        "mongo_query_filter": mongo_query_filter,
         "resume_anti_join": resume_anti_join,
         "purge_keepset": purge_keepset,
         "latest_event_per_user": latest_event_per_user,
         "rerank_events": rerank_events,
         "paginate_customers": paginate_customers,
+        "citations_for_matches": citations_for_matches,
         "record_ids": record_ids,
         "record_scaffold": record_scaffold,
         "sha256_hashes": sha256_hashes,
@@ -554,6 +608,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE (lang = 'en' AND source = 'src1') OR source = 'src2'
         """,
+        "mongo_query_filter": """
+            SELECT doc_id FROM documents
+            WHERE lang IN ('en', 'de')
+              AND n_chars >= 200 AND n_chars < 450
+              AND NOT source = 'src3'
+        """,
         "resume_anti_join": """
             SELECT o_orderkey FROM orders o
             WHERE NOT EXISTS (
@@ -591,6 +651,35 @@ def oracle_sql() -> dict[str, str]:
         "paginate_customers": """
             SELECT c_custkey, c_name FROM customer
             ORDER BY c_custkey OFFSET 100 LIMIT 20
+        """,
+        "citations_for_matches": """
+            WITH base AS (
+                SELECT printf('doc-%09d', doc_id) AS document_id,
+                       substr(sha256(printf('doc-%09d', doc_id) || '/extract'),
+                              1, 32) AS file_id,
+                       text, doc_id
+                FROM documents),
+            parts AS (
+                SELECT document_id, file_id, substr(text, 1, 100) AS text,
+                       0 AS partition_number,
+                       round(((doc_id % 7) + 1) / 10.0, 6) AS relevance
+                FROM base
+                UNION ALL
+                SELECT document_id, file_id, substr(text, 101, 1000000),
+                       1, round(((doc_id % 4) + 1) / 10.0, 6)
+                FROM base)
+            SELECT 'default' || '/' || document_id || '/' || file_id AS link,
+                   'default' AS "index", document_id, file_id,
+                   'text/plain' AS source_content_type,
+                   document_id || '.txt' AS source_name,
+                   CAST(row_number() OVER (
+                       PARTITION BY document_id
+                       ORDER BY relevance DESC, partition_number ASC
+                   ) - 1 AS INT) AS partition_order,
+                   text, relevance,
+                   CAST(partition_number AS INT) AS partition_number,
+                   CAST(0 AS INT) AS section_number
+            FROM parts
         """,
         "record_ids": """
             SELECT printf('d=doc-%09d//p=%s', doc_id, md5(text)) AS record_id

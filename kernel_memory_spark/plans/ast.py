@@ -14,8 +14,18 @@ so Catalyst evaluates everything in the same scan with pushdown; there is no
 FTS-string intermediate representation and no post-filter pass.
 
 A small infix parser covers the InfixQueryParser surface
-(Query/Parsers/InfixQueryParser.cs): `field op value` terms, AND/OR/NOT,
-parentheses, quoted strings, bare text terms.
+(Query/Parsers/InfixQueryParser.cs): `field op value` terms (`:` `==` `!=`
+`>` `>=` `<` `<=` `:~` contains, `:[a,b]` in), AND/OR/NOT, parentheses,
+quoted strings, bare text terms.
+
+`parse_mongo` covers the MongoJsonQueryParser surface
+(Query/Parsers/MongoJsonQueryParser.cs:19-334): the MongoDB operator subset
+$and/$or/$not/$nor, $eq/$ne/$gt/$gte/$lt/$lte/$in/$nin/$regex/$exists and
+$text:{$search}. `parse_query` is the QueryParserFactory dispatch: a query
+whose first non-space char is '{' is MongoJSON, anything else is infix
+(QueryParserFactory.cs:30-48). Both parsers must produce equivalent ASTs for
+equivalent queries (tests/Core.Tests/Search/Query/
+QueryParserEquivalenceTests.cs — ported to tests/test_mongo_parser.py).
 """
 
 from __future__ import annotations
@@ -140,15 +150,15 @@ def compile_node(node: Node) -> Column:
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\() | (?P<rparen>\)) |
-        (?P<op>==|!=|>=|<=|>|<|~=) |
+        (?P<op>==|!=|>=|<=|>|<|~=|:~|:) |
         (?P<quoted>"(?:[^"\\]|\\.)*") |
-        (?P<word>[^\s()"]+)
+        (?P<word>[^\s()":<>!=]+|!|=)
     )""",
     re.VERBOSE,
 )
 
 _OP_MAP = {"==": "eq", "!=": "ne", ">": "gt", ">=": "gte", "<": "lt",
-           "<=": "lte", "~=": "contains"}
+           "<=": "lte", "~=": "contains", ":": "eq", ":~": "contains"}
 
 _FIELDS = {"id", "title", "description", "content", "mimeType", "createdAt",
            "tags"}
@@ -162,6 +172,18 @@ def _tokenize(q: str) -> List[str]:
         if not m:
             raise ValueError(f"bad query at {q[pos:]!r}")
         pos = m.end()
+        # `:[a, b, c]` — the In operator's array literal
+        # (InfixQueryParser.cs:104-143): capture through the closing bracket
+        # as one ARRAY token.
+        if m.group("op") == ":" and pos < len(q) and q[pos] == "[":
+            end = q.find("]", pos)
+            if end < 0:
+                raise ValueError("missing ] in array value")
+            items = [v.strip() for v in q[pos + 1 : end].split(",")]
+            out.append(":[")
+            out.append("\x00ARRAY\x00" + ",".join(v for v in items if v))
+            pos = end + 1
+            continue
         for k in ("lparen", "rparen", "op", "quoted", "word"):
             if m.group(k):
                 out.append(m.group(k))
@@ -220,12 +242,19 @@ def parse_infix(query: str) -> Node:
             take()
             return node
         word = take()
-        if (
-            word in _FIELDS or word.startswith("metadata.")
-        ) and peek() in _OP_MAP:
+        # Any identifier followed by an operator token is a comparison
+        # (InfixQueryParser.cs:330-360 — no field whitelist).
+        if not word.startswith('"') and peek() in _OP_MAP:
             op = _OP_MAP[take()]
             value = unquote(take())
             return Comparison(word, op, value)
+        if not word.startswith('"') and peek() == ":[":
+            take()
+            arr = take()
+            if not arr.startswith("\x00ARRAY\x00"):
+                raise ValueError("expected array value after :[")
+            values = [v for v in arr[len("\x00ARRAY\x00"):].split(",") if v]
+            return Comparison(word, "in", values)
         term = unquote(word)
         if term.startswith("-") and len(term) > 1:
             return TextSearch(term[1:], negated=True)
@@ -235,3 +264,128 @@ def parse_infix(query: str) -> Node:
     if pos != len(tokens):
         raise ValueError(f"trailing tokens: {tokens[pos:]}")
     return node
+
+
+# ---------------------------------------------------------------------------
+# MongoJSON parser (MongoJsonQueryParser.cs:19-334) + factory dispatch
+# ---------------------------------------------------------------------------
+
+class QuerySyntaxError(ValueError):
+    """Malformed query (QuerySyntaxException.cs analog)."""
+
+
+_MONGO_COMPARISONS = {
+    "$eq": "eq", "$ne": "ne", "$gt": "gt", "$gte": "gte", "$lt": "lt",
+    "$lte": "lte", "$in": "in", "$nin": "nin",
+    # the reference maps $regex onto its Contains operator (:241)
+    "$regex": "contains",
+}
+
+
+def _mongo_literal(v: object) -> object:
+    """LiteralNode parsing (:298-334): numbers stay numeric, arrays become
+    string lists (numbers stringified)."""
+    if isinstance(v, list):
+        return [x if isinstance(x, str) else str(x) for x in v]
+    if isinstance(v, (str, bool, int, float)):
+        return v
+    raise QuerySyntaxError(f"unsupported value type: {type(v).__name__}")
+
+
+def _mongo_element(obj: object) -> Node:
+    if not isinstance(obj, dict):
+        raise QuerySyntaxError("query must be a JSON object")
+    conditions: List[Node] = []
+    for name, value in obj.items():
+        if name == "$text":
+            # $text: {$search: "..."} (:171-198)
+            if not isinstance(value, dict):
+                raise QuerySyntaxError("$text requires an object")
+            term = value.get("$search")
+            if not term:
+                raise QuerySyntaxError("$text requires a $search property")
+            conditions.append(TextSearch(term))
+        elif name.startswith("$"):
+            conditions.append(_mongo_logical(name, value))
+        else:
+            conditions.append(_mongo_comparison(name, value))
+    if not conditions:
+        raise QuerySyntaxError("query cannot be empty")
+    if len(conditions) == 1:
+        return conditions[0]
+    # multiple root-level conditions are implicitly AND'ed (:95-110)
+    return Logical("and", conditions)
+
+
+def _mongo_logical(name: str, value: object) -> Node:
+    if name == "$not":
+        return Logical("not", [_mongo_element(value)])
+    ops = {"$and": "and", "$or": "or", "$nor": "nor"}
+    if name not in ops:
+        raise QuerySyntaxError(f"unknown logical operator: {name}")
+    if not isinstance(value, list):
+        raise QuerySyntaxError(f"{name} requires an array of conditions")
+    children = [_mongo_element(e) for e in value]
+    if not children:
+        raise QuerySyntaxError(f"{name} requires at least one condition")
+    return Logical(ops[name], children)
+
+
+def _mongo_comparison(field: str, value: object) -> Node:
+    # simple equality: {"field": literal} (:207-216)
+    if not isinstance(value, dict):
+        return Comparison(field, "eq", _mongo_literal(value))
+    conditions: List[Node] = []
+    for op_name, op_value in value.items():
+        if not op_name.startswith("$"):
+            raise QuerySyntaxError(
+                f"expected operator (starting with $), got: {op_name}"
+            )
+        if op_name == "$exists":
+            # exists:false wraps NOT around the exists test (:246-270)
+            node = Comparison(field, "exists", True)
+            conditions.append(
+                node if op_value else Logical("not", [node])
+            )
+            continue
+        if op_name not in _MONGO_COMPARISONS:
+            raise QuerySyntaxError(f"unknown comparison operator: {op_name}")
+        conditions.append(
+            Comparison(field, _MONGO_COMPARISONS[op_name], _mongo_literal(op_value))
+        )
+    if len(conditions) == 1:
+        return conditions[0]
+    # multiple operators on the same field are implicitly AND'ed (:282-292)
+    return Logical("and", conditions)
+
+
+def parse_mongo(query: str) -> Node:
+    """MongoDB-JSON query string -> AST (MongoJsonQueryParser.Parse)."""
+    import json
+
+    if not query or not query.strip():
+        raise QuerySyntaxError("query cannot be empty")
+    try:
+        obj = json.loads(query)
+    except json.JSONDecodeError as ex:
+        raise QuerySyntaxError("invalid JSON format") from ex
+    return _mongo_element(obj)
+
+
+def parse_query(query: str) -> Node:
+    """QueryParserFactory.Parse (QueryParserFactory.cs:30-48): a query whose
+    first non-space char is '{' is MongoJSON, anything else is infix."""
+    if not query or not query.strip():
+        raise QuerySyntaxError("query cannot be empty")
+    if query.lstrip().startswith("{"):
+        return parse_mongo(query)
+    return parse_infix(query)
+
+
+def validate_query(query: str) -> bool:
+    """IQueryParser.Validate: parse, swallowing syntax errors."""
+    try:
+        parse_query(query)
+        return True
+    except (QuerySyntaxError, ValueError):
+        return False
