@@ -42,11 +42,17 @@ def summarize(
     max_rounds: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    summarizer=None,
 ) -> DataFrame:
-    """(id, text) -> (id, summary): iterative chunk-summarize-concat."""
+    """(id, text) -> (id, summary): iterative chunk-summarize-concat.
+
+    `summarizer(text, max_chars) -> str` is the ITextGenerator plug point
+    (SummarizationHandler.cs:191 calls the configured generator per chunk);
+    default is the extractive first-sentence stand-in."""
     tok = NCharTokenizer(tokenizer_n)
     opts = PlainTextChunkerOptions(max_tokens_per_chunk=chunk_tokens)
     max_chars = target_tokens * tokenizer_n
+    summarize_chunk = summarizer or _extractive_summary
 
     def round_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunker = PlainTextChunker(NCharTokenizer(tokenizer_n))
@@ -59,7 +65,7 @@ def summarize(
                     continue
                 parts = chunker.split(t, opts)
                 summary = " ".join(
-                    _extractive_summary(p, max_chars) for p in parts
+                    summarize_chunk(p, max_chars) for p in parts
                 ).strip()
                 # guard: a round must shrink, else force-truncate (same
                 # stop-guarantee the reference gets from its token budget)

@@ -86,9 +86,16 @@ class TableCatalog:
         paths = [os.path.join(self._dir(name), d) for d in manifest["data"]]
         return spark.read.parquet(*paths)
 
-    def overwrite(self, df: DataFrame, name: str) -> int:
+    def overwrite(self, df: DataFrame, name: str,
+                  partition_by: Optional[List[str]] = None) -> int:
+        """partition_by writes hive-layout directories so reads with an
+        equality filter on those columns prune at the file listing (the
+        probe path of a persisted ANN index scans only its buckets)."""
         d = self._new_data_dir(name)
-        df.write.mode("overwrite").parquet(d)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(d)
         return self._commit(name, [os.path.relpath(d, self._dir(name))])
 
     def append(self, df: DataFrame, name: str) -> int:

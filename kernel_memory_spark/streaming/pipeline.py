@@ -35,6 +35,7 @@ from kernel_memory_spark.operators import (
     extract as ext,
     linking as lnk,
     partition as prt,
+    quarantine as qtn,
     save_records as sav,
     triples as tri,
 )
@@ -69,8 +70,16 @@ class Pipeline:
         # built-in chain — the IPipelineStepHandler extension point
         self.custom_steps: List[tuple] = []
 
-    def register_step(self, name: str, input_table: str, fn) -> "Pipeline":
-        self.custom_steps.append((name, input_table, fn))
+    def register_step(self, name: str, input_table: str, fn,
+                      fatal_condition=None, fatal_reason: str = "fatal_row",
+                      key_col: str = "doc_id") -> "Pipeline":
+        """Register an IPipelineStepHandler-style custom step. An optional
+        `fatal_condition` Column routes poison rows to the quarantine table
+        (ReturnType.FatalError analog) before `fn` sees the input; the step
+        then completes over the clean rows."""
+        self.custom_steps.append(
+            (name, input_table, fn, fatal_condition, fatal_reason, key_col)
+        )
         return self
 
     # -- ledger ------------------------------------------------------------
@@ -197,11 +206,27 @@ class Pipeline:
         embeddings = cat.read(spark, "embeddings")
 
         if "save_records" not in done:
+            t0 = time.time()
+            # Fatal-row routing (ReturnType.FatalError analog): doc-tag rows
+            # whose keys fail TagCollection.ValidateKey would throw in the
+            # reference — here they are split to the quarantine table and the
+            # document proceeds WITHOUT its user tags (reserved tags intact).
+            clean_tags = tags_t
+            if tags_t is not None:
+                clean_tags, fatal = qtn.split_fatal_rows(
+                    tags_t, qtn.invalid_tag_keys_condition()
+                )
+                quarantined = qtn.quarantine_rows(
+                    fatal, "save_records", cfg.execution_id,
+                    "invalid_tag_key",
+                    detail=qtn.invalid_tag_keys_detail(),
+                )
+                if not quarantined.isEmpty():
+                    qtn.write_quarantine(cat, quarantined)
             records = sav.build_records(
-                partitions, embeddings, tags_t, extracted,
+                partitions, embeddings, clean_tags, extracted,
                 cfg.execution_id, cfg.last_update,
             )
-            t0 = time.time()
             sav.purge_previous_executions(spark, self.catalog, records)
             self.catalog.merge(spark, "records", records, ["id"])
             rows_out = tables.table_row_count(cat, "records")
@@ -278,11 +303,26 @@ class Pipeline:
         # stage is a named DataFrame -> DataFrame function over a catalog
         # table; output commits to a table of the step's name with the same
         # ledger/resume semantics as the built-in chain.
-        for step_name, input_table, fn in self.custom_steps:
+        for step_name, input_table, fn, fatal_cond, reason, key_col in (
+            self.custom_steps
+        ):
             if step_name not in done:
+                def _input(t=input_table, cond=fatal_cond, step=step_name,
+                           rsn=reason, kc=key_col):
+                    df = cat.read(spark, t)
+                    if cond is None:
+                        return df
+                    clean, fatal = qtn.split_fatal_rows(df, cond)
+                    quarantined = qtn.quarantine_rows(
+                        fatal, step, cfg.execution_id, rsn, key_col=kc
+                    )
+                    if not quarantined.isEmpty():
+                        qtn.write_quarantine(cat, quarantined)
+                    return clean
+
                 self._run_step(
                     step_name,
-                    lambda fn=fn, t=input_table: fn(cat.read(spark, t)),
+                    lambda fn=fn, inp=_input: fn(inp()),
                     step_name,
                 )
             if crashed(step_name):

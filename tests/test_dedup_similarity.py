@@ -137,3 +137,43 @@ class TestTextStats:
         )
         got = {r.doc_id: r.fingerprint for r in TS.with_fingerprint(df).collect()}
         assert got["1"] == got["2"] != got["3"]
+
+
+class TestPersistedIndex:
+    """Write-once ANN index tables: probe path must be pruned-scan + JVM
+    ranking (no per-query UDF over the full table)."""
+
+    def test_lsh_index_recall_and_plan(self, spark, embeddings, tmp_path):
+        from kernel_memory_spark.sources.tables import TableCatalog
+
+        cat = TableCatalog(str(tmp_path))
+        row = embeddings.filter(F.col("vec_id") == 7).first()
+        dim = len(row.embedding)
+        SIM.build_lsh_index(spark, cat, embeddings, dim, n_planes=4)
+
+        out = SIM.query_lsh_index(spark, cat, list(row.embedding), dim,
+                                  k=10, n_planes=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # no Python in the probe path, and the bucket filter prunes partitions
+        assert "InPandas" not in plan and "ArrowEval" not in plan
+        assert "PartitionFilters" in plan and "bucket" in plan
+
+        exact = [r.vec_id for r in SIM.brute_force_topk(
+            embeddings, list(row.embedding), k=10).collect()]
+        approx = [r.vec_id for r in out.collect()]
+        assert len(set(exact) & set(approx)) / 10 >= 0.5
+        assert approx[0] == 7  # self always lands in its own bucket
+
+    def test_ivf_index_probe(self, spark, embeddings, tmp_path):
+        from kernel_memory_spark.sources.tables import TableCatalog
+
+        cat = TableCatalog(str(tmp_path))
+        rows = embeddings.orderBy("vec_id").limit(4).collect()
+        centroids = [list(r.embedding) for r in rows]
+        SIM.build_ivf_index(spark, cat, embeddings, centroids)
+        out = SIM.query_ivf_index(spark, cat, centroids,
+                                  list(rows[0].embedding), k=5, nprobe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InPandas" not in plan and "ArrowEval" not in plan
+        got = out.collect()
+        assert got[0].vec_id == rows[0].vec_id
