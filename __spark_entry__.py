@@ -347,6 +347,21 @@ def ngram_dup_pairs(spark, sf):
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def cosine_dup_pairs(spark, sf):
+    """Embedding-cosine near-dup via the production operator: md5-derived
+    +/-1 sign-projection buckets (SQL-reproducible), hot-bucket cap,
+    ids-only blocking join, exact JVM cosine verify. Clones at
+    vec_id+100000 must pair with originals at cos=1."""
+    from kernel_memory_spark.operators import dedup as D
+
+    emb = load_table(spark, sf, "embeddings")
+    both = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    dim = len(emb.first().embedding)
+    return D.cosine_dup_pairs(both, dim, threshold=0.98)
+
+
 def knn_topk(spark, sf):
     """T1: brute-force cosine top-k vs the vec_id=0 embedding."""
     emb = load_table(spark, sf, "embeddings")
@@ -594,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": minhash_lsh_dedup,
         "simhash_dup_pairs": simhash_dup_pairs,
         "ngram_dup_pairs": ngram_dup_pairs,
+        "cosine_dup_pairs": cosine_dup_pairs,
         "knn_topk": knn_topk,
         "ann_recall": ann_recall,  # rows-only (np.random hyperplanes not SQL)
         "stopword_hits": stopword_hits,
@@ -849,6 +865,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON inter.a = na.id
             JOIN sizes nb ON inter.b = nb.id
             WHERE i / (na.n + nb.n - i) >= 0.8
+        """,
+        "cosine_dup_pairs": """
+            WITH both_vecs AS (
+                SELECT vec_id AS id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, embedding FROM embeddings),
+            planes AS (
+                SELECT i, j,
+                       CASE WHEN (strpos('0123456789abcdef',
+                                  substr(md5('plane|' || i || '|' || j), 1, 1))
+                                  - 1) % 2 = 1
+                            THEN 1 ELSE -1 END AS w
+                FROM (SELECT unnest(range(8)) AS i),
+                     (SELECT unnest(range(64)) AS j)),
+            ex AS (SELECT id, unnest(embedding)::DOUBLE AS x,
+                          generate_subscripts(embedding, 1) - 1 AS j
+                   FROM both_vecs),
+            dots AS (SELECT id, i, sum(x * w) AS d
+                     FROM ex JOIN planes USING (j) GROUP BY id, i),
+            buckets AS (SELECT id,
+                               sum(CASE WHEN d > 0 THEN (1 << i) ELSE 0 END)
+                                   AS bucket
+                        FROM dots GROUP BY id),
+            cool AS (SELECT bucket FROM buckets
+                     GROUP BY bucket HAVING count(*) <= 64),
+            cands AS (SELECT DISTINCT l.id AS a, r.id AS b
+                      FROM buckets l
+                      JOIN cool USING (bucket)
+                      JOIN buckets r ON l.bucket = r.bucket AND l.id < r.id),
+            ea AS (SELECT id, unnest(embedding)::DOUBLE AS xa,
+                          generate_subscripts(embedding, 1) AS k
+                   FROM both_vecs),
+            eb AS (SELECT id, unnest(embedding)::DOUBLE AS xb,
+                          generate_subscripts(embedding, 1) AS k
+                   FROM both_vecs),
+            pairs AS (
+                SELECT a, b,
+                       round(sum(xa * xb)
+                             / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))),
+                             4) AS cos
+                FROM cands
+                JOIN ea ON ea.id = cands.a
+                JOIN eb ON eb.id = cands.b AND ea.k = eb.k
+                GROUP BY a, b)
+            SELECT a, b, cos FROM pairs WHERE cos >= 0.98
         """,
         "knn_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -96,9 +96,11 @@ def minhash_dup_pairs(
                 }
             )
 
+    # materialize once — the exploded band table feeds the hot-bucket
+    # aggregation and both self-join sides (3 consumers of the UDF subtree)
     sigs = df.select(id_col, text_col).mapInPandas(
         sig, schema="id string, bands array<string>"
-    )
+    ).localCheckpoint()
     exploded = sigs.select("id", F.explode("bands").alias("band"))
     cool = _drop_hot_buckets(exploded, ["band"], bucket_cap)
     l, r = cool.alias("l"), cool.alias("r")
@@ -249,6 +251,89 @@ def simhash_dup_pairs(
     )
 
 
+def _pm1_planes(n_planes: int, dim: int) -> np.ndarray:
+    """(n_planes, dim) +/-1 hyperplanes derived from md5('plane|i|j') — a
+    deterministic construction any SQL engine with md5 can replay (the
+    DuckDB oracle rebuilds the identical weight table), unlike np.random
+    Gaussians. +/-1 planes are the standard cheap variant of sign-random-
+    projection LSH (Charikar '02 works for any symmetric distribution)."""
+    w = np.empty((n_planes, dim), dtype=np.int8)
+    for i in range(n_planes):
+        for j in range(dim):
+            nibble = int(
+                hashlib.md5(f"plane|{i}|{j}".encode("utf-8")).hexdigest()[0], 16
+            )
+            w[i, j] = 1 if nibble % 2 == 1 else -1
+    return w
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    n_planes: int = 8,
+    bucket_cap: int = BAND_BUCKET_CAP,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a, b, cos): sign-random-projection
+    blocking (one bucket = the 8-bit sign pattern of the +/-1 hyperplane
+    dots), hot-bucket cap, ids-only bucket self-join, exact JVM-side cosine
+    verify on the candidates. Near-identical vectors agree on every
+    hyperplane sign, so true near-dups share the bucket; the cap bounds any
+    degenerate bucket at cap^2 pairs."""
+    planes = _pm1_planes(n_planes, dim)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            ).reshape(len(pdf), dim)
+            signs = (mat @ planes.T) > 0  # (n, planes)
+            buckets = signs.dot(1 << np.arange(n_planes)).astype("int64")
+            yield pd.DataFrame({"id": pdf[id_col], "bucket": buckets})
+
+    # materialize once: the bucket table feeds the hot-bucket aggregation
+    # AND both self-join sides — without this the UDF subtree re-executes
+    # for every consumer (4x the Python cost)
+    bucketed = df.select(id_col, vec_col).mapInPandas(
+        bucketize, schema="id long, bucket long"
+    ).localCheckpoint()
+    cool = _drop_hot_buckets(bucketed, ["bucket"], bucket_cap)
+    l, r = cool.alias("l"), cool.alias("r")
+    cands = (
+        l.join(r, F.col("l.bucket") == F.col("r.bucket"))
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col).alias("__vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+    )
+    return (
+        cands.join(vecs, cands["a"] == vecs["__vid"])
+        .select("a", "b", F.col("__v").alias("va"))
+        .join(vecs, F.col("b") == vecs["__vid"])
+        .select("a", "b", "va", F.col("__v").alias("vb"))
+        .select(
+            "a", "b",
+            F.round(dot / (norm("va") * norm("vb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -273,7 +358,9 @@ def ngram_jaccard_pairs(
         ).alias("grams"),
     )
     exploded = grams.select("id", F.explode("grams").alias("g"))
-    cool = _drop_hot_buckets(exploded, ["g"], gram_df_cap)
+    # materialized once: consumed by sizes + both self-join sides (else the
+    # split/explode subtree re-scans the source 3x)
+    cool = _drop_hot_buckets(exploded, ["g"], gram_df_cap).localCheckpoint()
     sizes = cool.groupBy("id").agg(F.count("*").alias("n_grams"))
 
     l, r = cool.alias("l"), cool.alias("r")

@@ -30,13 +30,14 @@ def span_is_complete(span: Column) -> Column:
 
 def extracted_text_col(spans: Column) -> Column:
     """The joined document text, as a single column expression."""
+    # (?U): unicode whitespace, matching the pandas oracle's str.strip()
     rendered = F.transform(
         spans,
         lambda s: F.concat(
-            F.regexp_replace(s["text"], r"^\s+|\s+$", ""),
+            F.regexp_replace(s["text"], r"(?U)^\s+|\s+$", ""),
             F.when(
                 span_is_complete(s)
-                & (F.length(F.regexp_replace(s["text"], r"^\s+|\s+$", "")) > 0),
+                & (F.length(F.regexp_replace(s["text"], r"(?U)^\s+|\s+$", "")) > 0),
                 F.lit("\n\n"),
             ).otherwise(F.lit("")),
         ),

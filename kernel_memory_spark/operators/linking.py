@@ -78,10 +78,14 @@ def candidate_pairs(
 ) -> DataFrame:
     """LSH band equi-join -> distinct candidate (a, b) pairs, a < b.
     Buckets above `bucket_cap` members are dropped first (hot-bucket guard:
-    pair volume is Σ bucket², so one mega-bucket dominates the stage)."""
+    pair volume is Σ bucket², so one mega-bucket dominates the stage).
+
+    The exploded band table is materialized once (localCheckpoint): it
+    feeds the hot-bucket aggregation AND both self-join sides — without it
+    the minhash pandas-UDF subtree re-executes for all three consumers."""
     exploded = signatures.select(
         "norm", F.explode("bands").alias("band")
-    )
+    ).localCheckpoint()
     hot = (
         exploded.groupBy("band")
         .agg(F.count("*").alias("n"))

@@ -36,6 +36,21 @@ from kernel_memory_spark.functions.tokenizers import (
 DEFAULT_MAX_TOKENS = 1000
 DEFAULT_OVERLAP = 100
 
+# DataPipeline.ArtifactTypes (DataPipeline.cs:162-185): the kinds
+# SaveRecordsHandler consumes are TextPartition and SyntheticData
+# (SaveRecordsHandler.cs:255-259).
+ARTIFACT_TEXT_PARTITION = "text_partition"
+ARTIFACT_SYNTHETIC_DATA = "synthetic_data"
+SAVABLE_ARTIFACT_TYPES = (ARTIFACT_TEXT_PARTITION, ARTIFACT_SYNTHETIC_DATA)
+
+
+def filter_artifact_types(df: DataFrame, types=SAVABLE_ARTIFACT_TYPES,
+                          col: str = "artifact_type") -> DataFrame:
+    """F3: artifact-type filter (SaveRecordsHandler.GetListOfPartitionFiles,
+    SaveRecordsHandler.cs:255-259 — keep TextPartition | SyntheticData).
+    A plain isin Column, so it pushes into the parquet scan."""
+    return df.filter(F.col(col).isin(list(types)))
+
 
 def _make_tokenizer(name: str):
     if name.endswith("char"):
@@ -103,5 +118,8 @@ def partition(
             "text",
             F.sha2("text", 256).alias("text_sha256"),
             token_count.alias("token_count"),
+            # ArtifactTypes.TextPartition (DataPipeline.cs:162-185); the
+            # summarization stage emits 'synthetic_data' rows (F3 filter)
+            F.lit(ARTIFACT_TEXT_PARTITION).alias("artifact_type"),
         )
     )

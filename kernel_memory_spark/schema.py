@@ -79,6 +79,8 @@ PARTITIONS = StructType(
         StructField("text", StringType(), True),
         StructField("text_sha256", StringType(), False),
         StructField("token_count", IntegerType(), False),
+        # DataPipeline.ArtifactTypes: text_partition | synthetic_data (F3)
+        StructField("artifact_type", StringType(), False),
     ]
 )
 

@@ -96,6 +96,26 @@ class Pipeline:
         )
         return {r.step for r in rows}
 
+    def cancel_stale_executions(self) -> int:
+        """Q4: drop ledger rows of OTHER executions so their remaining queued
+        work is never resumed — the analog of the reference dropping queue
+        messages whose execution id is stale
+        (DataPipeline.PreviousExecutionsToPurge + orchestrator checks).
+        Stage tables themselves are superseded by each stage's snapshot
+        overwrite. Returns the number of stale rows removed."""
+        if not self.catalog.exists(LEDGER):
+            return 0
+        ledger = self.catalog.read(self.spark, LEDGER)
+        stale = ledger.filter(
+            F.col("execution_id") != self.cfg.execution_id
+        ).count()
+        if stale:
+            self.catalog.delete_where(
+                self.spark, LEDGER,
+                F.col("execution_id") != self.cfg.execution_id,
+            )
+        return stale
+
     def _commit_step(self, step: str, rows_in: int, rows_out: int,
                      wall_ms: int, buckets: Optional[List[tuple]] = None) -> None:
         import datetime
@@ -165,9 +185,17 @@ class Pipeline:
             if corpus is None:
                 raise ValueError("corpus required for a fresh run")
             t0 = time.time()
-            cat.overwrite(corpus, "corpus")
             if doc_tags is not None:
-                cat.overwrite(doc_tags, "doc_tags")
+                # independent writes -> concurrent jobs (overlap the per-job
+                # scheduling floor, same as the materialize stage)
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    f1 = pool.submit(cat.overwrite, corpus, "corpus")
+                    f2 = pool.submit(cat.overwrite, doc_tags, "doc_tags")
+                    f1.result(), f2.result()
+            else:
+                cat.overwrite(corpus, "corpus")
             self._commit_step("ingest", 0,
                               tables.table_row_count(cat, "corpus"),
                               int((time.time() - t0) * 1000))
@@ -223,8 +251,11 @@ class Pipeline:
                 )
                 if not quarantined.isEmpty():
                     qtn.write_quarantine(cat, quarantined)
+            # F3: only TextPartition/SyntheticData artifacts become records
+            # (SaveRecordsHandler.GetListOfPartitionFiles)
+            savable = prt.filter_artifact_types(partitions)
             records = sav.build_records(
-                partitions, embeddings, clean_tags, extracted,
+                savable, embeddings, clean_tags, extracted,
                 cfg.execution_id, cfg.last_update,
             )
             sav.purge_previous_executions(spark, self.catalog, records)
@@ -280,19 +311,28 @@ class Pipeline:
 
         if "materialize" not in done:
             def _materialize():
+                from concurrent.futures import ThreadPoolExecutor
+
                 emap = cat.read(spark, "entity_map")
                 canonical = tri.entity_triples(
                     tri.patterns_from_extractions(cat.read(spark, "extractions")),
                     emap, cfg.execution_id,
                 )
-                cat.overwrite(canonical, "triples_canonical")
+                nodes = czn.materialize_nodes(_mentions(), emap)
+                # canonical-triples and nodes are independent jobs: submit
+                # them concurrently so the per-job scheduling/codegen floor
+                # overlaps instead of serializing (a real cluster's FAIR
+                # scheduler does the same; shaves one job's latency from the
+                # stage's serial floor)
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    f1 = pool.submit(cat.overwrite, canonical, "triples_canonical")
+                    f2 = pool.submit(cat.overwrite, nodes, "nodes")
+                    f1.result(), f2.result()
                 # zero-copy union: `triples` snapshot points at the base +
                 # canonical data files, nothing is rewritten
                 tables.commit_union(
                     self.catalog, "triples", ["triples_base", "triples_canonical"]
                 )
-                nodes = czn.materialize_nodes(_mentions(), emap)
-                cat.overwrite(nodes, "nodes")
                 return czn.materialize_edges(cat.read(spark, "triples_canonical"))
 
             self._run_step("materialize", _materialize, "edges")

@@ -177,3 +177,32 @@ class TestPersistedIndex:
         assert "InPandas" not in plan and "ArrowEval" not in plan
         got = out.collect()
         assert got[0].vec_id == rows[0].vec_id
+
+
+class TestCosineDup:
+    def test_clone_pairs_found(self, spark, embeddings):
+        from kernel_memory_spark.operators import dedup as D
+
+        both = embeddings.select("vec_id", "embedding").unionByName(
+            embeddings.select(
+                (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+            )
+        )
+        dim = len(embeddings.first().embedding)
+        pairs = D.cosine_dup_pairs(both, dim, threshold=0.98)
+        got = {(r.a, r.b) for r in pairs.collect()}
+        n = embeddings.count()
+        # every clone pairs with its original at cos=1
+        want = {(i, i + 100000) for i in range(n)}
+        assert want <= got
+
+    def test_ids_only_blocking_plan(self, spark, embeddings):
+        from kernel_memory_spark.operators import dedup as D
+
+        dim = len(embeddings.first().embedding)
+        pairs = D.cosine_dup_pairs(
+            embeddings.select("vec_id", "embedding"), dim
+        )
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        # exactly one Python stage (the bucketizer); the verify is JVM-only
+        assert "MapInPandas" not in plan  # signatures checkpointed once
