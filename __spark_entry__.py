@@ -462,6 +462,21 @@ def fingerprints(spark, sf):
     )
 
 
+def media_span_stats(spark, sf):
+    """Interleaved-media plumbing (S3/multimodal): derive the span corpus,
+    project the media spans (kind='media' with img:// provenance refs),
+    aggregate per document — the metadata path binary decode kernels hang
+    off (operators/multimodal.py; kernels stubbed, plumbing real)."""
+    corpus = corpus_from_documents(load_table(spark, sf, "documents"))
+    media = corpus.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).filter(F.col("s.kind") == "media")
+    return media.groupBy("doc_id").agg(
+        F.count("*").alias("n_media"),
+        F.min("s.media_ref").alias("first_media_ref"),
+    )
+
+
 def lineage_triples_docs(spark, sf):
     docs = load_table(spark, sf, "documents")
     doc = F.format_string("doc-%09d", F.col("doc_id").cast("long"))
@@ -616,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_counts": text_quality_counts,
         "token_counts": token_counts,
         "fingerprints": fingerprints,
+        "media_span_stats": media_span_stats,
         "lineage_triples_docs": lineage_triples_docs,
         "events_hourly": events_hourly,
         "top3_orders_per_customer": top3_orders_per_customer,
@@ -949,6 +965,20 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
                        AS fingerprint
             FROM documents
+        """,
+        "media_span_stats": """
+            WITH w AS (SELECT printf('doc-%09d', doc_id) AS doc,
+                              string_split_regex(text, '\\s+') AS ws
+                       FROM documents),
+            n AS (SELECT doc, CAST(ceil(len(ws) / 12.0) AS INT) AS n_spans
+                  FROM w),
+            s AS (SELECT doc,
+                         unnest(range(greatest(n_spans - 1, 0) + 1)) AS i
+                  FROM n),
+            m AS (SELECT doc, i FROM s WHERE i % 4 = 2)
+            SELECT doc AS doc_id, count(*) AS n_media,
+                   min(printf('img://%s/%d', doc, i)) AS first_media_ref
+            FROM m GROUP BY doc
         """,
         "lineage_triples_docs": """
             SELECT printf('doc-%09d', doc_id) AS subj, 'lang' AS pred,

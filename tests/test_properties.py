@@ -1,0 +1,155 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels.
+
+The reference's unit suites pin specific goldens; these pin the INVARIANTS
+the goldens are instances of:
+
+- PlainTextChunker with overlap=0 is lossless: chunks concatenate back to
+  the newline-normalized, trimmed input (PlainTextChunker.cs's assembly
+  never drops or duplicates a fragment);
+- every chunk respects the token budget;
+- overlap>0 keeps the suffix property: each chunk i>0 starts with the last
+  `overlap` tokens of chunk i-1;
+- MongoJSON and infix parsers are AST-equivalent on generated queries
+  (QueryParserEquivalenceTests generalized);
+- minhash: jaccard(x, x) = 1, signatures are deterministic, banding is
+  monotone in similarity.
+"""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kernel_memory_spark.functions.chunker import PlainTextChunker, normalize_newlines
+from kernel_memory_spark.functions.minhash import (
+    band_keys,
+    candidate_band_prob,
+    jaccard,
+    minhash_signature,
+)
+from kernel_memory_spark.functions.tokenizers import NCharTokenizer
+from kernel_memory_spark.plans.ast import (
+    Comparison,
+    Logical,
+    parse_infix,
+    parse_mongo,
+)
+
+# \r and \n adjacent draws also cover the \r\n digraph
+texts = st.text(
+    alphabet="abcdefgh XY.,!?\n\r\t-_#",
+    min_size=0,
+    max_size=400,
+)
+
+
+class TestChunkerProperties:
+    @given(texts, st.integers(min_value=1, max_value=40))
+    @settings(max_examples=150, deadline=None)
+    def test_lossless_concat_no_overlap(self, text, max_tokens):
+        chunker = PlainTextChunker(NCharTokenizer(4))
+        chunks = chunker.split(text, max_tokens_per_chunk=max_tokens)
+        assert "".join(chunks) == normalize_newlines(text, trim=True)
+
+    @given(texts, st.integers(min_value=4, max_value=40))
+    @settings(max_examples=150, deadline=None)
+    def test_token_budget_respected(self, text, max_tokens):
+        tok = NCharTokenizer(4)
+        chunker = PlainTextChunker(tok)
+        for c in chunker.split(text, max_tokens_per_chunk=max_tokens):
+            assert tok.count_tokens(c) <= max_tokens
+
+    @given(texts, st.integers(min_value=8, max_value=30),
+           st.integers(min_value=1, max_value=6))
+    @settings(max_examples=100, deadline=None)
+    def test_overlap_suffix_property(self, text, max_tokens, overlap):
+        tok = NCharTokenizer(4)
+        chunker = PlainTextChunker(tok)
+        chunks = chunker.split(
+            text, max_tokens_per_chunk=max_tokens, overlap=overlap
+        )
+        if len(chunks) < 2:
+            return
+        # reconstruct the non-overlapped chunks to check each prefix
+        plain = chunker.split(text, max_tokens_per_chunk=max_tokens)
+        assert len(plain) == len(chunks)
+        for i in range(1, len(chunks)):
+            prev = tok.get_tokens(plain[i - 1])
+            tail = "".join(prev[max(0, len(prev) - overlap):])
+            assert chunks[i].startswith(tail)
+            assert chunks[i][len(tail):] == plain[i]
+
+
+field_names = st.sampled_from(
+    ["content", "tags", "mimeType", "createdAt", "metadata.author"]
+)
+values = st.text(
+    alphabet=st.sampled_from(list("abcdefghij0123456789-")),
+    min_size=1, max_size=12,
+)
+ops = st.sampled_from(["eq", "ne", "gt", "gte", "lt", "lte", "contains"])
+
+_INFIX_OP = {"eq": ":", "ne": "!=", "gt": ">", "gte": ">=",
+             "lt": "<", "lte": "<=", "contains": ":~"}
+_MONGO_OP = {"eq": "$eq", "ne": "$ne", "gt": "$gt", "gte": "$gte",
+             "lt": "$lt", "lte": "$lte", "contains": "$regex"}
+
+
+def comparisons(draw):
+    field = draw(field_names)
+    op = draw(ops)
+    value = draw(values)
+    return field, op, value
+
+
+@st.composite
+def ast_cases(draw, depth=0):
+    """(infix_string, mongo_obj) pairs that must parse to equivalent ASTs."""
+    if depth >= 2 or draw(st.booleans()):
+        field, op, value = comparisons(draw)
+        infix = f"{field}{_INFIX_OP[op]}{value}"
+        mongo = {field: ({"$eq": value} if op == "eq" else {_MONGO_OP[op]: value})}
+        return infix, mongo
+    kind = draw(st.sampled_from(["and", "or", "not"]))
+    if kind == "not":
+        i, m = draw(ast_cases(depth=depth + 1))
+        return f"NOT ({i})", {"$not": m}
+    li, lm = draw(ast_cases(depth=depth + 1))
+    ri, rm = draw(ast_cases(depth=depth + 1))
+    joiner = "AND" if kind == "and" else "OR"
+    return f"({li}) {joiner} ({ri})", {f"${kind}": [lm, rm]}
+
+
+def assert_equiv(n1, n2):
+    assert type(n1) is type(n2)
+    if isinstance(n1, Comparison):
+        assert (n1.field.lower(), n1.op, str(n1.value)) == (
+            n2.field.lower(), n2.op, str(n2.value)
+        )
+    elif isinstance(n1, Logical):
+        assert n1.op == n2.op and len(n1.children) == len(n2.children)
+        for a, b in zip(n1.children, n2.children):
+            assert_equiv(a, b)
+
+
+class TestParserEquivalenceProperties:
+    @given(ast_cases())
+    @settings(max_examples=200, deadline=None)
+    def test_infix_mongo_equivalent(self, case):
+        infix, mongo = case
+        assert_equiv(parse_infix(infix), parse_mongo(json.dumps(mongo)))
+
+
+class TestMinhashProperties:
+    @given(st.text(min_size=0, max_size=60))
+    @settings(max_examples=100, deadline=None)
+    def test_self_jaccard_and_determinism(self, s):
+        assert jaccard(s, s) == 1.0
+        sig1, sig2 = minhash_signature(s), minhash_signature(s)
+        assert (sig1 == sig2).all()
+        assert band_keys(sig1) == band_keys(sig2)
+
+    def test_banding_monotone(self):
+        probs = [candidate_band_prob(j / 10) for j in range(11)]
+        assert probs == sorted(probs)
+        assert probs[0] == 0.0 and probs[10] == 1.0
