@@ -80,10 +80,29 @@ class TableCatalog:
 
     # -- operations ------------------------------------------------------------
 
+    @staticmethod
+    def _entry_path(entry) -> str:
+        return entry if isinstance(entry, str) else entry["path"]
+
     def read(self, spark: SparkSession, name: str,
              version: Optional[int] = None) -> DataFrame:
         manifest = self._manifest(name, version)
-        paths = [os.path.join(self._dir(name), d) for d in manifest["data"]]
+        paths = [
+            os.path.join(self._dir(name), self._entry_path(d))
+            for d in manifest["data"]
+        ]
+        return spark.read.parquet(*paths)
+
+    def read_buckets(self, spark: SparkSession, name: str,
+                     buckets) -> DataFrame:
+        """Read only the given buckets of a bucketed table (manifest-level
+        pruning — unbucketed legacy entries are always included)."""
+        wanted = set(buckets)
+        paths = [
+            os.path.join(self._dir(name), e["path"])
+            for e in self._entries(name)
+            if e["bucket"] is None or e["bucket"] in wanted
+        ]
         return spark.read.parquet(*paths)
 
     def overwrite(self, df: DataFrame, name: str,
@@ -110,7 +129,8 @@ class TableCatalog:
         """Upsert: rows in `df` replace existing rows with the same key.
 
         Mirrors SaveRecordsHandler's per-record upsert (S5/S6) and Iceberg
-        MERGE INTO. Survivors = old LEFT ANTI JOIN new on key.
+        MERGE INTO. Survivors = old LEFT ANTI JOIN new on key. Rewrites the
+        whole table — use merge_bucketed for tables that grow unboundedly.
         """
         if not self.exists(name):
             return self.overwrite(df, name)
@@ -118,6 +138,108 @@ class TableCatalog:
         survivors = old.join(df.select(*key_cols).distinct(), key_cols, "left_anti")
         merged = survivors.unionByName(df)
         return self.overwrite(merged, name)
+
+    # -- bucketed merge (the 100TB MERGE path) ---------------------------------
+    #
+    # `merge` rewrites the entire table — correct but O(table) per upsert,
+    # which at 100TB means every incremental ingest rewrites everything.
+    # `merge_bucketed` hash-partitions rows into N buckets on a stable column
+    # (doc_id for records, so one document's records co-locate) and tracks
+    # the bucket of every data directory in the manifest; an upsert reads and
+    # rewrites ONLY the buckets its input touches. This is the manifest-level
+    # analog of Iceberg's bucket-partitioned MERGE INTO (which goes further
+    # with positional deletes). Untouched buckets' files are carried into the
+    # new snapshot by reference — zero copy.
+
+    @staticmethod
+    def _bucket_expr(bucket_col: str, n_buckets: int):
+        from pyspark.sql import functions as F
+
+        return F.pmod(
+            F.crc32(F.col(bucket_col).cast("string")), F.lit(n_buckets)
+        ).cast("int")
+
+    def _entries(self, name: str) -> List[dict]:
+        """Manifest entries normalized to {'path', 'bucket'} dicts (legacy
+        entries are plain path strings with unknown bucket)."""
+        manifest = self._manifest(name)
+        out = []
+        for e in manifest["data"]:
+            if isinstance(e, str):
+                out.append({"path": e, "bucket": None})
+            else:
+                out.append(e)
+        return out
+
+    def _write_bucketed(self, spark: SparkSession, name: str, df: DataFrame,
+                        bucket_col: str, n_buckets: int) -> List[dict]:
+        """Write df hash-partitioned into bucket subdirectories; returns the
+        manifest entries. partitionBy drops the synthetic bucket column from
+        the data files, so the stored schema is unchanged."""
+        d = self._new_data_dir(name)
+        (
+            df.withColumn("__bucket", self._bucket_expr(bucket_col, n_buckets))
+            .write.mode("overwrite").partitionBy("__bucket").parquet(d)
+        )
+        entries = []
+        for sub in sorted(os.listdir(d)):
+            if sub.startswith("__bucket="):
+                entries.append({
+                    "path": os.path.relpath(os.path.join(d, sub), self._dir(name)),
+                    "bucket": int(sub.split("=", 1)[1]),
+                })
+        return entries
+
+    def merge_bucketed(self, spark: SparkSession, name: str, df: DataFrame,
+                       key_cols: List[str], bucket_col: str,
+                       n_buckets: int = 16,
+                       anti_cols: Optional[List[str]] = None) -> int:
+        """Upsert that rewrites only the hash-buckets `df` touches.
+
+        `anti_cols` widens the replacement unit: with anti_cols=['doc_id'],
+        ALL old rows of the touched documents are dropped before the new
+        rows land — SaveRecordsHandler's DeletePreviousRecordsAsync + upsert
+        (purge of superseded executions, J4/Q6) fused into the same
+        bucket-scoped pass. Default (None) is plain key upsert.
+
+        A table previously written unbucketed (legacy entries with unknown
+        bucket) is migrated by one full rewrite, after which merges are
+        incremental."""
+        if not self.exists(name):
+            return self._commit(
+                name, self._write_bucketed(spark, name, df, bucket_col, n_buckets)
+            )
+
+        touched = {
+            r[0]
+            for r in df.select(
+                self._bucket_expr(bucket_col, n_buckets).alias("b")
+            ).distinct().collect()
+        }
+        entries = self._entries(name)
+        untouched = [
+            e for e in entries
+            if e["bucket"] is not None and e["bucket"] not in touched
+        ]
+        reread = [
+            e for e in entries
+            if e["bucket"] is None or e["bucket"] in touched
+        ]
+        new_entries = list(untouched)
+        if reread:
+            paths = [os.path.join(self._dir(name), e["path"]) for e in reread]
+            old_touched = spark.read.parquet(*paths)
+            anti = anti_cols or key_cols
+            survivors = old_touched.join(
+                df.select(*anti).distinct(), anti, "left_anti"
+            )
+            merged = survivors.unionByName(df)
+        else:
+            merged = df
+        new_entries.extend(
+            self._write_bucketed(spark, name, merged, bucket_col, n_buckets)
+        )
+        return self._commit(name, new_entries)
 
     def delete_where(self, spark: SparkSession, name: str, condition) -> int:
         """Delete rows matching a Column condition (purge, J4/Q6)."""
@@ -147,7 +269,11 @@ def table_file_counts(catalog: "TableCatalog", name: str) -> list:
     manifest = catalog._manifest(name)
     counts = []
     for d in manifest["data"]:
-        counts.extend(_parquet_file_counts(os.path.join(catalog._dir(name), d)))
+        counts.extend(
+            _parquet_file_counts(
+                os.path.join(catalog._dir(name), catalog._entry_path(d))
+            )
+        )
     return counts
 
 
@@ -166,7 +292,7 @@ def commit_union(catalog: "TableCatalog", name: str, sources: List[str]) -> int:
     for src in sources:
         manifest = catalog._manifest(src)
         for d in manifest["data"]:
-            abs_d = _os.path.join(catalog._dir(src), d)
+            abs_d = _os.path.join(catalog._dir(src), catalog._entry_path(d))
             dirs.append(_os.path.relpath(abs_d, catalog._dir(name)))
     _os.makedirs(catalog._dir(name), exist_ok=True)
     return catalog._commit(name, dirs)

@@ -56,6 +56,8 @@ class PipelineConfig:
     cosine_threshold: float = lnk.COSINE_THRESHOLD
     last_update: str = "1970-01-01T00:00:00"
     per_bucket_metrics: bool = True
+    # records-table hash buckets (doc_id): merge rewrites only touched ones
+    records_buckets: int = 16
     steps: List[str] = field(default_factory=lambda: list(S.KG_STEPS))
 
 
@@ -258,8 +260,15 @@ class Pipeline:
                 savable, embeddings, clean_tags, extracted,
                 cfg.execution_id, cfg.last_update,
             )
-            sav.purge_previous_executions(spark, self.catalog, records)
-            self.catalog.merge(spark, "records", records, ["id"])
+            # Purge-of-superseded + upsert fused into ONE bucket-scoped merge
+            # (anti on doc_id = DeletePreviousRecordsAsync semantics): only
+            # the doc_id-hash buckets this execution touches are rewritten —
+            # at 100TB an incremental ingest no longer rewrites the table.
+            self.catalog.merge_bucketed(
+                spark, "records", records, ["id"],
+                bucket_col="doc_id", n_buckets=cfg.records_buckets,
+                anti_cols=["doc_id"],
+            )
             rows_out = tables.table_row_count(cat, "records")
             self._commit_step("save_records", 0, rows_out,
                               int((time.time() - t0) * 1000))

@@ -1,0 +1,88 @@
+"""Bucketed MERGE (the 100TB upsert path): only touched doc_id-hash buckets
+rewrite; untouched buckets carry into the new snapshot by reference."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from kernel_memory_spark.sources.tables import TableCatalog
+
+
+def rows(spark, pairs):
+    return spark.createDataFrame(
+        [(f"d={d}//p={p}", d, f"text-{d}-{p}") for d, p in pairs],
+        "id string, doc_id string, text string",
+    )
+
+
+class TestBucketedMerge:
+    def test_upsert_correctness(self, spark, tmp_path):
+        cat = TableCatalog(str(tmp_path))
+        cat.merge_bucketed(
+            spark, "t", rows(spark, [("a", 1), ("a", 2), ("b", 1)]),
+            ["id"], "doc_id", n_buckets=8,
+        )
+        # upsert same key with new content + a new key
+        cat.merge_bucketed(
+            spark, "t", rows(spark, [("a", 1), ("c", 1)]),
+            ["id"], "doc_id", n_buckets=8,
+        )
+        got = {(r.id, r.text) for r in cat.read(spark, "t").collect()}
+        assert got == {
+            ("d=a//p=1", "text-a-1"), ("d=a//p=2", "text-a-2"),
+            ("d=b//p=1", "text-b-1"), ("d=c//p=1", "text-c-1"),
+        }
+
+    def test_untouched_buckets_not_rewritten(self, spark, tmp_path):
+        cat = TableCatalog(str(tmp_path))
+        big = rows(spark, [(f"doc{i}", p) for i in range(40) for p in (1, 2)])
+        cat.merge_bucketed(spark, "t", big, ["id"], "doc_id", n_buckets=8)
+        before = {e["bucket"]: e["path"] for e in cat._entries("t")}
+
+        one = rows(spark, [("doc7", 1)])
+        cat.merge_bucketed(spark, "t", one, ["id"], "doc_id", n_buckets=8)
+        after = {e["bucket"]: e["path"] for e in cat._entries("t")}
+
+        touched_bucket = one.select(
+            TableCatalog._bucket_expr("doc_id", 8).alias("b")
+        ).first().b
+        changed = {b for b in before if before[b] != after.get(b)}
+        assert changed == {touched_bucket}
+        for b, path in before.items():
+            if b != touched_bucket:
+                # untouched data dir still on disk and referenced
+                assert os.path.isdir(os.path.join(str(tmp_path), "t", path))
+        assert cat.read(spark, "t").count() == 80
+
+    def test_doc_replace_semantics(self, spark, tmp_path):
+        """anti_cols=['doc_id'] = DeletePreviousRecordsAsync + upsert: a
+        re-upload with fewer partitions drops the superseded ones."""
+        cat = TableCatalog(str(tmp_path))
+        cat.merge_bucketed(
+            spark, "t", rows(spark, [("a", 1), ("a", 2), ("a", 3), ("b", 1)]),
+            ["id"], "doc_id", n_buckets=4,
+        )
+        cat.merge_bucketed(
+            spark, "t", rows(spark, [("a", 1)]),
+            ["id"], "doc_id", n_buckets=4, anti_cols=["doc_id"],
+        )
+        got = sorted(r.id for r in cat.read(spark, "t").collect())
+        assert got == ["d=a//p=1", "d=b//p=1"]
+
+    def test_legacy_table_migrates(self, spark, tmp_path):
+        cat = TableCatalog(str(tmp_path))
+        cat.overwrite(rows(spark, [("a", 1), ("b", 1)]), "t")  # unbucketed
+        cat.merge_bucketed(
+            spark, "t", rows(spark, [("c", 1)]), ["id"], "doc_id", n_buckets=4
+        )
+        assert cat.read(spark, "t").count() == 3
+        assert all(e["bucket"] is not None for e in cat._entries("t"))
+
+    def test_read_buckets_prunes(self, spark, tmp_path):
+        cat = TableCatalog(str(tmp_path))
+        big = rows(spark, [(f"doc{i}", 1) for i in range(40)])
+        cat.merge_bucketed(spark, "t", big, ["id"], "doc_id", n_buckets=8)
+        b0 = TableCatalog._bucket_expr("doc_id", 8)
+        expected = big.withColumn("b", b0).filter(F.col("b") == 3).count()
+        got = cat.read_buckets(spark, "t", [3]).count()
+        assert got == expected
