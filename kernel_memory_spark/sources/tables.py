@@ -179,6 +179,12 @@ class TableCatalog:
         d = self._new_data_dir(name)
         (
             df.withColumn("__bucket", self._bucket_expr(bucket_col, n_buckets))
+            # one shuffle of the incremental batch so each bucket writes as
+            # one file instead of tasks x buckets small files (the ledger's
+            # footer walk and the next merge's read both scale with file
+            # count; at 100TB n_buckets is sized so a bucket ~= an executor
+            # write)
+            .repartition(n_buckets, "__bucket")
             .write.mode("overwrite").partitionBy("__bucket").parquet(d)
         )
         entries = []
