@@ -140,19 +140,39 @@ def scaling_mode() -> None:
     # scaling protocol uses heavier documents (scale=4 sentences/span) and a
     # larger corpus so the job is compute-bound, and best-of-2 per level to
     # reject co-tenant noise on the shared sandbox host
-    n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "300000"))
+    # 600k scale-4 docs keeps the per-run compute magnitude of the original
+    # 300k protocol after the char3-v2 embedding sped the pipeline up ~2x —
+    # the efficiency metric is meaningful only while the job is
+    # compute-bound rather than scheduling-floor-bound (a 1000-executor
+    # deployment processes far more than 12.5k docs per executor).
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "600000"))
     scale = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "4"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
     lo, hi = (int(x) for x in os.environ.get(
         "SPARK_GRAFT_SCALE_CORES", "6,24").split(","))
     results = {}
-    for cores in (lo, hi):
+    # wide level first: a local[24] run has no spare cores, so a co-tenant
+    # burst contaminates it badly, while local[6] leaves 26 cores of
+    # headroom — measuring the fragile level in the freshest quiet window
+    # minimizes exposure (the host is shared)
+    for cores in (hi, lo):
         spark = get_spark(
             master=f"local[{cores}]", shuffle_partitions=max(16, cores),
             extra_conf={"spark.local.dir": "/dev/shm/kms-spark-local"}
             if os.path.isdir("/dev/shm") else None,
         )
         run_pipeline(spark, min(2000, n_docs), scale)  # JIT/worker warmup
-        runs = [run_pipeline(spark, n_docs, scale) for _ in range(2)]
+        runs = []
+        for _ in range(n_runs):
+            load_before = os.getloadavg()[0]
+            r = run_pipeline(spark, n_docs, scale)
+            # co-tenant transparency: the host is shared, so each run
+            # records the 1-min load right before and after — a run whose
+            # window collided with a foreign burst is visibly contaminated
+            r["load_1m_before"] = round(load_before, 2)
+            r["load_1m_after"] = round(os.getloadavg()[0], 2)
+            runs.append(r)
+            print(f"local[{cores}] run: {r}", file=sys.stderr)
         results[cores] = min(runs, key=lambda r: r["wall_sec"])
         spark.stop()
         print(f"local[{cores}]: {results[cores]}", file=sys.stderr)

@@ -56,8 +56,10 @@ class PipelineConfig:
     cosine_threshold: float = lnk.COSINE_THRESHOLD
     last_update: str = "1970-01-01T00:00:00"
     per_bucket_metrics: bool = True
-    # records-table hash buckets (doc_id): merge rewrites only touched ones
-    records_buckets: int = 16
+    # records-table hash buckets (doc_id): merge rewrites only touched ones.
+    # Also the write parallelism of the records commit — keep >= the
+    # executor-core count (at real scale: thousands).
+    records_buckets: int = 32
     steps: List[str] = field(default_factory=lambda: list(S.KG_STEPS))
 
 
