@@ -52,6 +52,19 @@ def filter_artifact_types(df: DataFrame, types=SAVABLE_ARTIFACT_TYPES,
     return df.filter(F.col(col).isin(list(types)))
 
 
+def upgrade_partitions(df: DataFrame) -> DataFrame:
+    """Read-side schema self-upgrade (mirrors upgrade_records): a partitions
+    table written before artifact_type existed gets the column defaulted to
+    'text_partition' — every pre-change partition was a text partition, so
+    resume on an old catalog keeps working instead of failing column
+    resolution in filter_artifact_types."""
+    if "artifact_type" not in df.columns:
+        df = df.withColumn(
+            "artifact_type", F.lit(ARTIFACT_TEXT_PARTITION)
+        )
+    return df
+
+
 def _make_tokenizer(name: str):
     if name.endswith("char"):
         return NCharTokenizer(int(name[:-4]))

@@ -74,5 +74,18 @@ def quarantine_rows(
 
 
 def write_quarantine(catalog, quarantined: DataFrame) -> int:
-    """Append to the quarantine table (snapshot commit)."""
+    """Append to the quarantine table (snapshot commit), idempotently.
+
+    A crash after this write but before the step's ledger commit re-runs the
+    step on resume; a plain append would then duplicate quarantine rows.
+    Anti-join against the existing table on (step, execution_id, key) so a
+    re-run of the same execution is a no-op for already-quarantined keys."""
+    spark = quarantined.sparkSession
+    if catalog.exists(QUARANTINE_TABLE):
+        existing = catalog.read(spark, QUARANTINE_TABLE).select(
+            "step", "execution_id", "key"
+        )
+        quarantined = quarantined.join(
+            existing, ["step", "execution_id", "key"], "left_anti"
+        )
     return catalog.append(quarantined, QUARANTINE_TABLE)

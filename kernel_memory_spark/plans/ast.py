@@ -247,14 +247,16 @@ def parse_infix(query: str) -> Node:
         if not word.startswith('"') and peek() in _OP_MAP:
             op = _OP_MAP[take()]
             value = unquote(take())
-            return Comparison(word, op, value)
+            # field paths are case-insensitive (InfixQueryParser.cs:362
+            # ToLowerInvariant): {Lang: en} and {lang: en} hit column 'lang'
+            return Comparison(word.lower(), op, value)
         if not word.startswith('"') and peek() == ":[":
             take()
             arr = take()
             if not arr.startswith("\x00ARRAY\x00"):
                 raise ValueError("expected array value after :[")
             values = [v for v in arr[len("\x00ARRAY\x00"):].split(",") if v]
-            return Comparison(word, "in", values)
+            return Comparison(word.lower(), "in", values)
         term = unquote(word)
         if term.startswith("-") and len(term) > 1:
             return TextSearch(term[1:], negated=True)
@@ -332,6 +334,9 @@ def _mongo_logical(name: str, value: object) -> Node:
 
 
 def _mongo_comparison(field: str, value: object) -> Node:
+    # field paths are case-insensitive (MongoJsonQueryParser
+    # ParseFieldComparison's ToLowerInvariant): {"Lang": "en"} -> 'lang'
+    field = field.lower()
     # simple equality: {"field": literal} (:207-216)
     if not isinstance(value, dict):
         return Comparison(field, "eq", _mongo_literal(value))
@@ -350,6 +355,10 @@ def _mongo_comparison(field: str, value: object) -> Node:
             continue
         if op_name not in _MONGO_COMPARISONS:
             raise QuerySyntaxError(f"unknown comparison operator: {op_name}")
+        if op_name in ("$in", "$nin") and not isinstance(op_value, list):
+            # a scalar would reach compile_node's list(v) and iterate a
+            # string character-wise — reject it as malformed instead
+            raise QuerySyntaxError(f"{op_name} requires an array value")
         conditions.append(
             Comparison(field, _MONGO_COMPARISONS[op_name], _mongo_literal(op_value))
         )

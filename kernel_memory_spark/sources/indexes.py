@@ -92,21 +92,27 @@ class IndexCatalog:
             raise IndexNotFoundError(normalize_index_name(index))
         return self.catalog.read(spark, self._table(index))
 
-    def upsert(self, spark: SparkSession, index: str, records: DataFrame) -> int:
+    def upsert(self, spark: SparkSession, index: str, records: DataFrame,
+               n_buckets: int = 16) -> int:
         """Create-on-miss + upsert (SaveRecordsHandler.SaveRecordAsync:
-        UpsertAsync -> IndexNotFound -> CreateIndexOnce -> retry)."""
+        UpsertAsync -> IndexNotFound -> CreateIndexOnce -> retry).
+
+        Bucket-scoped: records hash-bucket on doc_id (a record id embeds its
+        doc_id, so id-keyed replacement is bucket-deterministic) and an
+        upsert rewrites only the buckets it touches — at 100TB an
+        incremental ingest is O(batch), not O(index)."""
         self.create_index(spark, index)
-        return self.catalog.merge(
-            spark, self._table(index), records, ["id"]
+        return self.catalog.merge_bucketed(
+            spark, self._table(index), records, ["id"],
+            bucket_col="doc_id", n_buckets=n_buckets,
         )
 
     def delete_document(self, spark: SparkSession, index: str, doc_id: str) -> None:
         """Delete all records of one document; no-op on a missing index
-        (MissingIndexTest: delete doc from non-existing index)."""
+        (MissingIndexTest: delete doc from non-existing index). Rewrites
+        only the doc's hash bucket on a bucketed index."""
         if not self.index_exists(index):
             return
-        from pyspark.sql import functions as F
-
-        self.catalog.delete_where(
-            spark, self._table(index), F.col("doc_id") == doc_id
+        self.catalog.delete_keys(
+            spark, self._table(index), "doc_id", [doc_id]
         )

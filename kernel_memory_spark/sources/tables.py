@@ -63,11 +63,20 @@ class TableCatalog:
         with open(self._manifest_path(name, v)) as f:
             return json.load(f)
 
-    def _commit(self, name: str, data_dirs: List[str]) -> int:
+    def _commit(self, name: str, data_dirs: List[str],
+                bucketing: Optional[dict] = None) -> int:
         version = self.current_version(name) + 1
         os.makedirs(os.path.join(self._dir(name), "_manifests"), exist_ok=True)
+        manifest = {"version": version, "data": data_dirs}
+        if bucketing:
+            # Records (bucket_col, n_buckets) of the layout the bucket labels
+            # were computed under. A later merge with a different modulus must
+            # NOT trust these labels (it would skip rereading old rows whose
+            # keys now hash elsewhere) — _entries_under() nulls them out on
+            # mismatch, forcing a full migration rewrite.
+            manifest["bucketing"] = bucketing
         with open(self._manifest_path(name, version), "w") as f:
-            json.dump({"version": version, "data": data_dirs}, f)
+            json.dump(manifest, f)
         tmp = self._latest_file(name) + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(version))
@@ -121,8 +130,13 @@ class TableCatalog:
         d = self._new_data_dir(name)
         df.write.mode("overwrite").parquet(d)
         rel = os.path.relpath(d, self._dir(name))
-        prev = self._manifest(name)["data"] if self.exists(name) else []
-        return self._commit(name, prev + [rel])
+        prev, bucketing = [], None
+        if self.exists(name):
+            m = self._manifest(name)
+            prev, bucketing = m["data"], m.get("bucketing")
+        # the appended dir is a legacy (bucket=None) entry, which a later
+        # merge_bucketed always rereads — existing bucket labels stay valid
+        return self._commit(name, prev + [rel], bucketing=bucketing)
 
     def merge(self, spark: SparkSession, name: str, df: DataFrame,
               key_cols: List[str]) -> int:
@@ -171,6 +185,21 @@ class TableCatalog:
                 out.append(e)
         return out
 
+    def _entries_under(self, name: str, bucket_col: str,
+                       n_buckets: int) -> List[dict]:
+        """Manifest entries with bucket labels valid under the given layout.
+
+        Labels written under a DIFFERENT (bucket_col, n_buckets) — or under
+        no recorded bucketing at all — are demoted to bucket=None so the
+        merge rereads those rows instead of trusting a stale modulus (an old
+        row whose key hashes to a different bucket under the new layout
+        would otherwise silently survive as a duplicate)."""
+        recorded = self._manifest(name).get("bucketing")
+        entries = self._entries(name)
+        if recorded != {"col": bucket_col, "n": n_buckets}:
+            return [{"path": e["path"], "bucket": None} for e in entries]
+        return entries
+
     def _write_bucketed(self, spark: SparkSession, name: str, df: DataFrame,
                         bucket_col: str, n_buckets: int) -> List[dict]:
         """Write df hash-partitioned into bucket subdirectories; returns the
@@ -208,20 +237,79 @@ class TableCatalog:
         (purge of superseded executions, J4/Q6) fused into the same
         bucket-scoped pass. Default (None) is plain key upsert.
 
-        A table previously written unbucketed (legacy entries with unknown
-        bucket) is migrated by one full rewrite, after which merges are
-        incremental."""
-        if not self.exists(name):
-            return self._commit(
-                name, self._write_bucketed(spark, name, df, bucket_col, n_buckets)
-            )
+        A table previously written unbucketed, or bucketed under a different
+        (bucket_col, n_buckets) layout, is migrated by one full rewrite,
+        after which merges are incremental.
 
-        touched = {
-            r[0]
-            for r in df.select(
-                self._bucket_expr(bucket_col, n_buckets).alias("b")
-            ).distinct().collect()
-        }
+        Requires bucket_col ∈ (anti_cols or key_cols): replacement is scoped
+        to the buckets the input touches, so the replacement key must
+        determine the bucket.
+
+        Two-phase, write-first: (1) write the new rows bucketed — ONE
+        execution of df's lineage (which may be an expensive UDF chain), and
+        the written bucket= subdirectories ARE the touched-bucket set, no
+        separate distinct+collect job; (2) if old buckets overlap, anti-join
+        their rows against the just-written keys (a cheap columnar re-read of
+        the new files) and write the survivors. A touched bucket then has ≤2
+        entries (new + survivors) until its next merge compacts it."""
+        bucketing = {"col": bucket_col, "n": n_buckets}
+        new_entries = self._write_bucketed(spark, name, df, bucket_col,
+                                           n_buckets)
+        if not self.exists(name):
+            return self._commit(name, new_entries, bucketing=bucketing)
+
+        touched = {e["bucket"] for e in new_entries}
+        entries = self._entries_under(name, bucket_col, n_buckets)
+        untouched = [
+            e for e in entries
+            if e["bucket"] is not None and e["bucket"] not in touched
+        ]
+        reread = [
+            e for e in entries
+            if e["bucket"] is None or e["bucket"] in touched
+        ]
+        out = untouched + new_entries
+        if reread:
+            old_paths = [os.path.join(self._dir(name), e["path"])
+                         for e in reread]
+            new_paths = [os.path.join(self._dir(name), e["path"])
+                         for e in new_entries]
+            anti = anti_cols or key_cols
+            old_touched = spark.read.parquet(*old_paths)
+            if new_paths:
+                new_keys = spark.read.parquet(*new_paths).select(*anti).distinct()
+                survivors = old_touched.join(new_keys, anti, "left_anti")
+            else:
+                survivors = old_touched
+            out = out + self._write_bucketed(
+                spark, name, survivors, bucket_col, n_buckets
+            )
+        return self._commit(name, out, bucketing=bucketing)
+
+    def delete_where(self, spark: SparkSession, name: str, condition) -> int:
+        """Delete rows matching a Column condition (purge, J4/Q6).
+        Full rewrite — use delete_keys when deleting by the bucket column."""
+        old = self.read(spark, name)
+        return self.overwrite(old.filter(~condition), name)
+
+    def delete_keys(self, spark: SparkSession, name: str, key_col: str,
+                    keys: List[str]) -> int:
+        """Delete all rows whose key_col is in `keys`, rewriting only the
+        buckets those keys hash to when the table is bucketed on key_col
+        (zlib.crc32 == Spark's crc32 == java.util.zip.CRC32, so the driver
+        computes the touched buckets with zero Spark jobs). Falls back to a
+        full-rewrite delete_where on unbucketed/mismatched tables."""
+        import zlib
+
+        from pyspark.sql import functions as F
+
+        recorded = self._manifest(name).get("bucketing")
+        if not recorded or recorded["col"] != key_col:
+            return self.delete_where(
+                spark, name, F.col(key_col).isin(list(keys))
+            )
+        n = recorded["n"]
+        touched = {zlib.crc32(str(k).encode("utf-8")) % n for k in keys}
         entries = self._entries(name)
         untouched = [
             e for e in entries
@@ -231,26 +319,14 @@ class TableCatalog:
             e for e in entries
             if e["bucket"] is None or e["bucket"] in touched
         ]
-        new_entries = list(untouched)
+        out = list(untouched)
         if reread:
             paths = [os.path.join(self._dir(name), e["path"]) for e in reread]
-            old_touched = spark.read.parquet(*paths)
-            anti = anti_cols or key_cols
-            survivors = old_touched.join(
-                df.select(*anti).distinct(), anti, "left_anti"
+            survivors = spark.read.parquet(*paths).filter(
+                ~F.col(key_col).isin(list(keys))
             )
-            merged = survivors.unionByName(df)
-        else:
-            merged = df
-        new_entries.extend(
-            self._write_bucketed(spark, name, merged, bucket_col, n_buckets)
-        )
-        return self._commit(name, new_entries)
-
-    def delete_where(self, spark: SparkSession, name: str, condition) -> int:
-        """Delete rows matching a Column condition (purge, J4/Q6)."""
-        old = self.read(spark, name)
-        return self.overwrite(old.filter(~condition), name)
+            out += self._write_bucketed(spark, name, survivors, key_col, n)
+        return self._commit(name, out, bucketing=recorded)
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._dir(name), ignore_errors=True)

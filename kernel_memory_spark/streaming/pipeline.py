@@ -225,7 +225,8 @@ class Pipeline:
             )
         if crashed("partition"):
             return self.metrics
-        partitions = cat.read(spark, "partitions")
+        # self-upgrade pre-artifact_type catalogs on read (resume safety)
+        partitions = prt.upgrade_partitions(cat.read(spark, "partitions"))
 
         if "gen_embeddings" not in done:
             self._run_step(

@@ -78,6 +78,47 @@ class TestBucketedMerge:
         assert cat.read(spark, "t").count() == 3
         assert all(e["bucket"] is not None for e in cat._entries("t"))
 
+    def test_rebucket_with_different_n_migrates(self, spark, tmp_path):
+        """A merge with a different n_buckets must NOT trust bucket labels
+        written under the old modulus: a key that now hashes elsewhere would
+        silently survive as a duplicate. The manifest records the layout; on
+        mismatch all entries are treated as legacy and fully rereadd."""
+        cat = TableCatalog(str(tmp_path))
+        big = rows(spark, [(f"doc{i}", p) for i in range(40) for p in (1, 2)])
+        cat.merge_bucketed(spark, "t", big, ["id"], "doc_id", n_buckets=8)
+        # upsert every doc under a DIFFERENT modulus — no duplicates allowed
+        cat.merge_bucketed(spark, "t", big, ["id"], "doc_id", n_buckets=5)
+        assert cat.read(spark, "t").count() == 80
+        assert cat._manifest("t")["bucketing"] == {"col": "doc_id", "n": 5}
+        # and the labels are now valid under the new layout
+        cat.merge_bucketed(
+            spark, "t", rows(spark, [("doc0", 1)]), ["id"], "doc_id",
+            n_buckets=5,
+        )
+        assert cat.read(spark, "t").count() == 80
+
+    def test_rebucket_with_different_col_migrates(self, spark, tmp_path):
+        cat = TableCatalog(str(tmp_path))
+        df = rows(spark, [("a", 1), ("a", 2), ("b", 1)])
+        cat.merge_bucketed(spark, "t", df, ["id"], "doc_id", n_buckets=8)
+        cat.merge_bucketed(spark, "t", df, ["id"], "id", n_buckets=8)
+        assert cat.read(spark, "t").count() == 3
+
+    def test_append_preserves_bucketing(self, spark, tmp_path):
+        """Appended dirs are legacy entries (always reread), so existing
+        bucket labels stay valid and the manifest keeps the layout record."""
+        cat = TableCatalog(str(tmp_path))
+        cat.merge_bucketed(
+            spark, "t", rows(spark, [("a", 1), ("b", 1)]),
+            ["id"], "doc_id", n_buckets=4,
+        )
+        cat.append(rows(spark, [("c", 1)]), "t")
+        assert cat._manifest("t")["bucketing"] == {"col": "doc_id", "n": 4}
+        cat.merge_bucketed(
+            spark, "t", rows(spark, [("c", 1)]), ["id"], "doc_id", n_buckets=4
+        )
+        assert cat.read(spark, "t").count() == 3
+
     def test_read_buckets_prunes(self, spark, tmp_path):
         cat = TableCatalog(str(tmp_path))
         big = rows(spark, [(f"doc{i}", 1) for i in range(40)])

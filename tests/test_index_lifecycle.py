@@ -111,3 +111,47 @@ class TestIndexDeletionAndList:
         # IndexListTest.ItUsesDefaultIndexName: empty name -> default
         indexes.upsert(spark, "", some_records(spark))
         assert indexes.list_indexes() == ["default"]
+
+
+class TestBucketScopedUpsert:
+    """At 100TB an index upsert must be O(batch), not O(index): an upsert
+    touching one document rewrites at most the buckets it hashes to."""
+
+    def test_single_doc_upsert_rewrites_one_bucket(self, spark, indexes):
+        n_buckets = 8
+        recs = some_records(spark, n_docs=20)
+        indexes.upsert(spark, "big", recs, n_buckets=n_buckets)
+        cat = indexes.catalog
+        before = {
+            e["bucket"]: e["path"] for e in cat._entries("idx__big")
+        }
+        assert all(b is not None for b in before)
+
+        doc = recs.first().doc_id
+        one = recs.filter(F.col("doc_id") == doc)
+        indexes.upsert(spark, "big", one, n_buckets=n_buckets)
+        after_entries = cat._entries("idx__big")
+        # untouched buckets carried by reference (same paths)
+        kept = {e["path"] for e in after_entries} & set(before.values())
+        changed_buckets = {
+            e["bucket"] for e in after_entries if e["path"] not in kept
+        }
+        assert len(changed_buckets) == 1  # only the doc's hash bucket
+        assert len(kept) == len(before) - 1
+        # and the data is still a correct merge
+        got = indexes.read(spark, "big")
+        assert got.count() == recs.count()
+
+    def test_delete_document_rewrites_one_bucket(self, spark, indexes):
+        recs = some_records(spark, n_docs=20)
+        indexes.upsert(spark, "big", recs, n_buckets=8)
+        cat = indexes.catalog
+        before = {e["path"] for e in cat._entries("idx__big")}
+        doc = recs.first().doc_id
+        indexes.delete_document(spark, "big", doc)
+        after = cat._entries("idx__big")
+        kept = {e["path"] for e in after} & before
+        assert len(before) - len(kept) == 1  # one bucket dropped/rewritten
+        got = indexes.read(spark, "big")
+        assert got.filter(F.col("doc_id") == doc).count() == 0
+        assert got.count() == recs.filter(F.col("doc_id") != doc).count()

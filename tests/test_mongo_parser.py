@@ -2,9 +2,9 @@
 
 Ports tests/Core.Tests/Search/Query/QueryParserEquivalenceTests.cs: both
 parsers must produce the same logical structure for equivalent queries
-(field comparison is case-insensitive on the field path — the reference
-lowercases FieldPath in both parsers; here the original case is kept for
-direct Column binding, so the equivalence check compares lowercased).
+(field comparison is case-insensitive on the field path — both the
+reference and this repo lowercase the field at parse time:
+InfixQueryParser.cs:362, MongoJsonQueryParser ParseFieldComparison).
 Plus MongoJsonQueryParser error cases and factory dispatch
 (QueryParserFactory.cs:30-48).
 """
@@ -190,3 +190,33 @@ class TestMongoCompile:
         node = parse_query('{"topic": {"$in": ["ai", "ml"]}}')
         got = {r.id for r in df.filter(compile_node(node)).collect()}
         assert got == {"1", "2"}
+
+
+class TestFieldCaseInsensitivity:
+    """The reference lowercases field paths in both parsers; {"Lang": "en"}
+    and lang:en must target the same column."""
+
+    def test_mongo_field_lowercased(self):
+        node = parse_mongo('{"Lang": "en"}')
+        assert node.field == "lang"
+        node = parse_mongo('{"MimeType": {"$ne": "pdf"}}')
+        assert node.field == "mimetype"
+
+    def test_infix_field_lowercased(self):
+        node = parse_infix("Lang:en")
+        assert node.field == "lang"
+        node = parse_infix("Topic:[ai,ml]")
+        assert node.field == "topic"
+
+
+class TestInScalarRejected:
+    """A scalar $in/$nin value must be a syntax error, not a silent
+    character-wise isin (list('en') == ['e','n'])."""
+
+    def test_in_scalar_raises(self):
+        with pytest.raises(QuerySyntaxError):
+            parse_mongo('{"lang": {"$in": "en"}}')
+
+    def test_nin_scalar_raises(self):
+        with pytest.raises(QuerySyntaxError):
+            parse_mongo('{"lang": {"$nin": "en"}}')

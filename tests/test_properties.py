@@ -20,7 +20,11 @@ import json
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from kernel_memory_spark.functions.chunker import PlainTextChunker, normalize_newlines
+from kernel_memory_spark.functions.chunker import (
+    MIN_CHUNK_SIZE,
+    PlainTextChunker,
+    normalize_newlines,
+)
 from kernel_memory_spark.functions.minhash import (
     band_keys,
     candidate_band_prob,
@@ -51,13 +55,34 @@ class TestChunkerProperties:
         chunks = chunker.split(text, max_tokens_per_chunk=max_tokens)
         assert "".join(chunks) == normalize_newlines(text, trim=True)
 
-    @given(texts, st.integers(min_value=4, max_value=40))
+    @given(texts, st.integers(min_value=1, max_value=40))
     @settings(max_examples=150, deadline=None)
     def test_token_budget_respected(self, text, max_tokens):
+        # The reference clamps the effective budget at MinChunkSize=5
+        # (PlainTextChunker.cs:144-147): chunks can never be required to be
+        # smaller than MIN_CHUNK_SIZE tokens, so the invariant is
+        # count <= max(requested, MIN_CHUNK_SIZE), not count <= requested.
         tok = NCharTokenizer(4)
         chunker = PlainTextChunker(tok)
+        budget = max(max_tokens, MIN_CHUNK_SIZE)
         for c in chunker.split(text, max_tokens_per_chunk=max_tokens):
-            assert tok.count_tokens(c) <= max_tokens
+            assert tok.count_tokens(c) <= budget
+
+    @given(texts, st.integers(min_value=8, max_value=30),
+           st.integers(min_value=1, max_value=6))
+    @settings(max_examples=100, deadline=None)
+    def test_overlap_headroom_clamp(self, text, max_tokens, overlap):
+        # PlainTextChunker.cs:144-147: with overlap, the effective chunk body
+        # budget is max(MinChunkSize, max - overlap); every overlapped chunk
+        # therefore fits in max(max_tokens, MIN_CHUNK_SIZE + overlap).
+        tok = NCharTokenizer(4)
+        chunker = PlainTextChunker(tok)
+        chunks = chunker.split(
+            text, max_tokens_per_chunk=max_tokens, overlap=overlap
+        )
+        cap = max(max_tokens, MIN_CHUNK_SIZE + overlap)
+        for c in chunks:
+            assert tok.count_tokens(c) <= cap
 
     @given(texts, st.integers(min_value=8, max_value=30),
            st.integers(min_value=1, max_value=6))

@@ -58,6 +58,25 @@ class TestTagKeyQuarantine:
         assert not cat.exists(qtn.QUARANTINE_TABLE)
 
 
+class TestQuarantineIdempotency:
+    def test_rewrite_same_execution_no_duplicates(self, spark, tmp_path):
+        """Crash-after-quarantine-write, before ledger commit: the resumed
+        step re-quarantines the same keys; rows must not duplicate."""
+        cat = TableCatalog(str(tmp_path))
+        fatal = spark.createDataFrame(
+            [("d1", ), ("d2", )], "doc_id string"
+        )
+        q = qtn.quarantine_rows(fatal, "save_records", "ex1", "bad")
+        qtn.write_quarantine(cat, q)
+        qtn.write_quarantine(cat, q)  # simulated re-run of the same step
+        assert cat.read(spark, qtn.QUARANTINE_TABLE).count() == 2
+
+        # a DIFFERENT execution quarantining the same keys still appends
+        q2 = qtn.quarantine_rows(fatal, "save_records", "ex2", "bad")
+        qtn.write_quarantine(cat, q2)
+        assert cat.read(spark, qtn.QUARANTINE_TABLE).count() == 4
+
+
 class TestCustomStepQuarantine:
     def test_custom_step_fatal_condition(self, spark, tmp_path):
         cat = TableCatalog(str(tmp_path))
