@@ -562,6 +562,31 @@ def bm25_topk_docs(spark, sf):
     )
 
 
+def search_end_to_end(spark, sf):
+    """Composed SearchService chain (SearchService.cs:43-106): parse infix
+    query -> two-node fan-out (the corpus visible on nodes 'node-a' and
+    'node-b', node weights 1.0/0.9) -> per-node BM25 with the reference's
+    exp(raw/10) normalization (SqliteFtsIndex.cs:199-205) -> weighted
+    diminishing rerank (WeightedDiminishingReranker.cs:83-128) ->
+    min-relevance 0.3 -> offset 5 / limit 20 pagination."""
+    from kernel_memory_spark.operators import search_service as SVC
+
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("content")
+    )
+    req = SVC.SearchRequest(
+        query="content:spark OR content:merge",
+        min_relevance=0.3, offset=5, limit=20,
+        node_weights={"node-a": 1.0, "node-b": 0.9},
+        max_results_per_node=1 << 20,
+    )
+    out = SVC.search(
+        spark, {"node-a": docs, "node-b": docs}, req,
+        id_col="id", text_col="content",
+    )
+    return out.select("record_id", "relevance")
+
+
 def facts_token_budget(spark, sf):
     """A5: accumulate ranked facts while the running token total <= budget."""
     from kernel_memory_spark.operators import search_text as ST
@@ -639,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_star": connected_components_star,
         "salted_supplier_counts": salted_supplier_counts,
         "bm25_topk_docs": bm25_topk_docs,
+        "search_end_to_end": search_end_to_end,
         "facts_token_budget": facts_token_budget,
         "summarize_docs": summarize_docs,
         "kg_triples_sf": kg_triples_sf,  # rows-only (pandas-UDF chunker)
@@ -1040,6 +1066,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc, round(sum(wt), 3) AS score
             FROM w GROUP BY doc
             ORDER BY score DESC, doc ASC LIMIT 10
+        """,
+        "search_end_to_end": """
+            WITH matched AS (
+                SELECT doc_id, text FROM documents
+                WHERE contains(lower(text), 'spark')
+                   OR contains(lower(text), 'merge')),
+            toks AS (
+                SELECT doc_id AS doc,
+                       len(string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+')) AS dl,
+                       unnest(string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+')) AS term
+                FROM matched),
+            postings AS (
+                SELECT doc, dl, term, count(*) AS tf FROM toks
+                WHERE length(term) > 0 GROUP BY doc, dl, term),
+            stats AS (
+                SELECT (SELECT count(*) FROM matched) AS n,
+                       (SELECT avg(dl) FROM (SELECT DISTINCT doc, dl FROM postings)) AS avgdl),
+            q AS (SELECT * FROM postings WHERE term IN ('spark', 'merge')),
+            dfreq AS (SELECT term, count(DISTINCT doc) AS df FROM q GROUP BY term),
+            w AS (
+                SELECT q.doc,
+                       ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                       * (q.tf * 2.2)
+                       / (q.tf + 1.2 * (1 - 0.75 + 0.75 * q.dl / stats.avgdl)) AS wt
+                FROM q JOIN dfreq USING (term), stats),
+            scores AS (SELECT doc, round(sum(wt), 6) AS score FROM w GROUP BY doc),
+            -- per-appearance relevance = exp(raw/10), raw = -classic bm25
+            appear AS (SELECT doc, round(exp(-score / 10), 6) AS rel FROM scores),
+            -- both nodes hold the corpus: weighted scores rel*1.0, rel*0.9;
+            -- diminishing merge = s1 + s2*0.5, capped at 1.0
+            rer AS (
+                SELECT doc AS record_id,
+                       round(least(1.0, rel * 1.0 + rel * 0.9 * 0.5), 6) AS relevance
+                FROM appear)
+            SELECT record_id, relevance FROM rer
+            WHERE relevance >= 0.3
+            ORDER BY relevance DESC, record_id ASC
+            LIMIT 20 OFFSET 5
         """,
         "facts_token_budget": """
             SELECT event_id FROM (
