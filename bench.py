@@ -7,9 +7,12 @@ local[$SPARK_GRAFT_CPUS]; print ONE JSON line
 {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...} including
 docs/sec and triples/sec for the pipeline.
 
---scaling mode (BASELINE.md protocol): run the identical pipeline job on the
-identical input at local[8] and local[32], report throughput at both plus
-scaling efficiency = (T8/T32)/4, and write BENCH/BASELINE.md.
+--scaling mode (BASELINE.md protocol, PINNED): run the identical pipeline
+job on the identical input at local[6] and local[24] (N -> 4N cores;
+overridable via SPARK_GRAFT_SCALE_CORES), wide level first, best-of-
+SPARK_GRAFT_SCALE_RUNS per level with per-run loadavg capture; report
+throughput at both plus scaling efficiency =
+(docs_per_sec@24 / docs_per_sec@6) / 4, and write BENCH/BASELINE.md.
 """
 
 from __future__ import annotations

@@ -251,7 +251,7 @@ def simhash_dup_pairs(
     )
 
 
-def _pm1_planes(n_planes: int, dim: int) -> np.ndarray:
+def pm1_planes(n_planes: int, dim: int) -> np.ndarray:
     """(n_planes, dim) +/-1 hyperplanes derived from md5('plane|i|j') — a
     deterministic construction any SQL engine with md5 can replay (the
     DuckDB oracle rebuilds the identical weight table), unlike np.random
@@ -282,7 +282,7 @@ def cosine_dup_pairs(
     verify on the candidates. Near-identical vectors agree on every
     hyperplane sign, so true near-dups share the bucket; the cap bounds any
     degenerate bucket at cap^2 pairs."""
-    planes = _pm1_planes(n_planes, dim)
+    planes = pm1_planes(n_planes, dim)
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -27,9 +27,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_PLANE_SEED = 7
-
-
 def _unit(v: List[float]) -> List[float]:
     n = math.sqrt(sum(x * x for x in v)) or 1.0
     return [float(x / n) for x in v]
@@ -59,9 +56,33 @@ def brute_force_topk(
     )
 
 
+def _probe_masks(n_planes: int, radius: int) -> List[int]:
+    """XOR masks for multiprobe at Hamming distance <= radius (0 mask =
+    the query's own bucket). Standard multiprobe LSH: neighbors whose sign
+    pattern differs in up to `radius` planes are still reachable; probes
+    grow as sum of C(n_planes, r)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for comb in combinations(range(n_planes), r):
+            m = 0
+            for i in comb:
+                m |= 1 << i
+            masks.append(m)
+    return masks
+
+
 def _planes(dim: int, n_planes: int) -> np.ndarray:
-    rs = np.random.RandomState(_PLANE_SEED)
-    return rs.normal(size=(n_planes, dim))
+    """Deterministic md5-derived +/-1 hyperplanes (dedup.pm1_planes): the
+    same construction any SQL engine can replay term-by-term, so the ANN
+    bucket assignment is externally verifiable (the DuckDB oracle for
+    `ann_recall` rebuilds the identical weight table). Charikar '02
+    sign-random-projection works for any symmetric distribution, so +/-1
+    loses nothing vs Gaussians."""
+    from kernel_memory_spark.operators.dedup import pm1_planes
+
+    return pm1_planes(n_planes, dim).astype(np.float64)
 
 
 def lsh_bucket_ids(
@@ -96,6 +117,7 @@ def ann_lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     multiprobe: bool = True,
+    probe_radius: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -104,13 +126,81 @@ def ann_lsh_topk(
     qv = np.asarray(query_vector, dtype=np.float64)
     signs = (planes @ qv) > 0
     bucket = int(signs.dot(1 << np.arange(n_planes)))
-    probes = [bucket]
-    if multiprobe:
-        probes += [bucket ^ (1 << i) for i in range(n_planes)]
+    masks = _probe_masks(n_planes, probe_radius if multiprobe else 0)
+    probes = [bucket ^ m for m in masks]
 
     bucketed = lsh_bucket_ids(embeddings, dim, n_planes, id_col, vec_col)
     cands = bucketed.filter(F.col("bucket").isin(probes))
     return brute_force_topk(cands, query_vector, k, id_col, vec_col)
+
+
+def lsh_recall_report(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 6,
+    k: int = 10,
+    n_queries: int = 10,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN quality gate: per-query top-k recall of multiprobe LSH vs brute
+    force, for the first `n_queries` vectors as queries, as ONE batched
+    DataFrame job -> (query_id, recall).
+
+    Everything after the bucket UDF is JVM: all-pair cosine via a broadcast
+    cross join (n_queries x N — the exact baseline is the point), per-query
+    ranking windows bounded at n_queries partitions, probe expansion as an
+    exploded array with JVM bitwise XOR. The md5 +/-1 planes make every
+    intermediate SQL-replayable, so a DuckDB oracle can verify the report
+    end-to-end."""
+    from pyspark.sql import Window
+
+    bucketed = lsh_bucket_ids(
+        embeddings, dim, n_planes, id_col, vec_col
+    ).localCheckpoint()  # two consumers below; don't re-run the UDF
+
+    queries = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qe"),
+    )
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("ve"),
+    )
+    na = F.sqrt(dot_col(F.col("ve"), F.col("ve")))
+    nb = F.sqrt(dot_col(F.col("qe"), F.col("qe")))
+    scores = vecs.crossJoin(F.broadcast(queries)).select(
+        "qid", id_col,
+        F.round(dot_col(F.col("ve"), F.col("qe")) / (na * nb), 6).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
+    exact = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k).select("qid", id_col)
+    )
+
+    masks = _probe_masks(n_planes, probe_radius)
+    probe_arr = F.array(*[F.expr(f"bucket ^ {m}") for m in masks])
+    probes = (
+        bucketed.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), F.explode(probe_arr).alias("bucket"))
+    )
+    cands = bucketed.join(F.broadcast(probes), "bucket").select(
+        "qid", id_col
+    )
+    approx = (
+        scores.join(cands, ["qid", id_col])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k).select("qid", id_col)
+    )
+    return (
+        exact.join(approx, ["qid", id_col])
+        .groupBy("qid")
+        .agg(F.round(F.count("*") / float(k), 2).alias("recall"))
+        .select(F.col("qid").alias("query_id"), "recall")
+        .orderBy("query_id")
+    )
 
 
 def ivf_assign(
@@ -196,20 +286,21 @@ def query_lsh_index(
     k: int = 10,
     n_planes: int = 8,
     multiprobe: bool = True,
+    probe_radius: int = 1,
     table: str = "ann_lsh_index",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Probe the persisted bucket table: only the query's bucket(s) are
     read (bucket is a hive partition column -> pruned scan), then exact
-    cosine rank. No UDF, no full-table pass."""
+    cosine rank. No UDF, no full-table pass. probe_radius widens the
+    recall/latency dial: Hamming <= radius buckets are scanned."""
     planes = _planes(dim, n_planes)
     qv = np.asarray(query_vector, dtype=np.float64)
     signs = (planes @ qv) > 0
     bucket = int(signs.dot(1 << np.arange(n_planes)))
-    probes = [bucket]
-    if multiprobe:
-        probes += [bucket ^ (1 << i) for i in range(n_planes)]
+    masks = _probe_masks(n_planes, probe_radius if multiprobe else 0)
+    probes = [bucket ^ m for m in masks]
     index = catalog.read(spark, table)
     cands = index.filter(F.col("bucket").isin(probes))
     return brute_force_topk(cands, query_vector, k, id_col, vec_col)
