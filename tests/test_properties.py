@@ -22,6 +22,7 @@ from hypothesis import strategies as st
 
 from kernel_memory_spark.functions.chunker import (
     MIN_CHUNK_SIZE,
+    MarkDownChunker,
     PlainTextChunker,
     normalize_newlines,
 )
@@ -103,6 +104,37 @@ class TestChunkerProperties:
             tail = "".join(prev[max(0, len(prev) - overlap):])
             assert chunks[i].startswith(tail)
             assert chunks[i][len(tail):] == plain[i]
+
+
+# markdown structure chars exercise the MD separator tiers (headings,
+# fences, lists, tables) on top of the plain-text ones
+md_texts = st.text(
+    alphabet="abcd XY.,!?\n\r#>*-|`_[]()",
+    min_size=0,
+    max_size=400,
+)
+
+
+class TestMarkdownChunkerProperties:
+    """MarkDownChunker shares PlainTextChunker's recursion/assembly
+    (MarkDownChunker.cs:31-124 only swaps separator tiers), so the same
+    invariants must hold under the markdown tiers."""
+
+    @given(md_texts, st.integers(min_value=1, max_value=40))
+    @settings(max_examples=150, deadline=None)
+    def test_lossless_concat_no_overlap(self, text, max_tokens):
+        chunker = MarkDownChunker(NCharTokenizer(4))
+        chunks = chunker.split(text, max_tokens_per_chunk=max_tokens)
+        assert "".join(chunks) == normalize_newlines(text, trim=True)
+
+    @given(md_texts, st.integers(min_value=1, max_value=40))
+    @settings(max_examples=150, deadline=None)
+    def test_token_budget_respected_with_clamp(self, text, max_tokens):
+        tok = NCharTokenizer(4)
+        chunker = MarkDownChunker(tok)
+        budget = max(max_tokens, MIN_CHUNK_SIZE)
+        for c in chunker.split(text, max_tokens_per_chunk=max_tokens):
+            assert tok.count_tokens(c) <= budget
 
 
 field_names = st.sampled_from(
