@@ -119,6 +119,10 @@ def default_mode() -> None:
 
     sf = sf_value(SF_DIR)
     spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=max(32, CPUS))
+    # the sandbox host is shared: record the 1-min load around the run so a
+    # co-tenant burst is visible in the artifact instead of silently
+    # inflating the numbers (observed 2.7x swings run-to-run; PERF.md)
+    load_before = round(os.getloadavg()[0], 2)
     t_start = time.time()
     queries = run_queries(spark, SF_DIR)
     pipe = run_pipeline(spark, bench_docs(sf))
@@ -132,6 +136,8 @@ def default_mode() -> None:
         "sf": sf,
         "cpus": CPUS,
         "pipeline": pipe,
+        "load_1m_before": load_before,
+        "load_1m_after": round(os.getloadavg()[0], 2),
     }))
     spark.stop()
 
