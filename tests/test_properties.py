@@ -20,6 +20,12 @@ import json
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+# Deterministic example generation: the suite is a gate run by automated
+# drivers, so a flaky randomized draw must not change the verdict between
+# identical runs (equivalent to checking in the example database).
+settings.register_profile("deterministic", derandomize=True)
+settings.load_profile("deterministic")
+
 from kernel_memory_spark.functions.chunker import (
     MIN_CHUNK_SIZE,
     MarkDownChunker,
