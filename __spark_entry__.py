@@ -568,6 +568,27 @@ def search_end_to_end(spark, sf):
     return out.select("record_id", "relevance")
 
 
+def fts_index_topk(spark, sf):
+    """T2 at scale: write-once persisted FTS postings index (SqliteFtsIndex
+    analog — term-bucket hive partitions, pruned probes, stats table), then
+    BM25 top-k from the index. Must score identically to the per-query
+    bm25_topk path, so it shares that oracle's SQL."""
+    import tempfile
+
+    from kernel_memory_spark.operators import search_text as ST
+    from kernel_memory_spark.sources.tables import TableCatalog
+
+    docs = load_table(spark, sf, "documents")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="kms_fts_"))
+    ST.build_fts_index(spark, cat, docs)
+    return (
+        ST.query_fts_index(spark, cat, ["spark", "vector", "merge"], k=1 << 20)
+        .select("doc", F.round("score", 3).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(10)
+    )
+
+
 def facts_token_budget(spark, sf):
     """A5: accumulate ranked facts while the running token total <= budget."""
     from kernel_memory_spark.operators import search_text as ST
@@ -646,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_supplier_counts": salted_supplier_counts,
         "bm25_topk_docs": bm25_topk_docs,
         "search_end_to_end": search_end_to_end,
+        "fts_index_topk": fts_index_topk,
         "facts_token_budget": facts_token_budget,
         "summarize_docs": summarize_docs,
         "kg_triples_sf": kg_triples_sf,  # rows-only (pandas-UDF chunker)
@@ -1102,6 +1124,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.qid AS query_id, round(count(*) / 10.0, 2) AS recall
             FROM exact e JOIN approx a ON e.qid = a.qid AND e.vec_id = a.vec_id
             GROUP BY e.qid ORDER BY query_id
+        """,
+        "fts_index_topk": """
+            WITH toks AS (
+                SELECT doc_id AS doc,
+                       len(string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+')) AS dl,
+                       unnest(string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+')) AS term
+                FROM documents),
+            postings AS (
+                SELECT doc, dl, term, count(*) AS tf FROM toks
+                WHERE length(term) > 0 GROUP BY doc, dl, term),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n,
+                       (SELECT avg(dl) FROM (SELECT DISTINCT doc, dl FROM postings)) AS avgdl),
+            q AS (SELECT * FROM postings WHERE term IN ('spark', 'vector', 'merge')),
+            dfreq AS (SELECT term, count(DISTINCT doc) AS df FROM q GROUP BY term),
+            w AS (
+                SELECT q.doc,
+                       ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                       * (q.tf * 2.2)
+                       / (q.tf + 1.2 * (1 - 0.75 + 0.75 * q.dl / stats.avgdl)) AS wt
+                FROM q JOIN dfreq USING (term), stats)
+            SELECT doc, round(sum(wt), 3) AS score
+            FROM w GROUP BY doc
+            ORDER BY score DESC, doc ASC LIMIT 10
         """,
         "search_end_to_end": """
             WITH matched AS (

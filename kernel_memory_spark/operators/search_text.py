@@ -81,6 +81,95 @@ def bm25_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Persisted FTS index (SqliteFtsIndex.cs analog): the per-query bm25_topk
+# above re-tokenizes the corpus per query — fine for one-shot jobs, wrong
+# for a serving index at 100TB. Build the postings once at write time,
+# hive-partitioned by a hash bucket of the term, so a query scans only the
+# buckets its terms hash to (partition pruning at the file listing); corpus
+# stats (N, avgdl) persist as a 1-row table, mirroring FTS5 keeping them in
+# the index header. Query path: pruned scan + JVM column math, no
+# tokenization, no Python.
+# ---------------------------------------------------------------------------
+
+FTS_TERM_BUCKETS = 64
+
+
+def _term_bucket(col, n_buckets: int = FTS_TERM_BUCKETS):
+    return F.pmod(F.crc32(col.cast("string")), F.lit(n_buckets)).cast("int")
+
+
+def build_fts_index(
+    spark,
+    catalog,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "fts_index",
+    n_buckets: int = FTS_TERM_BUCKETS,
+) -> int:
+    """Write-once postings table (doc, dl, term, tf) partitioned by
+    term-hash bucket + a 1-row stats table `{table}__stats`."""
+    postings = tokenize_terms(df, id_col, text_col).withColumn(
+        "term_bucket", _term_bucket(F.col("term"), n_buckets)
+    )
+    version = catalog.overwrite(postings, table, partition_by=["term_bucket"])
+    stats = df.agg(F.count("*").cast("double").alias("n_docs")).crossJoin(
+        postings.select("doc", "dl").distinct()
+        .agg(F.coalesce(F.avg("dl"), F.lit(1.0)).alias("avgdl"))
+    )
+    catalog.overwrite(stats, table + "__stats")
+    return version
+
+
+def query_fts_index(
+    spark,
+    catalog,
+    query_terms: Sequence[str],
+    k: int = 10,
+    table: str = "fts_index",
+    n_buckets: int = FTS_TERM_BUCKETS,
+) -> DataFrame:
+    """BM25 top-k from the persisted postings: scans ONLY the term buckets
+    the query's terms hash to (term_bucket is a hive partition column), so
+    per-query cost is O(postings of ~|terms| buckets), independent of
+    corpus re-tokenization."""
+    import zlib
+
+    wanted = sorted({
+        zlib.crc32(t.encode("utf-8")) % n_buckets for t in query_terms
+    })
+    postings = catalog.read(spark, table).filter(
+        F.col("term_bucket").isin(wanted)  # prunes at the file listing
+        & F.col("term").isin(list(query_terms))
+    )
+    stats = catalog.read(spark, table + "__stats")
+    dfreq = postings.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            idf
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(k)
+    )
+
+
 def dedupe_facts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """F8 (SearchClient.cs:316-319): skip results whose partition text was
     already used — keep the first by relevance."""

@@ -60,6 +60,46 @@ class TestPromptAssembly:
         assert fact == "==== [File:f.txt;Relevance:0.5]:\nhello"
 
 
+class TestPersistedFtsIndex:
+    """Write-once FTS postings (SqliteFtsIndex analog): the query path must
+    (a) score identically to the per-query bm25_topk and (b) scan only the
+    term-hash buckets of the query terms (partition pruning)."""
+
+    def test_matches_per_query_bm25(self, spark, corpus, tmp_path):
+        from kernel_memory_spark.sources.tables import TableCatalog
+
+        cat = TableCatalog(str(tmp_path))
+        ST.build_fts_index(spark, cat, corpus)
+        terms = ["spark", "engine"]
+        direct = [(r.doc, r.score) for r in ST.bm25_topk(corpus, terms, k=4).collect()]
+        indexed = [(r.doc, round(r.score, 6)) for r in
+                   ST.query_fts_index(spark, cat, terms, k=4).collect()]
+        assert [(d, round(s, 6)) for d, s in direct] == indexed
+
+    def test_query_prunes_term_buckets(self, spark, corpus, tmp_path):
+        from kernel_memory_spark.sources.tables import TableCatalog
+
+        cat = TableCatalog(str(tmp_path))
+        ST.build_fts_index(spark, cat, corpus)
+        out = ST.query_fts_index(spark, cat, ["spark"], k=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "term_bucket" in plan
+        assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+    def test_rebuild_after_corpus_change(self, spark, corpus, tmp_path):
+        from kernel_memory_spark.sources.tables import TableCatalog
+
+        cat = TableCatalog(str(tmp_path))
+        ST.build_fts_index(spark, cat, corpus)
+        bigger = corpus.unionByName(spark.createDataFrame(
+            [("d5", "spark spark spark spark")], "doc_id string, text string"
+        ))
+        ST.build_fts_index(spark, cat, bigger)  # overwrite = new snapshot
+        direct = [r.doc for r in ST.bm25_topk(bigger, ["spark"], k=5).collect()]
+        indexed = [r.doc for r in ST.query_fts_index(spark, cat, ["spark"], k=5).collect()]
+        assert direct == indexed
+
+
 class TestSummarize:
     def test_short_text_passthrough(self, spark):
         df = spark.createDataFrame([("d1", "tiny.")], "doc_id string, text string")
