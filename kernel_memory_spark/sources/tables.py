@@ -328,6 +328,36 @@ class TableCatalog:
             out += self._write_bucketed(spark, name, survivors, key_col, n)
         return self._commit(name, out, bucketing=recorded)
 
+    def compact(self, spark: SparkSession, name: str,
+                max_entries_per_bucket: int = 1) -> int:
+        """Fold buckets that accumulated multiple manifest entries (the
+        write-first merge leaves <=2 per touched bucket: new rows +
+        survivors) back to one file each. Only over-threshold buckets are
+        rewritten; single-entry buckets carry by reference. The Iceberg
+        analog is rewrite_data_files; run it off the ingest path."""
+        from collections import Counter
+
+        recorded = self._manifest(name).get("bucketing")
+        if not recorded:
+            # unbucketed table: compaction = plain rewrite into one dir
+            return self.overwrite(self.read(spark, name), name)
+        entries = self._entries(name)
+        per_bucket = Counter(e["bucket"] for e in entries)
+        crowded = {
+            b for b, n in per_bucket.items()
+            if b is None or n > max_entries_per_bucket
+        }
+        if not crowded:
+            return self.current_version(name)
+        keep = [e for e in entries if e["bucket"] not in crowded]
+        rewrite = [e for e in entries if e["bucket"] in crowded]
+        paths = [os.path.join(self._dir(name), e["path"]) for e in rewrite]
+        out = keep + self._write_bucketed(
+            spark, name, spark.read.parquet(*paths),
+            recorded["col"], recorded["n"],
+        )
+        return self._commit(name, out, bucketing=recorded)
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self._dir(name), ignore_errors=True)
 

@@ -119,6 +119,33 @@ class TestBucketedMerge:
         )
         assert cat.read(spark, "t").count() == 3
 
+    def test_compact_folds_multi_entry_buckets(self, spark, tmp_path):
+        cat = TableCatalog(str(tmp_path))
+        big = rows(spark, [(f"doc{i}", p) for i in range(40) for p in (1, 2)])
+        cat.merge_bucketed(spark, "t", big, ["id"], "doc_id", n_buckets=8)
+        # an incremental merge leaves the touched bucket with 2 entries
+        cat.merge_bucketed(
+            spark, "t", rows(spark, [("doc7", 1)]), ["id"], "doc_id",
+            n_buckets=8,
+        )
+        from collections import Counter
+
+        before = Counter(e["bucket"] for e in cat._entries("t"))
+        assert max(before.values()) == 2
+        untouched_paths = {
+            e["path"] for e in cat._entries("t")
+            if before[e["bucket"]] == 1
+        }
+        cat.compact(spark, "t")
+        after = Counter(e["bucket"] for e in cat._entries("t"))
+        assert max(after.values()) == 1
+        # single-entry buckets carried by reference, not rewritten
+        assert untouched_paths <= {e["path"] for e in cat._entries("t")}
+        assert cat.read(spark, "t").count() == 80
+        # no-op when already compact (version unchanged)
+        v = cat.current_version("t")
+        assert cat.compact(spark, "t") == v
+
     def test_read_buckets_prunes(self, spark, tmp_path):
         cat = TableCatalog(str(tmp_path))
         big = rows(spark, [(f"doc{i}", 1) for i in range(40)])
