@@ -1,0 +1,127 @@
+"""Structured-Streaming ingestion: exactly-once micro-batch merges +
+periodic global refine, converging to the batch pipeline's output.
+
+The streaming shape is the DistributedPipelineOrchestrator analog (queue
+message = document batch); these tests assert the three contracts that
+matter: file-source exactly-once across restarts, doc-replacement on
+re-delivery, and refresh_graph parity with the batch Pipeline over the
+same corpus.
+"""
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kernel_memory_spark.sources.tables import TableCatalog
+from kernel_memory_spark.streaming import ingest as si
+from kernel_memory_spark.streaming.pipeline import Pipeline, PipelineConfig
+from kernel_memory_spark.synth import synth_full
+
+N_DOCS = 8
+
+
+def drop_file(df, source_dir, name):
+    """Materialize df as one parquet file inside the streaming source dir
+    (simulates a new arrival)."""
+    tmp = os.path.join(os.path.dirname(source_dir.rstrip("/")), f"_tmp_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(tmp + "/part-*.parquet")[0]
+    os.makedirs(source_dir, exist_ok=True)
+    shutil.move(part, os.path.join(source_dir, f"{name}.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.fixture()
+def batches(spark):
+    full = synth_full(spark, N_DOCS).select("doc_id", "spans", "tags")
+    first = full.filter(F.col("doc_id") <= "doc-000000003")
+    second = full.filter(F.col("doc_id") > "doc-000000003")
+    return full, first, second
+
+
+def run_stream(spark, catalog, source_dir):
+    q = si.stream_ingest(spark, catalog, source_dir)
+    q.awaitTermination()
+
+
+class TestStreamingIngest:
+    def test_incremental_batches_accumulate(self, spark, tmp_path, batches):
+        full, first, second = batches
+        src = str(tmp_path / "incoming")
+        cat = TableCatalog(str(tmp_path / "cat"))
+
+        drop_file(first, src, "arrival1")
+        run_stream(spark, cat, src)
+        assert cat.read(spark, "corpus").count() == 4
+        n_records_1 = cat.read(spark, "records").count()
+        assert n_records_1 > 0
+
+        drop_file(second, src, "arrival2")
+        run_stream(spark, cat, src)  # same checkpoint: only the new file
+        assert cat.read(spark, "corpus").count() == N_DOCS
+        got_docs = {
+            r.doc_id for r in
+            cat.read(spark, "records").select("doc_id").distinct().collect()
+        }
+        assert got_docs == {r.doc_id for r in full.select("doc_id").collect()}
+        # triples carry both batches' docs
+        tb_docs = cat.read(spark, "triples_base").select("doc_id").distinct()
+        assert tb_docs.count() == N_DOCS
+        # ledger has one stream_batch row per processed micro-batch
+        ledger = cat.read(spark, "step_ledger").filter(
+            F.col("step") == "stream_batch"
+        )
+        assert ledger.count() == 2
+
+    def test_redelivery_replaces_not_duplicates(self, spark, tmp_path, batches):
+        full, first, _second = batches
+        src = str(tmp_path / "incoming")
+        cat = TableCatalog(str(tmp_path / "cat"))
+
+        drop_file(first, src, "arrival1")
+        run_stream(spark, cat, src)
+        before = {
+            t: cat.read(spark, t).count()
+            for t in ("corpus", "records", "partitions", "triples_base")
+        }
+        # the SAME docs arrive again as a new file (at-least-once upstream)
+        drop_file(first, src, "arrival1-redelivered")
+        run_stream(spark, cat, src)
+        after = {
+            t: cat.read(spark, t).count()
+            for t in ("corpus", "records", "partitions", "triples_base")
+        }
+        assert after == before  # doc-scoped replacement, no duplicates
+
+    def test_refresh_graph_matches_batch_pipeline(self, spark, tmp_path, batches):
+        full, first, second = batches
+        src = str(tmp_path / "incoming")
+        stream_cat = TableCatalog(str(tmp_path / "scat"))
+
+        drop_file(first, src, "arrival1")
+        run_stream(spark, stream_cat, src)
+        drop_file(second, src, "arrival2")
+        run_stream(spark, stream_cat, src)
+        si.refresh_graph(spark, stream_cat)
+
+        batch_cat = TableCatalog(str(tmp_path / "bcat"))
+        pipe = Pipeline(spark, batch_cat, PipelineConfig(execution_id="batch"))
+        pipe.run(full.select("doc_id", "spans"), full.select("doc_id", "tags"))
+
+        def triple_set(cat):
+            return {
+                (r.subj, r.pred, r.obj, r.doc_id)
+                for r in cat.read(spark, "triples")
+                .select("subj", "pred", "obj", "doc_id").collect()
+            }
+
+        assert triple_set(stream_cat) == triple_set(batch_cat)
+        for t in ("nodes", "edges", "entity_map"):
+            assert (
+                stream_cat.read(spark, t).count()
+                == batch_cat.read(spark, t).count()
+            ), t
