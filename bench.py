@@ -206,15 +206,18 @@ records -> triples -> link -> canonicalize -> materialize), same input
 ({n_docs} synthetic interleaved docs at synth scale=4 — compute-bound,
 seed 42), two parallelism levels.
 
-| parallelism | wall (s) | docs/sec | triples/sec |
-|---|---|---|---|
-| local[{lo}]  | {results[lo]['wall_sec']} | {results[lo]['docs_per_sec']} | {results[lo]['triples_per_sec']} |
-| local[{hi}] | {results[hi]['wall_sec']} | {results[hi]['docs_per_sec']} | {results[hi]['triples_per_sec']} |
+| parallelism | wall (s) | docs/sec | triples/sec | load_1m before/after |
+|---|---|---|---|---|
+| local[{lo}]  | {results[lo]['wall_sec']} | {results[lo]['docs_per_sec']} | {results[lo]['triples_per_sec']} | {results[lo].get('load_1m_before')} / {results[lo].get('load_1m_after')} |
+| local[{hi}] | {results[hi]['wall_sec']} | {results[hi]['docs_per_sec']} | {results[hi]['triples_per_sec']} | {results[hi].get('load_1m_before')} / {results[hi].get('load_1m_after')} |
 
 **Scaling efficiency (N -> 4N cores) = (throughput@{hi} / throughput@{lo}) / {hi}/{lo} =
-{eff:.3f}** (target >= 0.8, BASELINE.json). Best-of-2 runs per level after a
-warmup run (shared-host noise rejection); identical output at both levels
-(n_triples match).
+{eff:.3f}** (target >= 0.8, BASELINE.json). Best-of-{n_runs} runs per level
+after a warmup run (shared-host noise rejection); identical output at both
+levels (n_triples match). The load column is the host 1-min loadavg around
+the winning run — back-to-back wide runs see their OWN previous run in the
+1-min EMA (~{hi} from the job itself), so co-tenant contamination shows as
+values well above {hi} at the wide level or above ~{lo}+2 at the narrow.
 
 Output invariance across parallelism levels is asserted by
 tests/test_triples_pr.py::TestParallelismInvariance.
