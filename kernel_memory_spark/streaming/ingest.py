@@ -126,7 +126,10 @@ def ingest_batch(
     extractions = tri.extract_all_df(parts).localCheckpoint()
     _merge_doc_scoped(catalog, spark, "extractions", extractions, nb)
 
-    lineage = tri.lineage_triples(parts, extracted, clean_tags, execution_id)
+    # raw tags here, not clean_tags: the batch pipeline derives tag triples
+    # from the stored doc_tags table (pipeline.py triples step), quarantine
+    # only strips user tags from RECORDS — keep the two paths identical
+    lineage = tri.lineage_triples(parts, extracted, tags, execution_id)
     mentions = tri.mentions_from_extractions(extractions)
     batch_triples = lineage.unionByName(
         tri.mention_triples(mentions, execution_id)

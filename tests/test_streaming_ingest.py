@@ -97,6 +97,52 @@ class TestStreamingIngest:
         }
         assert after == before  # doc-scoped replacement, no duplicates
 
+    def test_poisoned_tags_parity_with_batch(self, spark, tmp_path, batches):
+        """Quarantine routing must match the batch pipeline exactly: user
+        tags stripped from the poisoned doc's RECORDS, but the tag-lineage
+        triples (derived from the stored doc_tags table) unchanged."""
+        full, first, _ = batches
+        poisoned = first.withColumn(
+            "tags",
+            F.when(
+                F.col("doc_id") == "doc-000000001",
+                F.map_concat(
+                    F.col("tags"),
+                    F.create_map(F.lit("bad:key"), F.array(F.lit("v"))),
+                ),
+            ).otherwise(F.col("tags")),
+        )
+        src = str(tmp_path / "incoming")
+        scat = TableCatalog(str(tmp_path / "scat"))
+        drop_file(poisoned, src, "arrival1")
+        run_stream(spark, scat, src)
+
+        bcat = TableCatalog(str(tmp_path / "bcat"))
+        Pipeline(spark, bcat, PipelineConfig(execution_id="batch")).run(
+            poisoned.select("doc_id", "spans"),
+            poisoned.select("doc_id", "tags"),
+        )
+
+        def tagless(cat):
+            return {
+                r.doc_id for r in cat.read(spark, "records")
+                .filter(~F.map_contains_key("tags", "user"))
+                .select("doc_id").distinct().collect()
+            }
+
+        assert tagless(scat) == tagless(bcat) == {"doc-000000001"}
+
+        def base_triples(cat):
+            return {
+                (r.subj, r.pred, r.obj)
+                for r in cat.read(spark, "triples_base")
+                .select("subj", "pred", "obj").collect()
+            }
+
+        assert base_triples(scat) == base_triples(bcat)
+        q = scat.read(spark, "quarantine").first()
+        assert q.key == "doc-000000001" and q.reason == "invalid_tag_key"
+
     def test_refresh_graph_matches_batch_pipeline(self, spark, tmp_path, batches):
         full, first, second = batches
         src = str(tmp_path / "incoming")
