@@ -589,6 +589,42 @@ def fts_index_topk(spark, sf):
     )
 
 
+ASK_QUESTION = "what do these records say"
+ASK_MAX_PROMPT_TOKENS = 1500
+ASK_ANSWER_TOKENS = 300
+
+
+def ask_prompt_facts(spark, sf):
+    """Composed RAG ask chain (SearchClient.AskStreamingAsync:195-275 +
+    ProcessMemoryRecord): KNN retrieval -> empty-skip -> dupe-fact skip ->
+    FactTemplate render with P1 percent relevance -> strict token-budget
+    prefix. Records = embeddings joined to documents; query vector = the
+    unit-normalized embedding of vec_id 0 (oracle replays it)."""
+    from kernel_memory_spark.operators import ask as ASK
+
+    emb_t = load_table(spark, sf, "embeddings")
+    docs = load_table(spark, sf, "documents")
+    recs = emb_t.join(docs, emb_t.vec_id == docs.doc_id).select(
+        F.format_string("rec-%05d", F.col("vec_id")).alias("id"),
+        F.format_string("doc-%05d", F.col("doc_id")).alias("doc_id"),
+        F.col("embedding").alias("vector"),
+        F.struct(
+            F.substring("text", 1, 120).alias("text"),
+            F.format_string("doc-%05d.txt", F.col("doc_id")).alias("file"),
+        ).alias("payload"),
+    )
+    qvec = [float(x) for x in emb_t.filter(F.col("vec_id") == 0).first().embedding]
+    facts = ASK.ask_facts(
+        recs, qvec, ASK_QUESTION,
+        max_prompt_tokens=ASK_MAX_PROMPT_TOKENS,
+        answer_tokens=ASK_ANSWER_TOKENS,
+    )
+    return facts.select(
+        "id", "doc_id", F.round("relevance", 3).alias("relevance"),
+        "fact", "token_count",
+    ).orderBy(F.desc("relevance"), F.asc("id"))
+
+
 def facts_token_budget(spark, sf):
     """A5: accumulate ranked facts while the running token total <= budget."""
     from kernel_memory_spark.operators import search_text as ST
@@ -667,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_supplier_counts": salted_supplier_counts,
         "bm25_topk_docs": bm25_topk_docs,
         "search_end_to_end": search_end_to_end,
+        "ask_prompt_facts": ask_prompt_facts,
         "fts_index_topk": fts_index_topk,
         "facts_token_budget": facts_token_budget,
         "summarize_docs": summarize_docs,
@@ -1148,6 +1185,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc, round(sum(wt), 3) AS score
             FROM w GROUP BY doc
             ORDER BY score DESC, doc ASC LIMIT 10
+        """,
+        "ask_prompt_facts": """
+            WITH q AS (
+                SELECT unnest(embedding)::DOUBLE AS x,
+                       generate_subscripts(embedding, 1) AS k
+                FROM embeddings WHERE vec_id = 0),
+            qn AS (SELECT sqrt(sum(x * x)) AS n FROM q),
+            qu AS (SELECT k, x / qn.n AS qx FROM q, qn),
+            ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS vx,
+                          generate_subscripts(embedding, 1) AS k
+                   FROM embeddings),
+            dots AS (SELECT vec_id, sum(vx * qx) AS dot
+                     FROM ev JOIN qu USING (k) GROUP BY vec_id),
+            matches AS (
+                SELECT printf('rec-%05d', d.vec_id) AS id,
+                       printf('doc-%05d', doc.doc_id) AS doc_id,
+                       d.dot,
+                       round(d.dot, 6) AS rel6,
+                       printf('doc-%05d.txt', doc.doc_id) AS file,
+                       trim(substr(doc.text, 1, 120)) AS text
+                FROM dots d JOIN documents doc ON d.vec_id = doc.doc_id
+                WHERE d.dot >= 0.0),
+            topk AS (SELECT * FROM (
+                SELECT m.*, row_number() OVER (ORDER BY dot DESC, id ASC) AS rn
+                FROM matches m) WHERE rn <= 100),
+            dedup AS (SELECT * FROM (
+                SELECT t.*, row_number() OVER (PARTITION BY text
+                                               ORDER BY dot DESC) AS dn
+                FROM topk t) WHERE dn = 1),
+            facts AS (SELECT id, doc_id, rel6,
+                '==== [File:' || file || ';Relevance:'
+                || printf('%.1f%%', rel6 * 100) || ']:' || chr(10)
+                || text || chr(10) AS fact
+                FROM dedup),
+            tok AS (SELECT *, CAST(ceil(length(fact) / 4.0) AS INT)
+                             AS token_count FROM facts),
+            kept AS (SELECT * FROM (
+                SELECT t.*, sum(token_count) OVER (
+                    ORDER BY rel6 DESC, id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM tok t) WHERE cum < 1129)
+            SELECT id, doc_id, round(rel6, 3) AS relevance, fact, token_count
+            FROM kept ORDER BY relevance DESC, id ASC
         """,
         "search_end_to_end": """
             WITH matched AS (

@@ -187,6 +187,7 @@ def take_within_token_budget(
     order_by: List,
     token_col: str = "token_count",
     min_tokens_per_fact: int = 1,
+    strict: bool = False,
 ) -> DataFrame:
     """A5 (SearchClient.cs:341-352): accumulate facts in rank order while the
     running token total stays under budget.
@@ -197,7 +198,12 @@ def take_within_token_budget(
     before the cumulative-sum window. The window then sees at most that many
     rows (one tiny task), never the full table. Facts with fewer than
     min_tokens_per_fact tokens are excluded (the reference never emits an
-    empty fact — SearchClient.cs:290-293 skips empty partitions)."""
+    empty fact — SearchClient.cs:290-293 skips empty partitions).
+
+    strict=True keeps rows while the running total stays STRICTLY under
+    budget — the Ask path's stop condition `factSize >= TokensAvailable`
+    (SearchClient.cs:341-346) is equivalent to `cum < budget` for positive
+    sizes; the default (<=) matches the generic A5 accumulate-while-fits."""
     cap = max(1, budget // max(1, min_tokens_per_fact))
     head = (
         df.filter(F.col(token_col) >= min_tokens_per_fact)
@@ -205,9 +211,11 @@ def take_within_token_budget(
         .limit(cap)
     )
     w = Window.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(token_col).over(w)
+    cond = (F.col("__cum") < budget) if strict else (F.col("__cum") <= budget)
     return (
-        head.withColumn("__cum", F.sum(token_col).over(w))
-        .filter(F.col("__cum") <= budget)
+        head.withColumn("__cum", cum)
+        .filter(cond)
         .drop("__cum")
     )
 
