@@ -589,6 +589,21 @@ def fts_index_topk(spark, sf):
     )
 
 
+def search_snippets(spark, sf):
+    """Snippet derivation (SqliteFtsIndex.cs:168 snippet() + :231 match-all
+    substr path): windowed excerpt around the first query-term match with
+    '...' truncation markers, substr fallback for unmatched docs."""
+    from kernel_memory_spark.operators import search_text as ST
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        ST.snippet_expr("text", ["spark", "merge"], n_tokens=32).alias(
+            "snippet"
+        ),
+    )
+
+
 ASK_QUESTION = "what do these records say"
 ASK_MAX_PROMPT_TOKENS = 1500
 ASK_ANSWER_TOKENS = 300
@@ -704,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_docs": bm25_topk_docs,
         "search_end_to_end": search_end_to_end,
         "ask_prompt_facts": ask_prompt_facts,
+        "search_snippets": search_snippets,
         "fts_index_topk": fts_index_topk,
         "facts_token_budget": facts_token_budget,
         "summarize_docs": summarize_docs,
@@ -1185,6 +1201,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc, round(sum(wt), 3) AS score
             FROM w GROUP BY doc
             ORDER BY score DESC, doc ASC LIMIT 10
+        """,
+        "search_snippets": """
+            WITH base AS (
+                SELECT doc_id, trim(text) AS t,
+                       string_split_regex(trim(text), '\\s+') AS words
+                FROM documents),
+            toks AS (
+                SELECT doc_id,
+                       lower(regexp_replace(unnest(words), '[^\\w]', '', 'g')) AS w,
+                       generate_subscripts(words, 1) - 1 AS i
+                FROM base),
+            firsts AS (
+                SELECT doc_id,
+                       min(CASE WHEN w IN ('spark', 'merge') THEN i END) AS idx
+                FROM toks GROUP BY doc_id),
+            joined AS (
+                SELECT b.doc_id, b.t, b.words, f.idx,
+                       greatest(0, f.idx - 8) AS s,
+                       len(b.words) AS n
+                FROM base b JOIN firsts f USING (doc_id))
+            SELECT doc_id,
+                   CASE WHEN idx IS NOT NULL THEN
+                       (CASE WHEN s > 0 THEN '...' ELSE '' END)
+                       || array_to_string(words[s + 1 : s + 32], ' ')
+                       || (CASE WHEN s + 32 < n THEN '...' ELSE '' END)
+                   ELSE
+                       substr(t, 1, 200)
+                       || (CASE WHEN length(t) > 200 THEN '...' ELSE '' END)
+                   END AS snippet
+            FROM joined
         """,
         "ask_prompt_facts": """
             WITH q AS (

@@ -170,6 +170,64 @@ def query_fts_index(
     )
 
 
+# SqliteFtsIndex.cs:168: snippet(table, 3, '', '', '...', 32) — a ~32-token
+# excerpt around the match with '...' ellipsis and no highlight markers;
+# the match-all path returns substr(content, 1, DefaultSqlSnippetLength)
+# (:231). Constants.cs: DefaultSnippetLength=200 chars.
+SNIPPET_TOKENS = 32
+SNIPPET_ELLIPSIS = "..."
+DEFAULT_SNIPPET_LENGTH = 200
+
+
+def snippet_expr(
+    text_col,
+    terms: Sequence[str],
+    n_tokens: int = SNIPPET_TOKENS,
+    snippet_chars: int = DEFAULT_SNIPPET_LENGTH,
+    ellipsis: str = SNIPPET_ELLIPSIS,
+):
+    """Snippet Column: a window of up to n_tokens words starting shortly
+    before the FIRST occurrence of any query term, '...'-marked when
+    truncated on either side (FTS5 ranks candidate windows by match count;
+    first-match-window is the deterministic, SQL-replayable approximation —
+    divergence documented). No terms matched -> the match-all excerpt
+    substr(text, 1, snippet_chars). Pure column math, JVM-side."""
+    col = text_col if not isinstance(text_col, str) else F.col(text_col)
+    words = F.split(F.trim(col), r"\s+")
+    clean = F.transform(
+        words, lambda w: F.lower(F.regexp_replace(w, r"[^\w]", ""))
+    )
+    term_arr = F.array(*[F.lit(t.lower()) for t in terms]) if terms else F.array()
+    # first matching word index, -1 when none: zip each word with its
+    # position, keep the first non-negative candidate
+    idx = F.aggregate(
+        F.zip_with(
+            clean,
+            F.sequence(F.lit(0), F.greatest(F.size(words) - 1, F.lit(0))),
+            lambda w, i: F.when(F.array_contains(term_arr, w), i).otherwise(-1),
+        ),
+        F.lit(-1),
+        lambda acc, v: F.when((acc == -1) & (v != -1), v).otherwise(acc),
+    )
+    lead = n_tokens // 4  # leading context before the match
+    start = F.greatest(F.lit(0), idx - lead)
+    snip = F.concat_ws(" ", F.slice(words, start + 1, n_tokens))
+    windowed = F.concat(
+        F.when(start > 0, F.lit(ellipsis)).otherwise(F.lit("")),
+        snip,
+        F.when(start + n_tokens < F.size(words), F.lit(ellipsis)).otherwise(
+            F.lit("")
+        ),
+    )
+    match_all = F.concat(
+        F.substring(F.trim(col), 1, snippet_chars),
+        F.when(
+            F.length(F.trim(col)) > snippet_chars, F.lit(ellipsis)
+        ).otherwise(F.lit("")),
+    )
+    return F.when(idx >= 0, windowed).otherwise(match_all)
+
+
 def dedupe_facts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """F8 (SearchClient.cs:316-319): skip results whose partition text was
     already used — keep the first by relevance."""

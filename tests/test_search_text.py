@@ -100,6 +100,51 @@ class TestPersistedFtsIndex:
         assert direct == indexed
 
 
+class TestSnippets:
+    """snippet() parity (SqliteFtsIndex.cs:168, 231): windowed excerpt
+    around the first match, '...' when truncated, substr fallback."""
+
+    def test_window_around_match(self, spark):
+        words = " ".join(f"w{i}" for i in range(100))
+        text = words.replace("w50", "needle")
+        df = spark.createDataFrame([(text,)], "text string")
+        got = df.select(
+            ST.snippet_expr("text", ["needle"], n_tokens=8).alias("s")
+        ).first().s
+        assert "needle" in got
+        assert got.startswith("...") and got.endswith("...")
+        body = got.strip(".")
+        assert len(body.split()) == 8
+
+    def test_match_at_start_no_leading_ellipsis(self, spark):
+        df = spark.createDataFrame(
+            [("needle then more words follow here now ok",)], "text string"
+        )
+        got = df.select(
+            ST.snippet_expr("text", ["needle"], n_tokens=4).alias("s")
+        ).first().s
+        assert not got.startswith("...")
+        assert got.endswith("...")
+        assert got.split()[0] == "needle"
+
+    def test_no_match_falls_back_to_substr(self, spark):
+        long_text = "alpha " * 100
+        df = spark.createDataFrame([(long_text,)], "text string")
+        got = df.select(
+            ST.snippet_expr("text", ["zzz"], snippet_chars=50).alias("s")
+        ).first().s
+        assert got == long_text.strip()[:50] + "..."
+
+    def test_punctuation_and_case_insensitive(self, spark):
+        df = spark.createDataFrame(
+            [("The big (Needle!) was found here",)], "text string"
+        )
+        got = df.select(
+            ST.snippet_expr("text", ["needle"], n_tokens=3).alias("s")
+        ).first().s
+        assert "(Needle!)" in got
+
+
 class TestSummarize:
     def test_short_text_passthrough(self, spark):
         df = spark.createDataFrame([("d1", "tiny.")], "doc_id string, text string")
