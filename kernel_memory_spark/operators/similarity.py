@@ -278,6 +278,36 @@ def build_lsh_index(
     return catalog.overwrite(bucketed, table, partition_by=["bucket"])
 
 
+def upsert_lsh_index(
+    spark,
+    catalog,
+    new_embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    table: str = "ann_lsh_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index maintenance: bucket ONLY the new batch (the
+    Python/Arrow cost is O(batch)), drop old rows with the same ids (a
+    vector update can move its row to a different bucket, so removal is an
+    id anti-join, not bucket-scoped), and rewrite the hive-partitioned
+    table JVM-side. On Iceberg this is MERGE INTO on the bucket-partitioned
+    table, which further prunes the rewrite to touched partitions; here the
+    win is confining the UDF to the batch while the rewrite stays columnar
+    shuffle-free I/O."""
+    fresh = lsh_bucket_ids(new_embeddings, dim, n_planes, id_col, vec_col)
+    if not catalog.exists(table):
+        return catalog.overwrite(fresh, table, partition_by=["bucket"])
+    old = catalog.read(spark, table)
+    keep = old.join(
+        fresh.select(id_col).distinct(), id_col, "left_anti"
+    )
+    return catalog.overwrite(
+        keep.unionByName(fresh), table, partition_by=["bucket"]
+    )
+
+
 def query_lsh_index(
     spark,
     catalog,

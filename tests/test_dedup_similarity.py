@@ -222,6 +222,30 @@ class TestPersistedIndex:
         assert len(set(exact) & set(approx)) / 10 >= 0.5
         assert approx[0] == 7  # self always lands in its own bucket
 
+    def test_lsh_index_upsert(self, spark, embeddings, tmp_path):
+        from kernel_memory_spark.sources.tables import TableCatalog
+
+        cat = TableCatalog(str(tmp_path))
+        first = embeddings.filter(F.col("vec_id") < 400)
+        SIM.build_lsh_index(spark, cat, first, 64, n_planes=4)
+        # add the remaining vectors + re-deliver one with a CHANGED vector
+        # (its bucket may move: removal must be id-scoped, not bucket-scoped)
+        rest = embeddings.filter(F.col("vec_id") >= 400)
+        changed = embeddings.filter(F.col("vec_id") == 7).withColumn(
+            "embedding", F.transform("embedding", lambda x: -x)
+        )
+        SIM.upsert_lsh_index(
+            spark, cat, rest.unionByName(changed), 64, n_planes=4
+        )
+        idx = cat.read(spark, "ann_lsh_index")
+        assert idx.count() == embeddings.count()  # no dup for vec 7
+        assert idx.filter(F.col("vec_id") == 7).count() == 1
+        # probing still works end-to-end after the upsert
+        row = embeddings.filter(F.col("vec_id") == 450).first()
+        out = SIM.query_lsh_index(spark, cat, list(row.embedding), 64,
+                                  k=5, n_planes=4, probe_radius=2)
+        assert out.first().vec_id == 450
+
     def test_ivf_index_probe(self, spark, embeddings, tmp_path):
         from kernel_memory_spark.sources.tables import TableCatalog
 
