@@ -126,18 +126,36 @@ def collect_positive_terms(node: A.Node) -> List[str]:
     return uniq
 
 
-def fts_normalize(node: A.Node) -> A.Node:
+def fts_normalize(node: A.Node, available: Optional[Sequence[str]] = None) -> A.Node:
     """Rewrite eq/contains comparisons on FTS fields into per-field text
     searches: "Equal on FTS fields uses FTS semantics (substring/stemming
     match), not exact equality" (NodeSearchService.cs:381-383). Applies
     inside NOT subtrees too — CollectNotTermsFromNode (:355-366) does the
-    same for negative terms."""
+    same for negative terms.
+
+    `available` restricts every TextSearch's field list to columns that
+    exist in the node DataFrame (a bare term defaults to all three FTS
+    fields; a content-only schema must not fail column resolution)."""
+    def fields_for(fields: Sequence[str]) -> tuple:
+        if available is None:
+            return tuple(fields)
+        kept = tuple(f for f in fields if f in available)
+        return kept or tuple(available)
+
     if isinstance(node, A.Comparison):
         if node.op in ("eq", "contains") and node.field in FTS_FIELDS:
-            return A.TextSearch(str(node.value), fields=(node.field,))
+            return A.TextSearch(
+                str(node.value), fields=fields_for((node.field,))
+            )
         return node
+    if isinstance(node, A.TextSearch):
+        return A.TextSearch(
+            node.term, negated=node.negated, fields=fields_for(node.fields)
+        )
     if isinstance(node, A.Logical):
-        return A.Logical(node.op, [fts_normalize(c) for c in node.children])
+        return A.Logical(
+            node.op, [fts_normalize(c, available) for c in node.children]
+        )
     return node
 
 
@@ -187,7 +205,8 @@ def search_node(
     max_results_per_node (TakeOrderedAndProject)."""
     pred = F.lit(True)
     if ast_node is not None:
-        pred = A.compile_node(fts_normalize(ast_node))
+        fts_avail = [c for c in FTS_FIELDS if c in df.columns] or [text_col]
+        pred = A.compile_node(fts_normalize(ast_node, available=fts_avail))
     flt = qry.filter_to_column(request.filters) if request.filters else F.lit(True)
     matched = df.filter(pred & flt)
 

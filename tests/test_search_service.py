@@ -188,6 +188,29 @@ class TestNodeFanout:
         assert abs(w.relevance - one.relevance * 0.5) < 1e-5
 
 
+class TestContentOnlySchema:
+    def test_bare_term_on_content_only_frame(self, spark):
+        """A bare term defaults to searching title/description/content;
+        a node whose schema only has `content` must still work (fields
+        restricted to available columns, not an AnalysisException)."""
+        df = spark.createDataFrame(
+            [("x1", "spark rules"), ("x2", "other text")],
+            "id string, content string",
+        )
+        req = SearchRequest(query="spark", min_relevance=0.0, limit=10)
+        got = ids(svc.search(spark, {"n": df}, req))
+        assert got == ["x1"]
+
+    def test_not_term_on_content_only_frame(self, spark):
+        df = spark.createDataFrame(
+            [("x1", "spark rules"), ("x2", "spark streaming here")],
+            "id string, content string",
+        )
+        req = SearchRequest(query="spark NOT streaming", min_relevance=0.0)
+        got = ids(svc.search(spark, {"n": df}, req))
+        assert got == ["x1"]
+
+
 class TestMatchAll:
     def test_empty_query_with_filters_lists_all(self, spark, corpus):
         # no positive terms -> match-all at score 1.0
