@@ -279,29 +279,19 @@ def _weights_frame(
     return spark.createDataFrame(rows, "node string, index string, weight double")
 
 
-def search(
+def _search_filtered(
     spark: SparkSession,
     node_dfs: Dict[str, DataFrame],
     request: SearchRequest,
-    id_col: str = "id",
-    text_col: str = "content",
-    created_at_col: str = "created_at",
+    **kwargs,
 ) -> DataFrame:
-    """SearchService.SearchAsync (:43-106), composed:
-
-    parse -> nodes -> per-node search -> apply weights -> diminishing
-    rerank -> min-relevance -> offset/limit. Returns the paginated result
-    frame (record_id, relevance, created_at), ordered by relevance desc,
-    created_at desc, record_id asc (WeightedDiminishingReranker.cs:45-49
-    ordering with a deterministic id tiebreak)."""
+    """The chain up to (and including) the min-relevance filter: parse ->
+    nodes -> per-node search -> apply weights -> diminishing rerank ->
+    relevance >= minRelevance (SearchService.cs:43-81)."""
     ast_node = A.parse_query(request.query) if request.query.strip() else None
     nodes = _determine_nodes(list(node_dfs.keys()), request)
-
     per_node = [
-        search_node(
-            node_dfs[n], ast_node, request, n,
-            id_col=id_col, text_col=text_col, created_at_col=created_at_col,
-        )
+        search_node(node_dfs[n], ast_node, request, n, **kwargs)
         for n in nodes
     ]
     appearances = per_node[0]
@@ -313,20 +303,35 @@ def search(
     weights = _weights_frame(spark, nodes, request)
     weighted = (
         appearances.join(F.broadcast(weights), ["node", "index"], "left")
-        .withColumn(
-            "score", F.col("score") * F.coalesce("weight", F.lit(1.0))
-        )
+        .withColumn("score", F.col("score") * F.coalesce("weight", F.lit(1.0)))
         .drop("weight")
     )
-
     reranked = qry.rerank_diminishing(weighted, record_col="record_id")
     # stabilize float aggregation across engines before compare/order
     reranked = reranked.withColumn("relevance", F.round("relevance", 6))
-    filtered = reranked.filter(
-        F.col("relevance") >= request.min_relevance  # SearchService.cs:79-81
+    return reranked.filter(F.col("relevance") >= request.min_relevance)
+
+
+def _result_order():
+    # built lazily: Column construction needs an active SparkContext
+    return [F.desc("relevance"), F.desc("created_at"), F.asc("record_id")]
+
+
+def search(
+    spark: SparkSession,
+    node_dfs: Dict[str, DataFrame],
+    request: SearchRequest,
+    **kwargs,
+) -> DataFrame:
+    """SearchService.SearchAsync (:43-106), composed end-to-end. Returns
+    the paginated result frame (record_id, relevance, created_at), ordered
+    by relevance desc, created_at desc, record_id asc
+    (WeightedDiminishingReranker.cs:45-49 with a deterministic id
+    tiebreak). kwargs: id_col / text_col / created_at_col."""
+    filtered = _search_filtered(spark, node_dfs, request, **kwargs)
+    return qry.paginate(
+        filtered, _result_order(), request.offset, request.limit
     )
-    order = [F.desc("relevance"), F.desc("created_at"), F.asc("record_id")]
-    return qry.paginate(filtered, order, request.offset, request.limit)
 
 
 def search_with_total(
@@ -337,27 +342,14 @@ def search_with_total(
 ) -> Tuple[DataFrame, DataFrame]:
     """(paginated results, 1-row total frame): SearchResponse.TotalResults
     is the filtered count BEFORE pagination (SearchService.cs:96)."""
-    ast_node = A.parse_query(request.query) if request.query.strip() else None
-    nodes = _determine_nodes(list(node_dfs.keys()), request)
-    per_node = [
-        search_node(node_dfs[n], ast_node, request, n, **kwargs)
-        for n in nodes
-    ]
-    appearances = per_node[0]
-    for p in per_node[1:]:
-        appearances = appearances.unionByName(p)
-    weights = _weights_frame(spark, nodes, request)
-    weighted = (
-        appearances.join(F.broadcast(weights), ["node", "index"], "left")
-        .withColumn("score", F.col("score") * F.coalesce("weight", F.lit(1.0)))
-        .drop("weight")
-    )
-    reranked = qry.rerank_diminishing(weighted, record_col="record_id")
-    reranked = reranked.withColumn("relevance", F.round("relevance", 6))
-    filtered = reranked.filter(F.col("relevance") >= request.min_relevance)
-    order = [F.desc("relevance"), F.desc("created_at"), F.asc("record_id")]
+    filtered = _search_filtered(spark, node_dfs, request, **kwargs)
     total = filtered.agg(F.count("*").alias("total_results"))
-    return qry.paginate(filtered, order, request.offset, request.limit), total
+    return (
+        qry.paginate(
+            filtered, _result_order(), request.offset, request.limit
+        ),
+        total,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -350,6 +350,28 @@ def build_ivf_index(
     return catalog.overwrite(assigned, table, partition_by=["centroid"])
 
 
+def upsert_ivf_index(
+    spark,
+    catalog,
+    new_embeddings: DataFrame,
+    centroids: List[List[float]],
+    table: str = "ann_ivf_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental IVF maintenance, mirroring upsert_lsh_index: assign
+    centroids for the new batch only (UDF is O(batch)), id-anti-join out
+    superseded rows, JVM rewrite of the centroid-partitioned table."""
+    fresh = ivf_assign(new_embeddings, centroids, id_col, vec_col)
+    if not catalog.exists(table):
+        return catalog.overwrite(fresh, table, partition_by=["centroid"])
+    old = catalog.read(spark, table)
+    keep = old.join(fresh.select(id_col).distinct(), id_col, "left_anti")
+    return catalog.overwrite(
+        keep.unionByName(fresh), table, partition_by=["centroid"]
+    )
+
+
 def query_ivf_index(
     spark,
     catalog,
