@@ -260,6 +260,24 @@ class TestPersistedIndex:
         got = out.collect()
         assert got[0].vec_id == rows[0].vec_id
 
+    def test_ivf_index_upsert(self, spark, embeddings, tmp_path):
+        from kernel_memory_spark.sources.tables import TableCatalog
+
+        cat = TableCatalog(str(tmp_path))
+        rows = embeddings.orderBy("vec_id").limit(4).collect()
+        centroids = [list(r.embedding) for r in rows]
+        SIM.build_ivf_index(
+            spark, cat, embeddings.filter(F.col("vec_id") < 400), centroids
+        )
+        rest = embeddings.filter(F.col("vec_id") >= 400)
+        redelivered = embeddings.filter(F.col("vec_id") == 5)
+        SIM.upsert_ivf_index(
+            spark, cat, rest.unionByName(redelivered), centroids
+        )
+        idx = cat.read(spark, "ann_ivf_index")
+        assert idx.count() == embeddings.count()
+        assert idx.filter(F.col("vec_id") == 5).count() == 1
+
 
 class TestCosineDup:
     def test_clone_pairs_found(self, spark, embeddings):
