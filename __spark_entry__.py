@@ -604,6 +604,30 @@ def search_snippets(spark, sf):
     )
 
 
+def hybrid_search_topk(spark, sf):
+    """Hybrid retrieval: BM25 + vector cosine fused by the weighted
+    diminishing rerank (same-record-multiple-indexes,
+    WeightedDiminishingReranker.cs:9-17). Records = embeddings joined to
+    documents; query text 'spark merge', query vector = embedding of
+    vec_id 0."""
+    from kernel_memory_spark.operators import search_service as SVC
+
+    emb_t = load_table(spark, sf, "embeddings")
+    docs = load_table(spark, sf, "documents")
+    recs = emb_t.join(docs, emb_t.vec_id == docs.doc_id).select(
+        F.format_string("rec-%05d", F.col("vec_id")).alias("id"),
+        F.col("embedding").alias("vector"),
+        F.struct(F.col("text").alias("text")).alias("payload"),
+    )
+    qvec = [float(x) for x in emb_t.filter(F.col("vec_id") == 0).first().embedding]
+    # 1000 >> the sf row count, so neither index path is cut (the oracle
+    # replays uncut paths), while the top-k heaps stay small
+    return SVC.hybrid_search(
+        recs, "spark merge", qvec, k=20, min_relevance=0.0,
+        max_results_per_index=1000,
+    )
+
+
 ASK_QUESTION = "what do these records say"
 ASK_MAX_PROMPT_TOKENS = 1500
 ASK_ANSWER_TOKENS = 300
@@ -720,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_end_to_end": search_end_to_end,
         "ask_prompt_facts": ask_prompt_facts,
         "search_snippets": search_snippets,
+        "hybrid_search_topk": hybrid_search_topk,
         "fts_index_topk": fts_index_topk,
         "facts_token_budget": facts_token_budget,
         "summarize_docs": summarize_docs,
@@ -1231,6 +1256,58 @@ def oracle_sql() -> dict[str, str]:
                        || (CASE WHEN length(t) > 200 THEN '...' ELSE '' END)
                    END AS snippet
             FROM joined
+        """,
+        "hybrid_search_topk": """
+            WITH ids AS (
+                SELECT printf('rec-%05d', e.vec_id) AS record_id,
+                       e.vec_id, d.text
+                FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+            -- BM25 path (exp(raw/10) normalization)
+            toks AS (
+                SELECT record_id,
+                       len(string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+')) AS dl,
+                       unnest(string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+')) AS term
+                FROM ids),
+            postings AS (
+                SELECT record_id, dl, term, count(*) AS tf FROM toks
+                WHERE length(term) > 0 GROUP BY record_id, dl, term),
+            stats AS (
+                SELECT (SELECT count(*) FROM ids) AS n,
+                       (SELECT avg(dl) FROM (SELECT DISTINCT record_id, dl FROM postings)) AS avgdl),
+            q AS (SELECT * FROM postings WHERE term IN ('spark', 'merge')),
+            dfreq AS (SELECT term, count(DISTINCT record_id) AS df FROM q GROUP BY term),
+            w AS (
+                SELECT q.record_id,
+                       ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                       * (q.tf * 2.2)
+                       / (q.tf + 1.2 * (1 - 0.75 + 0.75 * q.dl / stats.avgdl)) AS wt
+                FROM q JOIN dfreq USING (term), stats),
+            fts AS (SELECT record_id,
+                           round(exp(-round(sum(wt), 6) / 10), 6) AS a
+                    FROM w GROUP BY record_id),
+            -- vector path: dot(vector, unit(query))
+            qv AS (SELECT unnest(embedding)::DOUBLE AS x,
+                          generate_subscripts(embedding, 1) AS k
+                   FROM embeddings WHERE vec_id = 0),
+            qn AS (SELECT sqrt(sum(x * x)) AS n FROM qv),
+            qu AS (SELECT k, x / qn.n AS qx FROM qv, qn),
+            ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS vx,
+                          generate_subscripts(embedding, 1) AS k
+                   FROM embeddings),
+            vec AS (SELECT printf('rec-%05d', ev.vec_id) AS record_id,
+                           round(sum(vx * qx), 6) AS b
+                    FROM ev JOIN qu USING (k) GROUP BY ev.vec_id),
+            -- diminishing merge of up to two appearances, cap 1.0
+            merged AS (
+                SELECT coalesce(f.record_id, v.record_id) AS record_id,
+                       round(least(1.0,
+                           CASE WHEN f.a IS NOT NULL AND v.b IS NOT NULL
+                                THEN greatest(f.a, v.b) + 0.5 * least(f.a, v.b)
+                                ELSE coalesce(f.a, v.b) END), 6) AS relevance
+                FROM fts f FULL OUTER JOIN vec v ON f.record_id = v.record_id)
+            SELECT record_id, relevance FROM merged
+            WHERE relevance >= 0.0
+            ORDER BY relevance DESC, record_id ASC LIMIT 20
         """,
         "ask_prompt_facts": """
             WITH q AS (

@@ -352,6 +352,65 @@ def search_with_total(
     )
 
 
+def hybrid_search(
+    records: DataFrame,
+    query_text: str,
+    query_vector: List[float],
+    k: int = 10,
+    min_relevance: float = 0.0,
+    filters: Optional[Sequence[qry.MemoryFilter]] = None,
+    w_fts: float = 1.0,
+    w_vec: float = 1.0,
+    max_results_per_index: int = DEFAULT_MAX_RESULTS_PER_NODE,
+    id_col: str = "id",
+    text_col: str = "payload.text",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 full-text + vector cosine fused by the
+    weighted diminishing rerank — the exact shape the reranker was built
+    for ("same record from multiple indexes", WeightedDiminishingReranker
+    .cs:9-17): each record's appearances are its FTS relevance (exp(raw/10)
+    normalization, SqliteFtsIndex.cs:199-205) and its cosine score, each
+    scaled by its index weight, merged as s1*1.0 + s2*0.5 capped at 1.0.
+
+    One scan per index path, both JVM-side; the merge is a bounded hash
+    aggregate over <= 2*max_results_per_index appearances. Returns
+    (record_id, relevance) top-k, relevance desc / id asc."""
+    flt = qry.filter_to_column(filters) if filters else F.lit(True)
+    base = records.filter(flt)
+
+    terms = [w for w in query_text.lower().split() if w]
+    fts = st.bm25_topk(
+        base.withColumn("__fts_text", F.col(text_col)),
+        terms, k=max_results_per_index, id_col=id_col, text_col="__fts_text",
+    ).select(
+        F.col("doc").alias("record_id"),
+        F.round(
+            F.exp(-F.col("score") / BM25_NORMALIZATION_DIVISOR), 6
+        ).alias("score"),
+        F.lit("fts-main").alias("index"),
+    )
+    vec = qry.knn_top_k(
+        base, query_vector, k=max_results_per_index, min_relevance=-1e9,
+    ).select(
+        F.col(id_col).alias("record_id"),
+        F.round("score", 6).alias("score"),
+        F.lit("vector-main").alias("index"),
+    )
+    appearances = fts.unionByName(vec).withColumn(
+        "score",
+        F.col("score")
+        * F.when(F.col("index") == "fts-main", w_fts).otherwise(w_vec),
+    )
+    merged = qry.rerank_diminishing(appearances, record_col="record_id")
+    merged = merged.withColumn("relevance", F.round("relevance", 6))
+    return (
+        merged.filter(F.col("relevance") >= min_relevance)
+        .select("record_id", "relevance")
+        .orderBy(F.desc("relevance"), F.asc("record_id"))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # km-v1 SearchClient.SearchAsync (SearchClient.cs:69-115): memory-record
 # retrieval -> ProcessMemoryRecord -> citations

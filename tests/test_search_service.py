@@ -221,6 +221,56 @@ class TestMatchAll:
         assert all(r.relevance == 1.0 for r in got.collect())
 
 
+class TestHybridSearch:
+    def test_both_paths_boost_with_diminishing_merge(self, spark):
+        import math
+
+        recs = spark.createDataFrame(
+            [
+                ("r1", [0.8, 0.6], ("spark tuning guide",)),  # both indexes
+                ("r2", [0.8, 0.6], ("cooking pasta",)),       # vector-only
+                ("r3", [0.0, 1.0], ("spark streaming",)),     # fts-dominant
+            ],
+            "id string, vector array<float>, payload struct<text string>",
+        )
+        got = {
+            r.record_id: r.relevance
+            for r in svc.hybrid_search(
+                recs, "spark", [1.0, 0.0], k=10, min_relevance=0.0
+            ).collect()
+        }
+        # r1 appears in BOTH indexes: relevance = max + 0.5*min beats its
+        # vector-only twin r2 (cosine 0.8) and the fts-dominant r3
+        assert got["r1"] > got["r2"] and got["r1"] > got["r3"]
+        assert got["r2"] == pytest.approx(0.8, abs=1e-4)
+        assert 0 < got["r3"] <= 1.0
+
+    def test_index_weights_shift_ranking(self, spark):
+        recs = spark.createDataFrame(
+            [
+                ("rv", [1.0, 0.0], ("nothing relevant",)),
+                ("rf", [0.0, 1.0], ("spark spark spark",)),
+            ],
+            "id string, vector array<float>, payload struct<text string>",
+        )
+        vec_heavy = {
+            r.record_id: r.relevance
+            for r in svc.hybrid_search(
+                recs, "spark", [1.0, 0.0], w_fts=0.1, w_vec=1.0,
+                min_relevance=-10,
+            ).collect()
+        }
+        fts_heavy = {
+            r.record_id: r.relevance
+            for r in svc.hybrid_search(
+                recs, "spark", [1.0, 0.0], w_fts=1.0, w_vec=0.1,
+                min_relevance=-10,
+            ).collect()
+        }
+        assert vec_heavy["rv"] > vec_heavy["rf"]
+        assert fts_heavy["rf"] > fts_heavy["rv"]
+
+
 class TestSearchMemories:
     """km-v1 SearchClient.SearchAsync composition over RECORDS."""
 
