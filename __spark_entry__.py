@@ -628,6 +628,18 @@ def hybrid_search_topk(spark, sf):
     )
 
 
+def sessionized_events(spark, sf):
+    """Gap-based sessionization (30-min gap) + per-session rollup: one
+    user-partitioned window (lag + conditional cumsum), no joins."""
+    from kernel_memory_spark.operators import sessions as SESS
+
+    e = load_table(spark, sf, "events")
+    s = SESS.sessionize(e, gap_seconds=1800)
+    return SESS.session_stats(s).select(
+        "user_id", "session_n", "n_events", "duration_sec"
+    ).orderBy("user_id", "session_n")
+
+
 ASK_QUESTION = "what do these records say"
 ASK_MAX_PROMPT_TOKENS = 1500
 ASK_ANSWER_TOKENS = 300
@@ -745,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ask_prompt_facts": ask_prompt_facts,
         "search_snippets": search_snippets,
         "hybrid_search_topk": hybrid_search_topk,
+        "sessionized_events": sessionized_events,
         "fts_index_topk": fts_index_topk,
         "facts_token_budget": facts_token_budget,
         "summarize_docs": summarize_docs,
@@ -1256,6 +1269,28 @@ def oracle_sql() -> dict[str, str]:
                        || (CASE WHEN length(t) > 200 THEN '...' ELSE '' END)
                    END AS snippet
             FROM joined
+        """,
+        "sessionized_events": """
+            WITH s AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR CAST(floor(epoch(ts)) AS BIGINT)
+                                    - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                            THEN 1 ELSE 0 END AS nw
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC)),
+            t AS (
+                SELECT *, CAST(sum(nw) OVER (
+                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS INT) AS session_n
+                FROM s)
+            SELECT user_id, session_n, count(*) AS n_events,
+                   CAST(floor(epoch(max(ts))) AS BIGINT)
+                   - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+            FROM t GROUP BY user_id, session_n
+            ORDER BY user_id, session_n
         """,
         "hybrid_search_topk": """
             WITH ids AS (

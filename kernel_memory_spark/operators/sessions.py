@@ -1,0 +1,73 @@
+"""Gap-based sessionization over event streams.
+
+The classic event-pipeline operator the reference's queue-centric world
+never needed but a 100TB analytics engine does: assign each (user, event)
+to a session, where a new session starts when the gap since the user's
+previous event exceeds `gap` seconds.
+
+Spark shape: ONE window partitioned by user (lag + conditional cumsum) —
+no joins, no Python; the shuffle is a single hash partition on user_id and
+skewed users cost O(their events log their events) in the sort. The
+streaming analog is `F.session_window` (Structured Streaming's built-in
+gap-based session windows); this is the batch/backfill twin with exactly
+reproducible ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_GAP_SECONDS = 30 * 60
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """events + (session_n, session_id): session_n is the user's 1-based
+    session ordinal in time order (ties broken by id), session_id =
+    '<user>#<n>'."""
+    # parquet often stores TIMESTAMP_NTZ, which Spark won't cast to long
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_seconds)
+    ).cast("int")
+    return (
+        events.withColumn("__new", new_session)
+        .withColumn(
+            "session_n",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("int"),
+        )
+        .drop("__new")
+        .withColumn(
+            "session_id",
+            F.format_string("%s#%d", F.col(user_col).cast("string"),
+                            F.col("session_n")),
+        )
+    )
+
+
+def session_stats(
+    sessions: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-session rollup: bounds, event count, duration seconds."""
+    ts = F.col(ts_col).cast("timestamp")
+    return sessions.groupBy(user_col, "session_n", "session_id").agg(
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        F.count("*").alias("n_events"),
+        (F.max(ts).cast("long") - F.min(ts).cast("long")).alias(
+            "duration_sec"
+        ),
+    )
