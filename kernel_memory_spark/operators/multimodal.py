@@ -4,10 +4,15 @@ with typed metadata, processed by Arrow-batched pandas UDFs.
 The reference treats media as decoder inputs producing text (ImageDecoder +
 IOcrEngine, archived/km-v1/service/Core/DataFormats/Image/ImageDecoder.cs:38-71);
 at training-data scale media also needs decode / feature-extract / resize /
-frame-sample stages. The image/audio libraries are not in this container, so
-the decode kernels are STUBBED (deterministic fakes or NotImplementedError
-behind use_stub=False) — but the Spark-side plumbing is real and tested:
-schema, partition sizing, UDF signatures, Arrow batch shape.
+frame-sample stages. Dependency-free formats decode FOR REAL (binary netpbm
+P6/P5 and uncompressed 24-bit BMP — pure numpy header parse + raw pixels;
+resize is a real nearest-neighbor resample re-encoded as PPM), and the
+synthetic media corpus emits real PPM payloads so the whole image path runs
+end-to-end. Formats needing PIL/libvips/ffmpeg (PNG/JPEG decode, video
+demux) remain STUBBED (deterministic fakes, or NotImplementedError behind
+use_stub=False) since those libraries are absent in this container; the
+Spark-side plumbing around them — schema, partition sizing, UDF signatures,
+Arrow batch shape — is real and tested either way.
 
 Binary payloads dominate partition bytes; media pipelines should set
 spark.sql.files.maxPartitionBytes low (64-128MB) and avoid wide shuffles of
@@ -63,17 +68,21 @@ def synth_media_for_corpus(spans_flat: DataFrame) -> DataFrame:
             for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
                 seed = zlib.crc32(ref.encode())
                 rs = np.random.RandomState(seed % (2**31))
-                content = rs.bytes(256)
+                # a REAL image: deterministic pixels encoded as binary PPM,
+                # so the decode path downstream is exercised for real
+                w, h = int(8 + seed % 9), int(6 + (seed >> 9) % 7)
+                img = rs.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+                content = encode_ppm(img)
                 rows.append(
                     {
                         "media_ref": ref,
                         "doc_id": doc_id,
                         "media_type": "image",
-                        "mime_type": "image/png",
+                        "mime_type": "image/x-portable-pixmap",
                         "content": content,
                         "byte_size": len(content),
-                        "width": int(64 + seed % 512),
-                        "height": int(64 + (seed >> 9) % 512),
+                        "width": w,
+                        "height": h,
                         "duration_ms": None,
                     }
                 )
@@ -97,6 +106,94 @@ def decode_image_stub(content: bytes, use_stub: bool = True) -> np.ndarray:
     return np.frombuffer((h * 2)[:64], dtype=np.uint8).reshape(8, 8)
 
 
+# ---------------------------------------------------------------------------
+# REAL decoders — dependency-free formats (pure numpy header parse + raw
+# pixels). PPM/PGM (netpbm P6/P5) and uncompressed 24-bit BMP decode for
+# real; PNG/JPEG still route to the stub (zlib inflate + huffman are out of
+# scope without PIL). This makes the decode path genuinely functional, not
+# just plumbing: the synthetic media corpus emits real PPM bytes.
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """netpbm P6 (RGB) / P5 (gray) binary decode -> (h, w, 3) or (h, w)."""
+    if content[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary netpbm image")
+    # header: magic, whitespace-separated width height maxval, ONE
+    # whitespace byte, then raw samples ('#' comments allowed)
+    fields: list = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        fields.append(int(content[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = fields[0], fields[1], fields[2]
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 3 if content[:2] == b"P6" else 1
+    pix = np.frombuffer(content, dtype=np.uint8, count=w * h * ch, offset=i)
+    return pix.reshape(h, w, 3) if ch == 3 else pix.reshape(h, w)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6 bytes (the inverse of decode_ppm)."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP decode -> (h, w, 3) RGB (BMP stores BGR
+    bottom-up with 4-byte row padding)."""
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP image")
+    data_offset = int.from_bytes(content[10:14], "little")
+    w = int.from_bytes(content[18:22], "little", signed=True)
+    h = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    compression = int.from_bytes(content[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    flipped = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR -> RGB
+    return rgb[::-1] if flipped else rgb
+
+
+def decode_image(content: bytes, use_stub: bool = True) -> np.ndarray:
+    """Dispatch on magic bytes: PPM/PGM and 24-bit BMP decode for real;
+    anything else (PNG/JPEG/...) falls back to the deterministic stub, or
+    raises with use_stub=False."""
+    content = content or b""
+    if content[:2] in (b"P6", b"P5"):
+        return decode_ppm(content)
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    return decode_image_stub(content, use_stub)
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Real nearest-neighbor resample via numpy index mapping."""
+    h, w = img.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
 def extract_image_features(media: DataFrame, dim: int = 16,
                            use_stub: bool = True) -> DataFrame:
     """decode -> pooled feature vector per media item (Arrow-batched).
@@ -106,7 +203,7 @@ def extract_image_features(media: DataFrame, dim: int = 16,
         for pdf in batches:
             feats = []
             for content in pdf["content"]:
-                img = decode_image_stub(bytes(content or b""), use_stub)
+                img = decode_image(bytes(content or b""), use_stub)
                 flat = img.astype(np.float64).ravel()
                 pooled = flat[: dim * (len(flat) // dim)].reshape(dim, -1).mean(axis=1)
                 norm = np.linalg.norm(pooled) or 1.0
@@ -133,17 +230,28 @@ def extract_image_features(media: DataFrame, dim: int = 16,
 
 def resize_images(media: DataFrame, width: int, height: int,
                   use_stub: bool = True) -> DataFrame:
-    """Resize plumbing: decodes (stub), 'resizes' deterministically, re-emits
-    binary + updated dims. Real kernel swaps decode_image_stub for PIL."""
+    """Resize: decodes, resamples nearest-neighbor (REAL for PPM/PGM/BMP
+    inputs), re-encodes as binary PPM with updated dims. Only non-decodable
+    formats route through the stub (whose 'resize' is a deterministic
+    digest — plumbing only)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
             resized = []
-            for content in pdf["content"]:
-                img = decode_image_stub(bytes(content or b""), use_stub)
-                resized.append(hashlib.sha256(img.tobytes()).digest())
+            mimes = []
+            for content, mime in zip(pdf["content"], pdf["mime_type"]):
+                raw = bytes(content or b"")
+                if raw[:2] in (b"P6", b"P5", b"BM"):
+                    img = resize_nearest(decode_image(raw), width, height)
+                    resized.append(encode_ppm(img))
+                    mimes.append("image/x-portable-pixmap")
+                else:
+                    img = decode_image_stub(raw, use_stub)
+                    resized.append(hashlib.sha256(img.tobytes()).digest())
+                    mimes.append(mime)
             out["content"] = resized
+            out["mime_type"] = mimes
             out["byte_size"] = [len(c) for c in resized]
             out["width"] = width
             out["height"] = height
