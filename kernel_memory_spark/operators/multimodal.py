@@ -174,6 +174,108 @@ def decode_bmp(content: bytes) -> np.ndarray:
     return rgb[::-1] if flipped else rgb
 
 
+def decode_wav(content: bytes):
+    """PCM WAV decode (RIFF parse, 8/16-bit integer PCM) ->
+    (samples ndarray shaped (n, channels), sample_rate). Dependency-free:
+    the struct layout is fixed by the RIFF spec."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(content):
+        chunk_id = content[i : i + 4]
+        size = int.from_bytes(content[i + 4 : i + 8], "little")
+        body = content[i + 8 : i + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = body
+        elif chunk_id == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError("only 8/16-bit integer PCM supported")
+    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+    samples = np.frombuffer(data, dtype=dtype)
+    samples = samples[: (len(samples) // channels) * channels]
+    return samples.reshape(-1, channels), sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n, channels) int16 -> 16-bit PCM WAV bytes (inverse of decode_wav)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    samples = samples.astype("<i2")
+    channels = samples.shape[1]
+    data = samples.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = (
+        (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + (16).to_bytes(4, "little") + fmt \
+        + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_y4m_frames(content: bytes):
+    """YUV4MPEG2 decode (the dependency-free raw video format) ->
+    (frames, width, height, fps): frames is a list of (h, w) luma planes
+    (Y of 4:2:0 or mono; chroma is parsed past but not returned — feature
+    stages downstream use luma)."""
+    nl = content.find(b"\n")
+    header = content[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = 0
+    fps = 0.0
+    colorspace = b"420"
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = tok[1:].split(b":")
+            fps = int(num) / int(den)
+        elif tok[:1] == b"C":
+            colorspace = tok[1:]
+    if colorspace.startswith(b"420"):
+        frame_bytes = w * h * 3 // 2
+    elif colorspace.startswith(b"mono"):
+        frame_bytes = w * h
+    else:
+        raise ValueError(f"unsupported colorspace {colorspace!r}")
+    frames = []
+    i = nl + 1
+    while i < len(content):
+        fnl = content.find(b"\n", i)
+        if fnl < 0 or content[i : i + 5] != b"FRAME":
+            break
+        start = fnl + 1
+        luma = np.frombuffer(content, dtype=np.uint8, count=w * h,
+                             offset=start).reshape(h, w)
+        frames.append(luma)
+        i = start + frame_bytes
+    return frames, w, h, fps
+
+
+def encode_y4m(frames, fps_num: int = 25, fps_den: int = 1) -> bytes:
+    """list of (h, w) uint8 luma planes -> mono YUV4MPEG2 bytes."""
+    h, w = frames[0].shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Im A1:1 Cmono\n" % (w, h, fps_num, fps_den)]
+    for f in frames:
+        out.append(b"FRAME\n")
+        out.append(f.astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
 def decode_image(content: bytes, use_stub: bool = True) -> np.ndarray:
     """Dispatch on magic bytes: PPM/PGM and 24-bit BMP decode for real;
     anything else (PNG/JPEG/...) falls back to the deterministic stub, or
@@ -228,6 +330,55 @@ def extract_image_features(media: DataFrame, dim: int = 16,
     )
 
 
+def extract_audio_features(media: DataFrame, n_windows: int = 16,
+                           use_stub: bool = True) -> DataFrame:
+    """Audio feature extraction: PCM WAV decodes FOR REAL (mono-mixed,
+    per-window RMS energy profile, L2-normalized) — compressed formats
+    (mp3/aac) route to the deterministic stub. Output drops the payload:
+    (media_ref, doc_id, feature array, sample_rate)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, rates = [], []
+            for content in pdf["content"]:
+                raw = bytes(content or b"")
+                if raw[:4] == b"RIFF":
+                    samples, rate = decode_wav(raw)
+                    mono = samples.astype(np.float64).mean(axis=1)
+                    n = max(1, len(mono) // n_windows)
+                    rms = np.array([
+                        np.sqrt(np.mean(mono[i * n:(i + 1) * n] ** 2) or 0.0)
+                        for i in range(n_windows)
+                    ])
+                else:
+                    if not use_stub:
+                        raise NotImplementedError(
+                            "compressed audio decode requires ffmpeg"
+                        )
+                    h = hashlib.sha256(raw).digest()
+                    rms = np.frombuffer(
+                        (h * ((n_windows // 32) + 1))[:n_windows], np.uint8
+                    ).astype(np.float64)
+                    rate = 0
+                norm = np.linalg.norm(rms) or 1.0
+                feats.append((rms / norm).astype(np.float32).tolist())
+                rates.append(int(rate))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "doc_id": pdf["doc_id"],
+                    "feature": feats,
+                    "sample_rate": rates,
+                }
+            )
+
+    return media.select("media_ref", "doc_id", "content").mapInPandas(
+        run,
+        schema="media_ref string, doc_id string, feature array<float>,"
+        " sample_rate int",
+    )
+
+
 def resize_images(media: DataFrame, width: int, height: int,
                   use_stub: bool = True) -> DataFrame:
     """Resize: decodes, resamples nearest-neighbor (REAL for PPM/PGM/BMP
@@ -272,12 +423,27 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
                 pdf["media_ref"], pdf["doc_id"], pdf["content"],
                 pdf["duration_ms"],
             ):
+                raw = bytes(content or b"")
+                if raw.startswith(b"YUV4MPEG2"):
+                    # REAL sampling: pick the frame at each timestamp from
+                    # the decoded stream; emit it as a decodable gray PPM
+                    frames, _w, _h, fps = decode_y4m_frames(raw)
+                    fps = fps or 25.0
+                    duration = int(len(frames) / fps * 1000)
+                    for idx, ts in enumerate(range(0, duration, every_ms)):
+                        fi = min(int(ts * fps / 1000), len(frames) - 1)
+                        rows.append(
+                            (ref, doc_id, idx, ts, encode_ppm(frames[fi]))
+                        )
+                    continue
                 if not use_stub:
-                    raise NotImplementedError("video decode requires ffmpeg")
+                    raise NotImplementedError(
+                        "non-Y4M video decode requires ffmpeg"
+                    )
                 duration = int(dur) if dur is not None and not pd.isna(dur) else 3000
                 for idx, ts in enumerate(range(0, duration, every_ms)):
                     frame = hashlib.sha256(
-                        bytes(content or b"") + ts.to_bytes(8, "little")
+                        raw + ts.to_bytes(8, "little")
                     ).digest()
                     rows.append((ref, doc_id, idx, ts, frame))
             yield pd.DataFrame(

@@ -112,3 +112,63 @@ class TestRealDecoders:
     def test_dispatch_falls_back_to_stub(self):
         out = MM.decode_image(b"\x89PNG....", use_stub=True)
         assert out.shape == (8, 8)
+
+
+class TestRealAudioVideo:
+    def test_wav_roundtrip(self):
+        import numpy as np
+
+        samples = (np.sin(np.linspace(0, 20, 800)) * 10000).astype("<i2")
+        raw = MM.encode_wav(samples.reshape(-1, 2), 16000)
+        got, rate = MM.decode_wav(raw)
+        assert rate == 16000
+        assert got.shape == (400, 2)
+        assert (got.ravel() == samples).all()
+
+    def test_audio_features_real(self, spark):
+        import numpy as np
+
+        quiet = np.zeros(1600, dtype="<i2")
+        loud = (np.ones(1600) * 20000).astype("<i2")
+        samples = np.concatenate([quiet, loud])
+        df = spark.createDataFrame(
+            [("a1", "d1", bytearray(MM.encode_wav(samples, 8000)))],
+            "media_ref string, doc_id string, content binary",
+        )
+        row = MM.extract_audio_features(df, n_windows=4).first()
+        assert row.sample_rate == 8000
+        f = row.feature
+        # first half silent, second half loud
+        assert f[0] < 1e-6 and f[1] < 1e-6
+        assert f[2] > 0.5 and f[3] > 0.5
+
+    def test_y4m_roundtrip_and_real_frame_sampling(self, spark):
+        import numpy as np
+
+        frames = [np.full((4, 6), i * 40, dtype="uint8") for i in range(5)]
+        raw = MM.encode_y4m(frames, fps_num=2, fps_den=1)  # 2 fps, 2500ms
+        dec, w, h, fps = MM.decode_y4m_frames(raw)
+        assert (w, h, fps) == (6, 4, 2.0)
+        assert len(dec) == 5 and (dec[3] == frames[3]).all()
+
+        df = spark.createDataFrame(
+            [("v1", "d1", bytearray(raw), 2500)],
+            "media_ref string, doc_id string, content binary, duration_ms long",
+        )
+        got = MM.sample_video_frames(df, every_ms=1000).collect()
+        # 2500ms at 1s cadence -> frames at 0, 1000, 2000ms = indexes 0,2,4
+        assert [(r.frame_idx, r.ts_ms) for r in got] == [
+            (0, 0), (1, 1000), (2, 2000)
+        ]
+        luma = MM.decode_image(bytes(got[2].frame))
+        assert (luma[:, :, 0] == frames[4]).all()  # ts 2000ms * 2fps = frame 4
+
+    def test_unstubbed_audio_raises(self, spark):
+        df = spark.createDataFrame(
+            [("a1", "d1", bytearray(b"ID3mp3bytes"))],
+            "media_ref string, doc_id string, content binary",
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            MM.extract_audio_features(df, use_stub=False).collect()
