@@ -640,6 +640,24 @@ def sessionized_events(spark, sf):
     ).orderBy("user_id", "session_n")
 
 
+def html_decode_docs(spark, sf):
+    """S2's decoder half (HtmlDecoder.cs:48-59): wrap each document in a
+    deterministic HTML shell (tags, comment, style+script blocks, entity)
+    and decode back to text with the SQL-replayable column pipeline."""
+    from kernel_memory_spark.functions import html as HTML
+
+    docs = load_table(spark, sf, "documents")
+    page = F.format_string(
+        "<html><head><style>p{margin:0}</style></head><body>"
+        "<h1>Doc %s</h1><!-- generated --><p>%s &amp; more</p>"
+        "<script>var x = '<b>';</script></body></html>",
+        F.col("doc_id").cast("string"), F.col("text"),
+    )
+    return docs.select(
+        "doc_id", HTML.html_to_text_expr(page).alias("decoded")
+    )
+
+
 ASK_QUESTION = "what do these records say"
 ASK_MAX_PROMPT_TOKENS = 1500
 ASK_ANSWER_TOKENS = 300
@@ -758,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippets": search_snippets,
         "hybrid_search_topk": hybrid_search_topk,
         "sessionized_events": sessionized_events,
+        "html_decode_docs": html_decode_docs,
         "fts_index_topk": fts_index_topk,
         "facts_token_budget": facts_token_budget,
         "summarize_docs": summarize_docs,
@@ -1291,6 +1310,36 @@ def oracle_sql() -> dict[str, str]:
                    - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
             FROM t GROUP BY user_id, session_n
             ORDER BY user_id, session_n
+        """,
+        "html_decode_docs": """
+            WITH page AS (
+                SELECT doc_id,
+                       '<html><head><style>p{margin:0}</style></head><body>'
+                       || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+                       || '<!-- generated --><p>' || text || ' &amp; more</p>'
+                       || '<script>var x = ''<b>'';</script></body></html>'
+                       AS html
+                FROM documents),
+            stripped AS (
+                SELECT doc_id,
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(html, '(?s)<!--.*?-->', '', 'g'),
+                             '(?is)<script\\b.*?</script>', '', 'g'),
+                           '(?is)<style\\b.*?</style>', '', 'g'),
+                         '(?s)<[^>]*>', '', 'g') AS t
+                FROM page),
+            unescaped AS (
+                SELECT doc_id,
+                       replace(replace(replace(replace(replace(replace(replace(
+                           t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                           '&#39;', chr(39)), '&apos;', chr(39)),
+                           '&nbsp;', ' '), '&amp;', '&') AS t
+                FROM stripped)
+            SELECT doc_id,
+                   trim(regexp_replace(t, '\r\n|\r', chr(10), 'g')) AS decoded
+            FROM unescaped
         """,
         "hybrid_search_topk": """
             WITH ids AS (
