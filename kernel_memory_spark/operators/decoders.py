@@ -115,7 +115,14 @@ class DecoderRegistry:
                 out["decode_error"] = errs
                 yield out
 
-        out_fields = [
-            f"{c} string" for c in files.columns if c != content_col
-        ] + ["text string", "decoder string", "decode_error string"]
-        return files.mapInPandas(run, schema=", ".join(out_fields))
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        out_schema = StructType(
+            [f for f in files.schema.fields if f.name != content_col]
+            + [
+                StructField("text", StringType(), True),
+                StructField("decoder", StringType(), True),
+                StructField("decode_error", StringType(), True),
+            ]
+        )
+        return files.mapInPandas(run, schema=out_schema)

@@ -54,3 +54,20 @@ def corpus_from_documents(documents: DataFrame, words_per_span: int = 12) -> Dat
         ),
     )
     return base.select(F.col("__doc").alias("doc_id"), spans.alias("spans"))
+
+
+def corpus_from_files(files: DataFrame, registry=None,
+                      words_per_span: int = 12) -> DataFrame:
+    """Uploaded-file rows (doc_id, name, mime_type, content binary) ->
+    CORPUS spans, via the content-decoder registry (the
+    TextExtractionHandler ingest front door: decode by mime, then span the
+    decoded text; rows whose decode fails or whose mime is unsupported are
+    dropped here — route them to quarantine upstream if needed)."""
+    from kernel_memory_spark.operators.decoders import DecoderRegistry
+
+    reg = registry or DecoderRegistry()
+    decoded = reg.decode_df(files).filter(F.col("text").isNotNull())
+    docs = decoded.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return corpus_from_documents(docs, words_per_span)

@@ -48,3 +48,24 @@ class TestDecoderRegistry:
         assert got["bad.ppm"].text is None
         assert got["bad.ppm"].decode_error  # row-level, stage completes
         assert got["ok.txt"].text == "fine"
+
+
+class TestCorpusFromFiles:
+    def test_files_to_spans_via_registry(self, spark):
+        from kernel_memory_spark.sources.corpus import corpus_from_files
+
+        files = spark.createDataFrame(
+            [
+                (1, "a.txt", "text/plain", bytearray(b"one two three four")),
+                (2, "b.html", "text/html",
+                 bytearray(b"<p>alpha beta</p><!-- x -->")),
+                (3, "c.bin", "application/pdf", bytearray(b"%PDF")),
+            ],
+            "doc_id long, name string, mime_type string, content binary",
+        )
+        corpus = corpus_from_files(files)
+        rows = {r.doc_id: r.spans for r in corpus.collect()}
+        # unsupported pdf dropped; text + html decoded into spans
+        assert set(rows) == {"doc-000000001", "doc-000000002"}
+        assert rows["doc-000000001"][0].text == "one two three four"
+        assert rows["doc-000000002"][0].text == "alpha beta"
