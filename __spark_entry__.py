@@ -658,6 +658,58 @@ def html_decode_docs(spark, sf):
     )
 
 
+def pii_scrub_docs(spark, sf):
+    """Training-corpus PII scrub: deterministic synthetic PII appended to
+    each document, then the typed-placeholder redaction chain."""
+    from kernel_memory_spark.operators import cleaning as CL
+
+    docs = load_table(spark, sf, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.format_string(
+            "%s contact user%d@example.com or +1 (555) 010-%04d"
+            " at 10.0.%d.%d ref %d",
+            F.col("text"), F.col("doc_id"),
+            F.pmod(F.col("doc_id"), F.lit(10000)),
+            F.pmod(F.col("doc_id"), F.lit(256)),
+            F.pmod(F.col("doc_id") + 7, F.lit(256)),
+            F.col("doc_id") * 1000003 + 123456789,
+        ),
+    )
+    return CL.pii_scrub(seeded).select("doc_id", "text_scrubbed")
+
+
+def decontam_overlap(spark, sf):
+    """Benchmark decontamination: count distinct 8-gram overlaps of every
+    document against the 'benchmark' (documents 0-4)."""
+    from kernel_memory_spark.operators import cleaning as CL
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 5).select("text")
+    return CL.decontaminate(docs, bench, n=8).orderBy("doc_id")
+
+
+def repetition_docs(spark, sf):
+    """Gopher repetition signals over a constructed multi-line corpus
+    (first-5-words line duplicated around the body)."""
+    from kernel_memory_spark.operators import cleaning as CL
+
+    docs = load_table(spark, sf, "documents")
+    line1 = F.array_join(
+        F.slice(F.split(F.col("text"), r"\s+"), 1, 5), " "
+    )
+    multi = docs.select(
+        "doc_id", F.concat_ws("\n", line1, F.col("text"), line1).alias("text")
+    )
+    s = CL.repetition_stats(multi)
+    return s.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_bigram_char_frac", 6).alias("top_bigram_char_frac"),
+    ).orderBy("doc_id")
+
+
 ASK_QUESTION = "what do these records say"
 ASK_MAX_PROMPT_TOKENS = 1500
 ASK_ANSWER_TOKENS = 300
@@ -777,6 +829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_topk": hybrid_search_topk,
         "sessionized_events": sessionized_events,
         "html_decode_docs": html_decode_docs,
+        "pii_scrub_docs": pii_scrub_docs,
+        "decontam_overlap": decontam_overlap,
+        "repetition_docs": repetition_docs,
         "fts_index_topk": fts_index_topk,
         "facts_token_budget": facts_token_budget,
         "summarize_docs": summarize_docs,
@@ -1340,6 +1395,101 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    trim(regexp_replace(t, '\r\n|\r', chr(10), 'g')) AS decoded
             FROM unescaped
+        """,
+        "pii_scrub_docs": """
+            WITH seeded AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1 (555) 010-'
+                       || printf('%04d', doc_id % 10000)
+                       || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.' || CAST((doc_id + 7) % 256 AS VARCHAR)
+                       || ' ref ' || CAST(doc_id * 1000003 + 123456789 AS VARCHAR)
+                       AS text
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g'),
+                         '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g'),
+                       '\\b\\d{9,}\\b', '[ID]', 'g'),
+                     '\\+?\\d[\\d ()-]{7,}\\d', '[PHONE]', 'g') AS text_scrubbed
+            FROM seeded
+        """,
+        "decontam_overlap": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(
+                         string_split_regex(
+                           lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')),
+                           '\\s+'),
+                         w -> length(w) > 0) AS ws
+                FROM documents),
+            bgrams AS (
+                SELECT DISTINCT array_to_string(ws[i : i + 7], ' ') AS gram
+                FROM words, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS t(i)
+                WHERE doc_id < 5),
+            dgrams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ws[i : i + 7], ' ') AS gram
+                FROM words, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS t(i))
+            SELECT doc_id, count(*) AS n_overlaps
+            FROM dgrams JOIN bgrams USING (gram)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "repetition_docs": """
+            WITH multi AS (
+                SELECT doc_id,
+                       array_to_string(
+                         string_split_regex(text, '\\s+')[1:5], ' ')
+                       || chr(10) || text || chr(10)
+                       || array_to_string(
+                            string_split_regex(text, '\\s+')[1:5], ' ')
+                       AS text
+                FROM documents),
+            lines AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM multi),
+            nz AS (SELECT doc_id, line FROM lines
+                   WHERE length(trim(line)) > 0),
+            per_line AS (
+                SELECT doc_id, line, count(*) AS c, length(line) AS len
+                FROM nz GROUP BY doc_id, line),
+            line_stats AS (
+                SELECT doc_id,
+                       sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE
+                         / sum(c) AS dup_line_frac,
+                       sum(CASE WHEN c > 1 THEN c * len ELSE 0 END)::DOUBLE
+                         / sum(c * len) AS dup_line_char_frac
+                FROM per_line GROUP BY doc_id),
+            words AS (
+                SELECT doc_id,
+                       list_filter(
+                         string_split_regex(
+                           lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')),
+                           '\\s+'),
+                         w -> length(w) > 0) AS ws
+                FROM multi),
+            bigrams AS (
+                SELECT doc_id, array_to_string(ws[i : i + 1], ' ') AS gram
+                FROM words, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)),
+            per_gram AS (
+                SELECT doc_id, gram, count(*) AS c,
+                       length(gram) - 1 AS chars
+                FROM bigrams GROUP BY doc_id, gram),
+            gram_stats AS (
+                SELECT doc_id,
+                       max(c * chars)::DOUBLE / sum(c * chars)
+                         AS top_bigram_char_frac
+                FROM per_gram GROUP BY doc_id)
+            SELECT l.doc_id, round(dup_line_frac, 6) AS dup_line_frac,
+                   round(dup_line_char_frac, 6) AS dup_line_char_frac,
+                   round(top_bigram_char_frac, 6) AS top_bigram_char_frac
+            FROM line_stats l JOIN gram_stats g ON l.doc_id = g.doc_id
+            ORDER BY l.doc_id
         """,
         "hybrid_search_topk": """
             WITH ids AS (

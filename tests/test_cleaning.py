@@ -1,0 +1,72 @@
+"""Corpus-cleaning operators: PII scrub, decontamination, repetition."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kernel_memory_spark.operators import cleaning as CL
+
+
+class TestPiiScrub:
+    def test_redacts_typed_placeholders(self, spark):
+        df = spark.createDataFrame(
+            [("mail bob.smith+x@corp.example.org now",),
+             ("call +1 (555) 010-7788 today",),
+             ("host 192.168.0.17 port",),
+             ("account 123456789012 ok",),
+             ("clean text stays",)],
+            "text string",
+        )
+        got = [r.text_scrubbed for r in CL.pii_scrub(df).collect()]
+        assert got[0] == "mail [EMAIL] now"
+        assert got[1] == "call [PHONE] today"
+        assert got[2] == "host [IP] port"
+        assert got[3] == "account [ID] ok"
+        assert got[4] == "clean text stays"
+
+
+class TestDecontaminate:
+    def test_overlap_counts(self, spark):
+        bench = spark.createDataFrame(
+            [("the quick brown fox jumps over the lazy dog tonight",)],
+            "text string",
+        )
+        docs = spark.createDataFrame(
+            [("d1", "prefix the quick brown fox jumps over the lazy dog tonight suffix"),
+             ("d2", "totally unrelated words here about spark and tables only"),
+             ("d3", "the quick brown fox jumps over the lazy dog tonight")],
+            "doc_id string, text string",
+        )
+        got = {r.doc_id: r.n_overlaps
+               for r in CL.decontaminate(docs, bench, n=8).collect()}
+        assert "d2" not in got          # clean doc absent
+        assert got["d3"] == 3           # 10 words -> 3 distinct 8-grams
+        assert got["d1"] >= 3           # superset text contains them all
+
+    def test_short_docs_no_grams(self, spark):
+        bench = spark.createDataFrame([("a b c d e f g h",)], "text string")
+        docs = spark.createDataFrame(
+            [("d1", "a b c")], "doc_id string, text string"
+        )
+        assert CL.decontaminate(docs, bench, n=8).count() == 0
+
+
+class TestRepetitionStats:
+    def test_duplicate_lines(self, spark):
+        text = "repeat me\nunique line one\nrepeat me\nunique line two"
+        df = spark.createDataFrame([("d1", text)], "doc_id string, text string")
+        row = CL.repetition_stats(df).first()
+        assert row.dup_line_frac == pytest.approx(2 / 4)
+        dup_chars = 2 * len("repeat me")
+        total = dup_chars + len("unique line one") + len("unique line two")
+        assert row.dup_line_char_frac == pytest.approx(dup_chars / total)
+
+    def test_top_bigram_fraction(self, spark):
+        # 'spark rocks' bigram dominates
+        df = spark.createDataFrame(
+            [("d1", "spark rocks spark rocks spark rocks extra word")],
+            "doc_id string, text string",
+        )
+        row = CL.repetition_stats(df).first()
+        assert row.top_bigram_char_frac > 0.3
+        assert row.dup_line_frac == 0.0  # one line, not duplicated
