@@ -710,6 +710,35 @@ def repetition_docs(spark, sf):
     ).orderBy("doc_id")
 
 
+def asof_purchase_attribution(spark, sf):
+    """As-of join (custom operator, union + ordered window — one shuffle):
+    attribute each purchase event to the user's most recent click
+    at-or-before it."""
+    from kernel_memory_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf, "events").withColumn(
+        "ts_s", F.col("ts").cast("timestamp").cast("long")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_s"), "event_id"
+    )
+    # dedupe clicks at the same (user, second): the as-of pick among
+    # equal-timestamp right rows would otherwise be order-dependent
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_s")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"], left_ts="ts_s", right_ts="ts_s",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("click_id_asof").alias("attributed_click"),
+        F.col("matched_asof_ts").alias("click_ts_s"),
+    ).orderBy("event_id")
+
+
 ASK_QUESTION = "what do these records say"
 ASK_MAX_PROMPT_TOKENS = 1500
 ASK_ANSWER_TOKENS = 300
@@ -832,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_docs": pii_scrub_docs,
         "decontam_overlap": decontam_overlap,
         "repetition_docs": repetition_docs,
+        "asof_purchase_attribution": asof_purchase_attribution,
         "fts_index_topk": fts_index_topk,
         "facts_token_budget": facts_token_budget,
         "summarize_docs": summarize_docs,
@@ -1490,6 +1520,36 @@ def oracle_sql() -> dict[str, str]:
                    round(top_bigram_char_frac, 6) AS top_bigram_char_frac
             FROM line_stats l JOIN gram_stats g ON l.doc_id = g.doc_id
             ORDER BY l.doc_id
+        """,
+        "asof_purchase_attribution": """
+            WITH e AS (
+                SELECT event_id, user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+                FROM events),
+            p AS (SELECT user_id, ts_s, event_id FROM e
+                  WHERE event_type = 'purchase'),
+            c0 AS (SELECT user_id, ts_s, max(event_id) AS click_id
+                   FROM e WHERE event_type = 'click'
+                   GROUP BY user_id, ts_s),
+            u AS (
+                SELECT user_id, ts_s, 1 AS is_left, event_id,
+                       NULL::BIGINT AS click_id
+                FROM p
+                UNION ALL
+                SELECT user_id, ts_s, 0, NULL, click_id FROM c0),
+            m AS (
+                SELECT *,
+                       last_value(click_id IGNORE NULLS) OVER w
+                           AS attributed_click,
+                       last_value(CASE WHEN is_left = 0 THEN ts_s END
+                                  IGNORE NULLS) OVER w AS click_ts_s
+                FROM u
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts_s ASC, is_left ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW))
+            SELECT event_id, user_id, attributed_click, click_ts_s
+            FROM m WHERE is_left = 1 ORDER BY event_id
         """,
         "hybrid_search_topk": """
             WITH ids AS (
