@@ -739,6 +739,38 @@ def asof_purchase_attribution(spark, sf):
     ).orderBy("event_id")
 
 
+def range_join_clicks(spark, sf):
+    """Interval join via time-bucket blocking (no nested-loop join): clicks
+    falling inside each signup's 2-hour onboarding window, per user."""
+    from kernel_memory_spark.operators.ranges import range_join
+
+    e = load_table(spark, sf, "events").withColumn(
+        "ts_s", F.col("ts").cast("timestamp").cast("long")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_s", F.col("event_id").alias("click_id")
+    )
+    windows = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts_s").alias("start_s"),
+        (F.col("ts_s") + 7200).alias("end_s"),
+        F.col("event_id").alias("signup_id"),
+    )
+    out = range_join(clicks, windows, keys=["user_id"], bucket_width=3600)
+    return out.select("click_id", "signup_id").orderBy("click_id", "signup_id")
+
+
+def time_rollup_events(spark, sf):
+    """Hypertable-style continuous aggregate: hour/day/month rollups of the
+    events table in ONE pass (exploded grain pairs -> one hash agg)."""
+    from kernel_memory_spark.operators.ranges import time_rollup
+
+    e = load_table(spark, sf, "events")
+    return time_rollup(e, sum_col="value").orderBy(
+        "grain", "bucket_start", "event_type"
+    )
+
+
 ASK_QUESTION = "what do these records say"
 ASK_MAX_PROMPT_TOKENS = 1500
 ASK_ANSWER_TOKENS = 300
@@ -862,6 +894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": decontam_overlap,
         "repetition_docs": repetition_docs,
         "asof_purchase_attribution": asof_purchase_attribution,
+        "range_join_clicks": range_join_clicks,
+        "time_rollup_events": time_rollup_events,
         "fts_index_topk": fts_index_topk,
         "facts_token_budget": facts_token_budget,
         "summarize_docs": summarize_docs,
@@ -1550,6 +1584,33 @@ def oracle_sql() -> dict[str, str]:
                                       AND CURRENT ROW))
             SELECT event_id, user_id, attributed_click, click_ts_s
             FROM m WHERE is_left = 1 ORDER BY event_id
+        """,
+        "range_join_clicks": """
+            WITH e AS (
+                SELECT event_id, user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+                FROM events)
+            SELECT c.event_id AS click_id, s.event_id AS signup_id
+            FROM e c JOIN e s
+              ON c.user_id = s.user_id
+             AND c.event_type = 'click' AND s.event_type = 'signup'
+             AND c.ts_s >= s.ts_s AND c.ts_s <= s.ts_s + 7200
+            ORDER BY click_id, signup_id
+        """,
+        "time_rollup_events": """
+            WITH g AS (
+                SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_start,
+                       event_type, value FROM events
+                UNION ALL
+                SELECT 'day', date_trunc('day', ts), event_type, value
+                FROM events
+                UNION ALL
+                SELECT 'month', date_trunc('month', ts), event_type, value
+                FROM events)
+            SELECT grain, bucket_start, event_type,
+                   count(*) AS n, round(sum(value), 6) AS total
+            FROM g GROUP BY grain, bucket_start, event_type
+            ORDER BY grain, bucket_start, event_type
         """,
         "hybrid_search_topk": """
             WITH ids AS (

@@ -1,0 +1,88 @@
+"""Range (interval) join and multi-granularity time rollups — the other
+two custom operators the brief names (range join, hypertable rollup),
+each expressed as compositions of built-in ops.
+
+- `range_join` — points ⋈ intervals where start <= pt <= end. The naive
+  theta-join degenerates to a per-key cartesian (BroadcastNestedLoopJoin)
+  at scale. The bucketed construction instead: explode every interval
+  into the fixed-width time buckets it covers, equi-join points on their
+  bucket, then post-filter the exact containment — a plain hash join
+  whose fan-out is bounded by interval_length / bucket_width (choose the
+  width near the median interval length). This is the same trick
+  Photon/DuckDB's IEJoin-avoiding plans and Iceberg partition-bucketed
+  time joins use.
+
+- `time_rollup` — the hypertable continuous-aggregate shape: one pass
+  producing counts/sums at several granularities via GROUPING SETS
+  (hour/day/month), instead of G separate scans. Catalyst expands the
+  sets into one shuffle with a grouping-id column.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts_s",
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+    bucket_width: int = 3600,
+    keys: Optional[List[str]] = None,
+) -> DataFrame:
+    """Inner join of each point row to every interval row containing it
+    (start <= ts <= end), optionally also matching on equality `keys`.
+    Output: all point columns + all interval columns (callers project)."""
+    keys = keys or []
+    b_start = (F.col(start_col) / bucket_width).cast("long")
+    b_end = (F.col(end_col) / bucket_width).cast("long")
+    exploded = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(b_start, b_end))
+    )
+    pts = points.withColumn(
+        "__bucket", (F.col(point_ts) / bucket_width).cast("long")
+    )
+    joined = pts.join(exploded, keys + ["__bucket"])
+    return joined.filter(
+        (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) <= F.col(end_col))
+    ).drop("__bucket")
+
+
+def time_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    grains: Sequence[str] = ("hour", "day", "month"),
+    group_cols: Sequence[str] = ("event_type",),
+    sum_col: Optional[str] = None,
+) -> DataFrame:
+    """One-pass multi-granularity rollup: (grain, bucket_start, *group_cols,
+    n[, total]) for every grain — the continuous-aggregate/hypertable
+    shape. Each row contributes one (grain, bucket) pair per grain via an
+    exploded literal array, then ONE hash aggregate covers all grains
+    (instead of G separate scans; map-side combine still applies since
+    the explode fan-out is the small constant G)."""
+    ts = F.col(ts_col).cast("timestamp")
+    pairs = F.array(*[
+        F.struct(
+            F.lit(g).alias("grain"),
+            F.date_trunc(g, ts).alias("bucket_start"),
+        )
+        for g in grains
+    ])
+    extra = [sum_col] if sum_col else []
+    exploded = events.withColumn("__g", F.explode(pairs)).select(
+        F.col("__g.grain").alias("grain"),
+        F.col("__g.bucket_start").alias("bucket_start"),
+        *group_cols,
+        *extra,
+    )
+    aggs = [F.count("*").alias("n")]
+    if sum_col:
+        aggs.append(F.round(F.sum(sum_col), 6).alias("total"))
+    return exploded.groupBy("grain", "bucket_start", *group_cols).agg(*aggs)

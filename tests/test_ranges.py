@@ -1,0 +1,78 @@
+"""Range (interval) join via time-bucket blocking + multi-grain rollup."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from kernel_memory_spark.operators.ranges import range_join, time_rollup
+
+
+class TestRangeJoin:
+    def test_containment_semantics(self, spark):
+        points = spark.createDataFrame(
+            [("p1", 50), ("p2", 150), ("p3", 7300), ("p4", 99999)],
+            "pid string, ts_s long",
+        )
+        intervals = spark.createDataFrame(
+            [("i1", 0, 100), ("i2", 40, 200), ("i3", 7000, 8000)],
+            "iid string, start_s long, end_s long",
+        )
+        got = {
+            (r.pid, r.iid)
+            for r in range_join(points, intervals, bucket_width=3600).collect()
+        }
+        assert got == {("p1", "i1"), ("p1", "i2"), ("p2", "i2"),
+                       ("p3", "i3")}
+
+    def test_interval_spanning_many_buckets(self, spark):
+        points = spark.createDataFrame(
+            [("p1", 5000)], "pid string, ts_s long"
+        )
+        intervals = spark.createDataFrame(
+            [("wide", 0, 40000)], "iid string, start_s long, end_s long"
+        )
+        got = range_join(points, intervals, bucket_width=3600).collect()
+        assert len(got) == 1  # matched once despite covering 12 buckets
+
+    def test_keys_restrict_matches(self, spark):
+        points = spark.createDataFrame(
+            [("u1", "p1", 50), ("u2", "p2", 50)],
+            "user string, pid string, ts_s long",
+        )
+        intervals = spark.createDataFrame(
+            [("u1", "i1", 0, 100)],
+            "user string, iid string, start_s long, end_s long",
+        )
+        got = range_join(
+            points, intervals, keys=["user"], bucket_width=100
+        ).collect()
+        assert [(r.pid, r.iid) for r in got] == [("p1", "i1")]
+
+    def test_no_nested_loop_join_in_plan(self, spark):
+        points = spark.createDataFrame([("p1", 50)], "pid string, ts_s long")
+        intervals = spark.createDataFrame(
+            [("i1", 0, 100)], "iid string, start_s long, end_s long"
+        )
+        plan = range_join(points, intervals)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+class TestTimeRollup:
+    def test_grains_match_separate_aggregations(self, spark):
+        events = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1, 10, 5), "a", 1.0),
+             (2, datetime(2024, 1, 1, 10, 55), "a", 2.0),
+             (3, datetime(2024, 1, 1, 11, 5), "a", 3.0),
+             (4, datetime(2024, 1, 2, 9, 0), "b", 4.0)],
+            "event_id long, ts timestamp, event_type string, value double",
+        )
+        out = time_rollup(events, sum_col="value")
+        rows = {(r.grain, r.bucket_start, r.event_type): (r.n, r.total)
+                for r in out.collect()}
+        assert rows[("hour", datetime(2024, 1, 1, 10, 0), "a")] == (2, 3.0)
+        assert rows[("day", datetime(2024, 1, 1), "a")] == (3, 6.0)
+        assert rows[("month", datetime(2024, 1, 1), "a")] == (3, 6.0)
+        assert rows[("month", datetime(2024, 1, 1), "b")] == (1, 4.0)
+        # one pass: hour+day+month rows all present
+        assert {g for g, _, _ in rows} == {"hour", "day", "month"}
