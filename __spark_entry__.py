@@ -771,6 +771,19 @@ def time_rollup_events(spark, sf):
     )
 
 
+def stratified_sample_docs(spark, sf):
+    """Deterministic training-mix sampling: per-language hash-fraction
+    rates over documents (layout-independent: the same keys survive under
+    any partitioning or corpus growth)."""
+    from kernel_memory_spark.operators import sampling as SMP
+
+    docs = load_table(spark, sf, "documents")
+    got = SMP.stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.5, "de": 0.25}, default_fraction=0.1
+    )
+    return got.select("doc_id", "lang").orderBy("doc_id")
+
+
 ASK_QUESTION = "what do these records say"
 ASK_MAX_PROMPT_TOKENS = 1500
 ASK_ANSWER_TOKENS = 300
@@ -896,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_attribution": asof_purchase_attribution,
         "range_join_clicks": range_join_clicks,
         "time_rollup_events": time_rollup_events,
+        "stratified_sample_docs": stratified_sample_docs,
         "fts_index_topk": fts_index_topk,
         "facts_token_budget": facts_token_budget,
         "summarize_docs": summarize_docs,
@@ -1611,6 +1625,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 6) AS total
             FROM g GROUP BY grain, bucket_start, event_type
             ORDER BY grain, bucket_start, event_type
+        """,
+        "stratified_sample_docs": """
+            WITH pos AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)),
+                                       1, 8))::BIGINT % 1000000 AS p
+                FROM documents)
+            SELECT doc_id, lang FROM pos
+            WHERE p < CASE lang WHEN 'en' THEN 500000
+                                WHEN 'de' THEN 250000
+                                ELSE 100000 END
+            ORDER BY doc_id
         """,
         "hybrid_search_topk": """
             WITH ids AS (
