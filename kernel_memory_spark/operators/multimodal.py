@@ -346,9 +346,13 @@ def extract_audio_features(media: DataFrame, n_windows: int = 16,
                     samples, rate = decode_wav(raw)
                     mono = samples.astype(np.float64).mean(axis=1)
                     n = max(1, len(mono) // n_windows)
+                    # clips shorter than n_windows samples leave trailing
+                    # windows empty; np.mean([]) is NaN (and NaN is truthy,
+                    # so `or 0.0` would NOT catch it) — guard on length
+                    windows = [mono[i * n:(i + 1) * n] for i in range(n_windows)]
                     rms = np.array([
-                        np.sqrt(np.mean(mono[i * n:(i + 1) * n] ** 2) or 0.0)
-                        for i in range(n_windows)
+                        np.sqrt(np.mean(s ** 2)) if len(s) else 0.0
+                        for s in windows
                     ])
                 else:
                     if not use_stub:

@@ -39,13 +39,16 @@ def range_join(
     (start <= ts <= end), optionally also matching on equality `keys`.
     Output: all point columns + all interval columns (callers project)."""
     keys = keys or []
-    b_start = (F.col(start_col) / bucket_width).cast("long")
-    b_end = (F.col(end_col) / bucket_width).cast("long")
+    # floor, not cast: cast('long') on the double division truncates toward
+    # zero, so negative timestamps (pre-1970 epochs) would bucket one slot
+    # too high and silently miss matches
+    b_start = F.floor(F.col(start_col) / bucket_width).cast("long")
+    b_end = F.floor(F.col(end_col) / bucket_width).cast("long")
     exploded = intervals.withColumn(
         "__bucket", F.explode(F.sequence(b_start, b_end))
     )
     pts = points.withColumn(
-        "__bucket", (F.col(point_ts) / bucket_width).cast("long")
+        "__bucket", F.floor(F.col(point_ts) / bucket_width).cast("long")
     )
     joined = pts.join(exploded, keys + ["__bucket"])
     return joined.filter(

@@ -223,10 +223,17 @@ def search_node(
             if fts_present
             else F.col(text_col)
         )
+        # score ONLY the predicate-matched candidates, but with stats
+        # (N, avgdl) and df(term) over the FULL node corpus — SQLite FTS5's
+        # bm25() always normalizes with whole-index stats even when the
+        # query is filtered (SqliteFtsIndex.cs:155-175); per-query this
+        # re-tokenizes the corpus, which the persisted-index path
+        # (query_fts_index) avoids by precomputing postings + stats
         scored = st.bm25_topk(
-            matched.withColumn("__fts_text", fts_text),
+            df.withColumn("__fts_text", fts_text),
             terms, k=request.max_results_per_node,
             id_col=id_col, text_col="__fts_text",
+            candidates=matched.select(F.col(id_col)),
         )
         # SqliteFtsIndex.cs:199-205: raw = sqlite bm25 = -classic_bm25;
         # relevance = exp(raw / divisor), rounded for cross-engine stability

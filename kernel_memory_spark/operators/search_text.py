@@ -39,6 +39,7 @@ def bm25_topk(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    candidates: DataFrame = None,
 ) -> DataFrame:
     """BM25 top-k docs for a bag of query terms.
 
@@ -46,7 +47,14 @@ def bm25_topk(
     df.count()/.first() driver actions — so the whole query is ONE job; at
     production scale the stats table is precomputed once at index-build time
     and reused across queries (the SQLite FTS5 analog keeps them in the
-    index header)."""
+    index header).
+
+    `candidates` (optional, a DataFrame whose first column holds ids)
+    restricts which documents are SCORED, while stats (N, avgdl) and
+    per-term document frequencies stay whole-corpus — matching SQLite FTS5
+    bm25(), whose normalization always uses whole-index stats even when a
+    WHERE clause narrows the result set (SqliteFtsIndex.cs:155-175). Used
+    by search_node for predicate-filtered queries."""
     postings = tokenize_terms(df, id_col, text_col)
     stats = df.agg(F.count("*").cast("double").alias("n_docs")).crossJoin(
         postings.select("doc", "dl")
@@ -55,7 +63,13 @@ def bm25_topk(
     )
 
     q = postings.filter(F.col("term").isin(list(query_terms)))
+    # df(term) over the WHOLE index, before any candidate restriction
     dfreq = q.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    if candidates is not None:
+        ids = candidates.select(
+            F.col(candidates.columns[0]).alias("doc")
+        ).distinct()
+        q = q.join(ids, "doc", "left_semi")
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )

@@ -219,9 +219,16 @@ class TableCatalog:
         entries = []
         for sub in sorted(os.listdir(d)):
             if sub.startswith("__bucket="):
+                val = sub.split("=", 1)[1]
+                # NULL bucket keys land in __HIVE_DEFAULT_PARTITION__ — label
+                # the entry bucket=None so every later merge rereads it
+                # (NULL-keyed rows have no stable bucket) instead of
+                # crashing the commit on int()
                 entries.append({
                     "path": os.path.relpath(os.path.join(d, sub), self._dir(name)),
-                    "bucket": int(sub.split("=", 1)[1]),
+                    "bucket": (
+                        None if val == "__HIVE_DEFAULT_PARTITION__" else int(val)
+                    ),
                 })
         return entries
 

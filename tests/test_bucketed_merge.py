@@ -154,3 +154,27 @@ class TestBucketedMerge:
         expected = big.withColumn("b", b0).filter(F.col("b") == 3).count()
         got = cat.read_buckets(spark, "t", [3]).count()
         assert got == expected
+
+
+class TestNullBucketKey:
+    def test_null_key_rows_survive_merge(self, spark, tmp_path):
+        # a NULL bucket_col row lands in __HIVE_DEFAULT_PARTITION__; the
+        # manifest labels it bucket=None (always reread) instead of
+        # crashing the commit on int() (ADVICE r3)
+        cat = TableCatalog(str(tmp_path))
+        df = spark.createDataFrame(
+            [("k1", "a", "t1"), ("k2", None, "t2")],
+            "id string, doc_id string, text string",
+        )
+        cat.merge_bucketed(spark, "t", df, ["id"], "doc_id", n_buckets=4)
+        entries = cat._entries("t")
+        assert None in {e["bucket"] for e in entries}
+        got = {(r.id, r.doc_id) for r in cat.read(spark, "t").collect()}
+        assert got == {("k1", "a"), ("k2", None)}
+        # a second merge rereads the null-key entry and keeps the row
+        cat.merge_bucketed(
+            spark, "t",
+            spark.createDataFrame([("k3", "b", "t3")], df.schema),
+            ["id"], "doc_id", n_buckets=4,
+        )
+        assert cat.read(spark, "t").count() == 3

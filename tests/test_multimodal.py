@@ -172,3 +172,20 @@ class TestRealAudioVideo:
 
         with _pytest.raises(Exception):
             MM.extract_audio_features(df, use_stub=False).collect()
+
+    def test_short_wav_has_no_nan_features(self, spark):
+        # clip shorter than n_windows samples: trailing windows are empty;
+        # np.mean([]) is NaN and `or 0.0` does NOT catch NaN (ADVICE r3)
+        import math
+
+        import numpy as np
+
+        samples = (np.ones(5) * 1000).astype("<i2")  # 5 samples, 16 windows
+        df = spark.createDataFrame(
+            [("a1", "d1", bytearray(MM.encode_wav(samples, 8000)))],
+            "media_ref string, doc_id string, content binary",
+        )
+        feat = MM.extract_audio_features(df, n_windows=16).first().feature
+        assert len(feat) == 16
+        assert all(not math.isnan(x) for x in feat)
+        assert feat[0] > 0  # the non-empty window carries signal

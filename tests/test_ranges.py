@@ -76,3 +76,23 @@ class TestTimeRollup:
         assert rows[("month", datetime(2024, 1, 1), "b")] == (1, 4.0)
         # one pass: hour+day+month rows all present
         assert {g for g, _, _ in rows} == {"hour", "day", "month"}
+
+
+class TestRangeJoinFloor:
+    def test_negative_timestamps_bucket_with_floor(self, spark):
+        # pre-1970 epochs: cast('long') truncates toward zero, which would
+        # put ts=-10 in bucket 0 instead of -1 and miss the containing
+        # interval (ADVICE r3) — floor() buckets correctly
+        points = spark.createDataFrame(
+            [("p1", -10), ("p2", -3600), ("p3", -1)],
+            "pid string, ts_s long",
+        )
+        intervals = spark.createDataFrame(
+            [("i1", -100, -5), ("i2", -4000, -3000)],
+            "iid string, start_s long, end_s long",
+        )
+        got = {
+            (r.pid, r.iid)
+            for r in range_join(points, intervals, bucket_width=3600).collect()
+        }
+        assert got == {("p1", "i1"), ("p2", "i2")}
