@@ -107,10 +107,80 @@ def bm25_topk(
 # ---------------------------------------------------------------------------
 
 FTS_TERM_BUCKETS = 64
+FTS_DOC_BUCKETS = 64
 
 
 def _term_bucket(col, n_buckets: int = FTS_TERM_BUCKETS):
     return F.pmod(F.crc32(col.cast("string")), F.lit(n_buckets)).cast("int")
+
+
+def _crc_bucket(term: str, n_buckets: int = FTS_TERM_BUCKETS) -> int:
+    """Driver-side twin of _term_bucket (zlib.crc32 == Spark crc32)."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def _doc_lengths(df: DataFrame, postings: DataFrame, id_col: str) -> DataFrame:
+    """(doc, dl) for EVERY batch document — term-less docs get dl=0 so the
+    sidecar can answer "was this doc ever indexed" (needed to maintain
+    n_docs incrementally) while dl>0 rows alone feed avgdl, matching the
+    build-time average over posting-bearing docs."""
+    return (
+        df.select(F.col(id_col).alias("doc")).dropDuplicates(["doc"])
+        .join(postings.select("doc", "dl").distinct(), "doc", "left")
+        .select("doc", F.coalesce(F.col("dl"), F.lit(0)).alias("dl"))
+    )
+
+
+# composable doc-length aggregates: (row count, posting-bearing count,
+# total length) — stats maintenance is pure arithmetic on these, so an
+# upsert/remove touches the header in O(batch), never O(index)
+def _dl_aggs():
+    # built lazily: Column construction needs an active session (Spark 4)
+    return (
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("dl") > 0, True)).alias("dl_docs"),
+        F.sum(F.when(F.col("dl") > 0, F.col("dl")).otherwise(0))
+        .alias("sum_dl"),
+    )
+
+
+def _write_fts_stats(catalog, spark, table: str) -> None:
+    """Derive the 1-row stats header from the doc-length sidecar (full
+    build / layout-migration path; incremental paths use _bump_fts_stats):
+    n_docs = all indexed docs, avgdl = mean length of posting-bearing docs
+    (the FTS5-header analog)."""
+    row = catalog.read(spark, table + "__dl").agg(*_dl_aggs()).first()
+    _commit_fts_stats(catalog, spark, table,
+                      row["n"] or 0, row["dl_docs"] or 0, row["sum_dl"] or 0)
+
+
+def _commit_fts_stats(catalog, spark, table: str,
+                      n: int, dl_docs: int, sum_dl: int) -> None:
+    avgdl = (float(sum_dl) / dl_docs) if dl_docs else 1.0
+    stats = spark.createDataFrame(
+        [(float(n), avgdl, float(sum_dl), float(dl_docs))],
+        "n_docs double, avgdl double, sum_dl double, dl_docs double",
+    )
+    catalog.overwrite(stats, table + "__stats")
+
+
+def _bump_fts_stats(catalog, spark, table: str, minus, plus) -> None:
+    """Incremental header update: subtract the replaced/removed docs'
+    contribution, add the batch's. Exact — counts and integer length sums
+    compose associatively, and avgdl is re-derived as sum/count, so the
+    result is bit-identical to a full recompute."""
+    old = catalog.read(spark, table + "__stats").first()
+    if "sum_dl" not in old.__fields__:
+        # stats written by a pre-sidecar build: one-time full recompute
+        return _write_fts_stats(catalog, spark, table)
+    n = int(old["n_docs"]) - (minus["n"] or 0) + (plus["n"] or 0)
+    dl_docs = (int(old["dl_docs"]) - (minus["dl_docs"] or 0)
+               + (plus["dl_docs"] or 0))
+    sum_dl = (int(old["sum_dl"]) - (minus["sum_dl"] or 0)
+              + (plus["sum_dl"] or 0))
+    _commit_fts_stats(catalog, spark, table, n, dl_docs, sum_dl)
 
 
 def build_fts_index(
@@ -122,18 +192,116 @@ def build_fts_index(
     table: str = "fts_index",
     n_buckets: int = FTS_TERM_BUCKETS,
 ) -> int:
-    """Write-once postings table (doc, dl, term, tf) partitioned by
-    term-hash bucket + a 1-row stats table `{table}__stats`."""
+    """Full build: postings table (doc, dl, term, tf, term_bucket)
+    identity-partitioned by term-hash bucket (manifest-pruned probes), a
+    doc-length sidecar `{table}__dl` hash-bucketed by doc (pruned
+    replaced-doc lookups for incremental upserts), and the 1-row
+    `{table}__stats` header."""
     postings = tokenize_terms(df, id_col, text_col).withColumn(
         "term_bucket", _term_bucket(F.col("term"), n_buckets)
+    ).localCheckpoint()  # feeds both the postings write and the dl sidecar
+    version = catalog.overwrite_partitioned(
+        spark, table, postings, "term_bucket", n_buckets
     )
-    version = catalog.overwrite(postings, table, partition_by=["term_bucket"])
-    stats = df.agg(F.count("*").cast("double").alias("n_docs")).crossJoin(
-        postings.select("doc", "dl").distinct()
-        .agg(F.coalesce(F.avg("dl"), F.lit(1.0)).alias("avgdl"))
+    catalog.drop(table + "__dl")
+    catalog.merge_bucketed(
+        spark, table + "__dl", _doc_lengths(df, postings, id_col),
+        ["doc"], "doc", n_buckets=FTS_DOC_BUCKETS,
     )
-    catalog.overwrite(stats, table + "__stats")
+    _write_fts_stats(catalog, spark, table)
     return version
+
+
+def upsert_fts_index(
+    spark,
+    catalog,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "fts_index",
+    n_buckets: int = FTS_TERM_BUCKETS,
+) -> int:
+    """Incremental index maintenance mirroring SqliteFtsIndex.IndexAsync
+    (src/Core/Search/SqliteFtsIndex.cs:81-142): tokenize ONLY the batch,
+    merge into touched term_bucket partitions, keep the stats header
+    consistent. Re-delivered documents are replaced: their old postings
+    (possibly in other term buckets) are located and dropped.
+
+    Cost model at 100TB: tokenization is O(batch); the doc-length sidecar
+    answers "any re-delivered docs?" with a bucket-pruned read of O(batch)
+    buckets; pure-insert batches (the common ingest case) then skip the
+    postings-wide key scan entirely and rewrite only the term buckets the
+    batch's terms hash to. Only a batch containing UPDATED docs pays one
+    column-pruned (doc, term_bucket) scan to find their old partitions."""
+    if not catalog.exists(table):
+        return build_fts_index(
+            spark, catalog, df, id_col, text_col, table, n_buckets
+        )
+    batch = df.dropDuplicates([id_col])
+    postings = tokenize_terms(batch, id_col, text_col).withColumn(
+        "term_bucket", _term_bucket(F.col("term"), n_buckets)
+    ).localCheckpoint()  # consumed by the merge AND the dl sidecar
+    batch_dl = _doc_lengths(batch, postings, id_col).localCheckpoint()
+
+    # bucket-pruned re-delivery lookup: old lengths of any batch docs
+    # already in the index (reads only the O(batch) doc-hash buckets of the
+    # sidecar, 2 thin columns)
+    dl_bucket = catalog._bucket_expr("doc", FTS_DOC_BUCKETS)
+    ids = batch_dl.select("doc")
+    wanted = [
+        r[0] for r in ids.select(dl_bucket.alias("b")).distinct().collect()
+    ]
+    replaced = (
+        catalog.read_buckets(spark, table + "__dl", wanted)
+        .join(ids, "doc", "left_semi")
+        .agg(*_dl_aggs()).first()
+    )
+    version = catalog.merge_partitioned(
+        spark, table, postings, ["doc"], "term_bucket", n_buckets,
+        replaced_parts=None if replaced["n"] else set(),
+    )
+    catalog.merge_bucketed(
+        spark, table + "__dl", batch_dl,
+        ["doc"], "doc", n_buckets=FTS_DOC_BUCKETS,
+    )
+    fresh = batch_dl.agg(*_dl_aggs()).first()
+    _bump_fts_stats(catalog, spark, table, minus=replaced, plus=fresh)
+    return version
+
+
+def remove_fts_index(
+    spark,
+    catalog,
+    ids,
+    table: str = "fts_index",
+) -> int:
+    """Per-content removal mirroring SqliteFtsIndex.RemoveAsync
+    (SqliteFtsIndex.cs:265): drop the docs' postings rewriting only the
+    term buckets that hold them, shrink the doc-length sidecar
+    (bucket-pruned on doc), bump the stats header arithmetically."""
+    import zlib
+
+    ids = list(ids)
+    wanted = sorted({
+        zlib.crc32(str(i).encode("utf-8")) % FTS_DOC_BUCKETS for i in ids
+    })
+    removed = (
+        catalog.read_buckets(spark, table + "__dl", wanted)
+        .filter(F.col("doc").isin(ids))
+        .agg(*_dl_aggs()).first()
+    )
+    version = catalog.delete_keys_partitioned(spark, table, "doc", ids)
+    catalog.delete_keys(spark, table + "__dl", "doc", ids)
+    _bump_fts_stats(catalog, spark, table, minus=removed,
+                    plus={"n": 0, "dl_docs": 0, "sum_dl": 0})
+    return version
+
+
+def clear_fts_index(catalog, table: str = "fts_index") -> None:
+    """SqliteFtsIndex.ClearAsync: drop the index, sidecar, and header."""
+    catalog.drop(table)
+    catalog.drop(table + "__dl")
+    catalog.drop(table + "__stats")
 
 
 def query_fts_index(
@@ -148,16 +316,14 @@ def query_fts_index(
     the query's terms hash to (term_bucket is a hive partition column), so
     per-query cost is O(postings of ~|terms| buckets), independent of
     corpus re-tokenization."""
-    import zlib
-
-    wanted = sorted({
-        zlib.crc32(t.encode("utf-8")) % n_buckets for t in query_terms
-    })
-    postings = catalog.read(spark, table).filter(
-        F.col("term_bucket").isin(wanted)  # prunes at the file listing
+    wanted = sorted({_crc_bucket(t, n_buckets) for t in query_terms})
+    # manifest-level pruning (untouched buckets' files never listed); the
+    # isin filters remain as the correctness guard for unlabeled entries
+    postings = catalog.read_buckets(spark, table, wanted).filter(
+        F.col("term_bucket").isin(wanted)
         & F.col("term").isin(list(query_terms))
     )
-    stats = catalog.read(spark, table + "__stats")
+    stats = catalog.read(spark, table + "__stats").select("n_docs", "avgdl")
     dfreq = postings.groupBy("term").agg(F.countDistinct("doc").alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0

@@ -256,10 +256,12 @@ def ivf_topk(
 # The per-query paths above recompute the bucket/centroid assignment over
 # the WHOLE table for every query — fine for one-shot jobs, wrong for a
 # serving index (a full UDF scan per query). These build the assignment
-# once into the snapshot catalog, hive-partitioned by bucket/centroid so a
-# probe reads only its buckets' files (partition pruning at the listing);
-# the query path is scan + JVM dot product + TakeOrderedAndProject, zero
-# Python. The Iceberg analog is a bucket-partitioned table.
+# once into the snapshot catalog, identity-partitioned by bucket/centroid
+# with the partition value recorded per manifest entry, so a probe prunes
+# at the MANIFEST (untouched buckets' files are never even listed) and
+# maintenance rewrites only touched partitions (merge_partitioned); the
+# query path is scan + JVM dot product + TakeOrderedAndProject, zero
+# Python. The Iceberg analog is MERGE INTO an identity-partitioned table.
 # ---------------------------------------------------------------------------
 
 
@@ -273,9 +275,13 @@ def build_lsh_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> int:
-    """Write-once LSH bucket table, partitioned by bucket."""
+    """Write-once LSH bucket table, identity-partitioned by bucket (every
+    manifest entry carries its bucket value, so probes prune at the
+    manifest — no file listing for untouched buckets)."""
     bucketed = lsh_bucket_ids(embeddings, dim, n_planes, id_col, vec_col)
-    return catalog.overwrite(bucketed, table, partition_by=["bucket"])
+    return catalog.overwrite_partitioned(
+        spark, table, bucketed, "bucket", 2 ** n_planes
+    )
 
 
 def upsert_lsh_index(
@@ -289,23 +295,29 @@ def upsert_lsh_index(
     vec_col: str = "embedding",
 ) -> int:
     """Incremental index maintenance: bucket ONLY the new batch (the
-    Python/Arrow cost is O(batch)), drop old rows with the same ids (a
-    vector update can move its row to a different bucket, so removal is an
-    id anti-join, not bucket-scoped), and rewrite the hive-partitioned
-    table JVM-side. On Iceberg this is MERGE INTO on the bucket-partitioned
-    table, which further prunes the rewrite to touched partitions; here the
-    win is confining the UDF to the batch while the rewrite stays columnar
-    shuffle-free I/O."""
+    Python/Arrow cost is O(batch)) and rewrite ONLY the touched bucket
+    partitions — buckets receiving new rows plus buckets holding superseded
+    ids (a vector update can move its row to a different bucket; the old
+    bucket is located by merge_partitioned's column-pruned (id, bucket)
+    scan). Untouched buckets carry into the new snapshot by reference.
+    This is the Iceberg MERGE INTO-on-identity-partitioned-table semantic;
+    round 3 shipped the O(index) full-overwrite version, now replaced."""
     fresh = lsh_bucket_ids(new_embeddings, dim, n_planes, id_col, vec_col)
-    if not catalog.exists(table):
-        return catalog.overwrite(fresh, table, partition_by=["bucket"])
-    old = catalog.read(spark, table)
-    keep = old.join(
-        fresh.select(id_col).distinct(), id_col, "left_anti"
+    return catalog.merge_partitioned(
+        spark, table, fresh, [id_col], "bucket", 2 ** n_planes
     )
-    return catalog.overwrite(
-        keep.unionByName(fresh), table, partition_by=["bucket"]
-    )
+
+
+def delete_lsh_index(
+    spark,
+    catalog,
+    ids,
+    table: str = "ann_lsh_index",
+    id_col: str = "vec_id",
+) -> int:
+    """Delete-only entry point (SqliteVectorIndex delete semantics):
+    removes the given ids, rewriting only the buckets that hold them."""
+    return catalog.delete_keys_partitioned(spark, table, id_col, list(ids))
 
 
 def query_lsh_index(
@@ -331,7 +343,11 @@ def query_lsh_index(
     bucket = int(signs.dot(1 << np.arange(n_planes)))
     masks = _probe_masks(n_planes, probe_radius if multiprobe else 0)
     probes = [bucket ^ m for m in masks]
-    index = catalog.read(spark, table)
+    # manifest-level pruning: only the probe buckets' files are even
+    # listed; the isin filter stays for legacy hive-layout tables (where
+    # it prunes via partition discovery) and as a correctness guard for
+    # unlabeled entries
+    index = catalog.read_buckets(spark, table, probes)
     cands = index.filter(F.col("bucket").isin(probes))
     return brute_force_topk(cands, query_vector, k, id_col, vec_col)
 
@@ -345,9 +361,11 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> int:
-    """Write-once IVF assignment table, partitioned by centroid."""
+    """Write-once IVF assignment table, identity-partitioned by centroid."""
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
-    return catalog.overwrite(assigned, table, partition_by=["centroid"])
+    return catalog.overwrite_partitioned(
+        spark, table, assigned, "centroid", len(centroids)
+    )
 
 
 def upsert_ivf_index(
@@ -360,16 +378,25 @@ def upsert_ivf_index(
     vec_col: str = "embedding",
 ) -> int:
     """Incremental IVF maintenance, mirroring upsert_lsh_index: assign
-    centroids for the new batch only (UDF is O(batch)), id-anti-join out
-    superseded rows, JVM rewrite of the centroid-partitioned table."""
+    centroids for the new batch only (UDF is O(batch)), then rewrite ONLY
+    the centroid partitions receiving new rows or holding superseded ids
+    (merge_partitioned). Untouched centroids carry by reference."""
     fresh = ivf_assign(new_embeddings, centroids, id_col, vec_col)
-    if not catalog.exists(table):
-        return catalog.overwrite(fresh, table, partition_by=["centroid"])
-    old = catalog.read(spark, table)
-    keep = old.join(fresh.select(id_col).distinct(), id_col, "left_anti")
-    return catalog.overwrite(
-        keep.unionByName(fresh), table, partition_by=["centroid"]
+    return catalog.merge_partitioned(
+        spark, table, fresh, [id_col], "centroid", len(centroids)
     )
+
+
+def delete_ivf_index(
+    spark,
+    catalog,
+    ids,
+    table: str = "ann_ivf_index",
+    id_col: str = "vec_id",
+) -> int:
+    """Delete-only entry point: removes ids, rewriting only the centroid
+    partitions that hold them."""
+    return catalog.delete_keys_partitioned(spark, table, id_col, list(ids))
 
 
 def query_ivf_index(
@@ -388,6 +415,6 @@ def query_ivf_index(
     cmat = np.stack([np.asarray(_unit(c)) for c in centroids])
     q = np.asarray(_unit(list(query_vector)))
     order = [int(i) for i in np.argsort(-(cmat @ q))[:nprobe]]
-    index = catalog.read(spark, table)
+    index = catalog.read_buckets(spark, table, order)
     cands = index.filter(F.col("centroid").isin(order))
     return brute_force_topk(cands, query_vector, k, id_col, vec_col)

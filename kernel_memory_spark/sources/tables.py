@@ -112,6 +112,10 @@ class TableCatalog:
             for e in self._entries(name)
             if e["bucket"] is None or e["bucket"] in wanted
         ]
+        if not paths:
+            # none of the wanted buckets exist yet: empty frame with the
+            # table's schema (footer-only peek at the full manifest)
+            return self.read(spark, name).limit(0)
         return spark.read.parquet(*paths)
 
     def overwrite(self, df: DataFrame, name: str,
@@ -200,14 +204,32 @@ class TableCatalog:
             return [{"path": e["path"], "bucket": None} for e in entries]
         return entries
 
+    @staticmethod
+    def _identity_expr(part_col: str):
+        """Partition label = the column's own (integer) value — the layout
+        for tables whose reads filter on a real data column (ANN bucket /
+        centroid, FTS term_bucket). Unlike the crc32 hash layout, the data
+        column itself stays in the files, so reads of individual labeled
+        directories still see it."""
+        from pyspark.sql import functions as F
+
+        return F.col(part_col).cast("long")
+
     def _write_bucketed(self, spark: SparkSession, name: str, df: DataFrame,
-                        bucket_col: str, n_buckets: int) -> List[dict]:
+                        bucket_col: str, n_buckets: int,
+                        expr=None) -> List[dict]:
         """Write df hash-partitioned into bucket subdirectories; returns the
         manifest entries. partitionBy drops the synthetic bucket column from
-        the data files, so the stored schema is unchanged."""
+        the data files, so the stored schema is unchanged. `expr` overrides
+        the bucket expression (identity layout for partition-valued
+        columns)."""
         d = self._new_data_dir(name)
+        bucket_expr = (
+            expr if expr is not None
+            else self._bucket_expr(bucket_col, n_buckets)
+        )
         (
-            df.withColumn("__bucket", self._bucket_expr(bucket_col, n_buckets))
+            df.withColumn("__bucket", bucket_expr)
             # one shuffle of the incremental batch so each bucket writes as
             # one file instead of tasks x buckets small files (the ledger's
             # footer walk and the next merge's read both scale with file
@@ -293,6 +315,156 @@ class TableCatalog:
             )
         return self._commit(name, out, bucketing=bucketing)
 
+    # -- identity-partitioned merge (persisted-index maintenance) -------------
+    #
+    # ANN bucket tables and FTS postings are partitioned by a VALUE column
+    # (LSH bucket, IVF centroid, term hash bucket) that is NOT a function of
+    # the row key: a re-delivered vector can move to a different bucket, and
+    # a re-tokenized document's postings move term buckets. merge_bucketed
+    # can't serve them (it requires bucket = f(key)); these variants track
+    # the partition VALUE in the manifest and rewrite only partitions that
+    # (a) receive new rows or (b) contain replaced keys — the replaced-key
+    # partitions are found with one column-pruned scan of (key, part) over
+    # the labeled entries, the manifest-level analog of Iceberg MERGE INTO
+    # on an identity-partitioned table.
+
+    def overwrite_partitioned(self, spark: SparkSession, name: str,
+                              df: DataFrame, part_col: str,
+                              n_parts: int) -> int:
+        """Full (re)write of a table identity-partitioned on an int column;
+        every manifest entry carries its partition value, so probes via
+        read_buckets prune at the manifest without listing a single
+        untouched partition's files."""
+        entries = self._write_bucketed(
+            spark, name, df, part_col, n_parts,
+            expr=self._identity_expr(part_col),
+        )
+        return self._commit(
+            name, entries,
+            bucketing={"col": part_col, "n": n_parts, "mode": "identity"},
+        )
+
+    def merge_partitioned(self, spark: SparkSession, name: str, df: DataFrame,
+                          key_cols: List[str], part_col: str, n_parts: int,
+                          replaced_parts=None) -> int:
+        """Upsert into an identity-partitioned table, rewriting only touched
+        partitions. I/O is O(touched partitions) + one column-pruned
+        (key, part) scan to locate replaced keys — NOT O(index) like a full
+        overwrite (round-3 verdict item #1).
+
+        `replaced_parts` short-circuits the replaced-key lookup when the
+        caller already knows which partitions hold superseded rows (pass an
+        empty set for pure-insert batches — e.g. the FTS upsert checks its
+        doc-length sidecar first); None means "unknown, go look".
+
+        A table previously written under a different layout (plain
+        overwrite with hive partition_by, or hash bucketing) is migrated by
+        one full rewrite, after which merges are incremental."""
+        bucketing = {"col": part_col, "n": n_parts, "mode": "identity"}
+        new_entries = self._write_bucketed(
+            spark, name, df, part_col, n_parts,
+            expr=self._identity_expr(part_col),
+        )
+        if not self.exists(name):
+            return self._commit(name, new_entries, bucketing=bucketing)
+
+        recorded = self._manifest(name).get("bucketing")
+        entries = self._entries(name)
+        if recorded != bucketing:
+            # foreign layout: labels (if any) were computed under different
+            # rules — demote everything to reread (one-time migration)
+            entries = [{"path": e["path"], "bucket": None} for e in entries]
+
+        touched = {e["bucket"] for e in new_entries if e["bucket"] is not None}
+        labeled = [e for e in entries if e["bucket"] is not None]
+        if not new_entries:
+            replaced_parts = replaced_parts or set()  # empty batch
+        if labeled and replaced_parts is None:
+            # keys can MOVE partitions between versions: locate old rows of
+            # the incoming keys with a column-pruned scan (key + part cols
+            # only — at 100TB this reads two thin columns, not the payload)
+            old_kp = spark.read.parquet(*[
+                os.path.join(self._dir(name), e["path"]) for e in labeled
+            ]).select(*key_cols, part_col)
+            new_keys = spark.read.parquet(*[
+                os.path.join(self._dir(name), e["path"]) for e in new_entries
+            ]).select(*key_cols).distinct()
+            replaced_parts = {
+                int(r[0]) for r in old_kp.join(new_keys, key_cols, "left_semi")
+                .select(part_col).distinct().collect()
+                if r[0] is not None
+            }
+        touched |= set(replaced_parts or ())
+
+        untouched = [e for e in labeled if e["bucket"] not in touched]
+        reread = [
+            e for e in entries
+            if e["bucket"] is None or e["bucket"] in touched
+        ]
+        out = untouched + new_entries
+        if reread:
+            old_paths = [os.path.join(self._dir(name), e["path"])
+                         for e in reread]
+            new_paths = [os.path.join(self._dir(name), e["path"])
+                         for e in new_entries]
+            old_touched = spark.read.parquet(*old_paths)
+            if new_paths:
+                new_keys = spark.read.parquet(*new_paths)\
+                    .select(*key_cols).distinct()
+                survivors = old_touched.join(new_keys, key_cols, "left_anti")
+            else:
+                survivors = old_touched
+            out = out + self._write_bucketed(
+                spark, name, survivors, part_col, n_parts,
+                expr=self._identity_expr(part_col),
+            )
+        return self._commit(name, out, bucketing=bucketing)
+
+    def delete_keys_partitioned(self, spark: SparkSession, name: str,
+                                key_col: str, keys: List) -> int:
+        """Delete rows by key from an identity-partitioned table, rewriting
+        only the partitions that contain those keys (located by the same
+        column-pruned (key, part) scan as merge_partitioned). Falls back to
+        a full-rewrite delete on foreign layouts."""
+        from pyspark.sql import functions as F
+
+        recorded = self._manifest(name).get("bucketing")
+        if not recorded or recorded.get("mode") != "identity":
+            return self.delete_where(
+                spark, name, F.col(key_col).isin(list(keys))
+            )
+        part_col, n_parts = recorded["col"], recorded["n"]
+        entries = self._entries(name)
+        labeled = [e for e in entries if e["bucket"] is not None]
+        unlabeled = [e for e in entries if e["bucket"] is None]
+        touched = set()
+        if labeled:
+            kp = spark.read.parquet(*[
+                os.path.join(self._dir(name), e["path"]) for e in labeled
+            ]).select(key_col, part_col)
+            touched = {
+                int(r[0]) for r in kp.filter(
+                    F.col(key_col).isin(list(keys))
+                ).select(part_col).distinct().collect()
+                if r[0] is not None
+            }
+        untouched = [e for e in labeled if e["bucket"] not in touched]
+        reread = unlabeled + [e for e in labeled if e["bucket"] in touched]
+        out = list(untouched)
+        if reread:
+            paths = [os.path.join(self._dir(name), e["path"]) for e in reread]
+            survivors = spark.read.parquet(*paths).filter(
+                ~F.col(key_col).isin(list(keys))
+            )
+            out += self._write_bucketed(
+                spark, name, survivors, part_col, n_parts,
+                expr=self._identity_expr(part_col),
+            )
+        return self._commit(
+            name, out,
+            bucketing={"col": part_col, "n": n_parts, "mode": "identity"},
+        )
+
     def delete_where(self, spark: SparkSession, name: str, condition) -> int:
         """Delete rows matching a Column condition (purge, J4/Q6).
         Full rewrite — use delete_keys when deleting by the bucket column."""
@@ -359,9 +531,16 @@ class TableCatalog:
         keep = [e for e in entries if e["bucket"] not in crowded]
         rewrite = [e for e in entries if e["bucket"] in crowded]
         paths = [os.path.join(self._dir(name), e["path"]) for e in rewrite]
+        # identity-layout tables must re-label by VALUE, not by hash —
+        # hash labels under an identity bucketing record would corrupt
+        # every later manifest-pruned read
+        expr = (
+            self._identity_expr(recorded["col"])
+            if recorded.get("mode") == "identity" else None
+        )
         out = keep + self._write_bucketed(
             spark, name, spark.read.parquet(*paths),
-            recorded["col"], recorded["n"],
+            recorded["col"], recorded["n"], expr=expr,
         )
         return self._commit(name, out, bucketing=recorded)
 

@@ -79,7 +79,16 @@ def ingest_batch(
     shared tables. Idempotent per (execution_id, batch content)."""
     t0 = time.time()
     nb = cfg.records_buckets
-    corpus = batch_df.select("doc_id", "spans")
+    # ledger doc count rides the FIRST merge's job via observe() — a
+    # metric must not cost a second pass over the batch source
+    # (round-3 verdict item #2)
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    corpus = batch_df.select("doc_id", "spans").observe(
+        obs, F.count(F.lit(1)).alias("n_docs")
+    )
     tags = (
         batch_df.select("doc_id", "tags")
         if "tags" in batch_df.columns else None
@@ -137,7 +146,9 @@ def ingest_batch(
     _merge_doc_scoped(catalog, spark, "triples_base", batch_triples, nb)
 
     wall_ms = int((time.time() - t0) * 1000)
-    n_docs = corpus.count()
+    # collected during the corpus merge (the first action over the observe
+    # node); no extra job
+    n_docs = int(obs.get["n_docs"])
     _commit_stream_ledger(catalog, execution_id, n_docs, wall_ms)
     return {"n_docs": n_docs, "wall_ms": wall_ms}
 

@@ -212,9 +212,23 @@ class TestPersistedIndex:
         out = SIM.query_lsh_index(spark, cat, list(row.embedding), dim,
                                   k=10, n_planes=4, probe_radius=2)
         plan = out._jdf.queryExecution().executedPlan().toString()
-        # no Python in the probe path, and the bucket filter prunes partitions
+        # no Python in the probe path
         assert "InPandas" not in plan and "ArrowEval" not in plan
-        assert "PartitionFilters" in plan and "bucket" in plan
+        # manifest-level pruning: the probe reads ONLY its buckets' files —
+        # untouched buckets are never listed (stronger than hive partition
+        # pruning, which still lists every directory)
+        import os as _os
+
+        all_files = {
+            _os.path.join(dp, fn)
+            for e in cat._entries("ann_lsh_index")
+            for dp, _d, fns in _os.walk(
+                _os.path.join(cat._dir("ann_lsh_index"), e["path"]))
+            for fn in fns if fn.endswith(".parquet")
+        }
+        read_files = {f.split("://", 1)[-1] for f in out.inputFiles()}
+        assert 0 < len(read_files) < len(all_files)
+        assert read_files <= all_files
 
         exact = [r.vec_id for r in SIM.brute_force_topk(
             embeddings, list(row.embedding), k=10).collect()]
@@ -245,6 +259,53 @@ class TestPersistedIndex:
         out = SIM.query_lsh_index(spark, cat, list(row.embedding), 64,
                                   k=5, n_planes=4, probe_radius=2)
         assert out.first().vec_id == 450
+
+    def test_lsh_upsert_rewrites_only_touched_buckets(
+        self, spark, embeddings, tmp_path
+    ):
+        """Round-3 verdict item #1 done-criterion: an upsert touching one
+        bucket must carry every other bucket's files by reference, not
+        rewrite O(index)."""
+        from kernel_memory_spark.sources.tables import TableCatalog
+
+        cat = TableCatalog(str(tmp_path))
+        SIM.build_lsh_index(spark, cat, embeddings, 64, n_planes=4)
+        before = {e["path"]: e["bucket"] for e in cat._entries("ann_lsh_index")}
+        n_buckets_before = len(before)
+        assert n_buckets_before > 4  # 16 possible buckets, most populated
+
+        # one NEW id: lands in exactly one bucket, replaces nothing
+        one = embeddings.filter(F.col("vec_id") == 3).withColumn(
+            "vec_id", F.lit(99_999).cast("long")
+        )
+        SIM.upsert_lsh_index(spark, cat, one, 64, n_planes=4)
+
+        after = {e["path"]: e["bucket"] for e in cat._entries("ann_lsh_index")}
+        carried = set(before) & set(after)
+        # every bucket except the (single) touched one carried by reference
+        assert len(carried) >= n_buckets_before - 1
+        touched_buckets = {after[p] for p in set(after) - carried}
+        assert len(touched_buckets) == 1
+        assert cat.read(spark, "ann_lsh_index").count() == \
+            embeddings.count() + 1
+
+    def test_lsh_delete_rewrites_only_holding_bucket(
+        self, spark, embeddings, tmp_path
+    ):
+        from kernel_memory_spark.sources.tables import TableCatalog
+
+        cat = TableCatalog(str(tmp_path))
+        SIM.build_lsh_index(spark, cat, embeddings, 64, n_planes=4)
+        before = set(
+            e["path"] for e in cat._entries("ann_lsh_index")
+        )
+        SIM.delete_lsh_index(spark, cat, [7])
+        after = set(e["path"] for e in cat._entries("ann_lsh_index"))
+        # only the bucket holding vec 7 was rewritten
+        assert len(before & after) >= len(before) - 1
+        idx = cat.read(spark, "ann_lsh_index")
+        assert idx.filter(F.col("vec_id") == 7).count() == 0
+        assert idx.count() == embeddings.count() - 1
 
     def test_ivf_index_probe(self, spark, embeddings, tmp_path):
         from kernel_memory_spark.sources.tables import TableCatalog
