@@ -1,0 +1,120 @@
+"""Plan-regression gate (round-3 verdict item #6): the headline entry
+queries must keep the physical plans they were audited with. A future
+change that un-pushes a filter, degrades a blocked join into
+BroadcastNestedLoopJoin, or drops Python into a JVM-only query path turns
+one of these red.
+
+Checks run on the plan STRING of the executed-plan tree at sf0.001 —
+cheap to build, and the properties asserted (join strategy, eval nodes,
+pre-cut top-k operators) are decided at planning time.
+"""
+
+import os
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose full query path must stay JVM-side (no row-at-a-time or
+# Arrow Python eval anywhere in the plan)
+PURE_JVM = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "knn_topk",
+    "bm25_topk_docs",
+    "latest_event_per_user",
+    "rerank_events",
+    "paginate_customers",
+    "facts_token_budget",
+    "search_end_to_end",
+    "hybrid_search_topk",
+    "sessionized_events",
+    "time_rollup_events",
+    "stratified_sample_docs",
+    "asof_purchase_attribution",
+    "range_join_clicks",
+    "salted_supplier_counts",
+    "union_distinct_customers",
+    "tag_filter_and_or",
+    "ask_prompt_facts",
+]
+
+# queries that MAY use Arrow-batched Python (signature UDFs) but must
+# never degrade to an unblocked cross product
+NO_BNLJ_ONLY = [
+    "minhash_lsh_dedup",
+    "simhash_dup_pairs",
+    "ngram_dup_pairs",
+    "cosine_dup_pairs",
+    "connected_components_star",
+]
+
+# pre-limit pagination / budget accumulation must pre-cut with a top-k
+# operator (per-partition heaps), never sort the full table
+TAKE_ORDERED = [
+    "knn_topk",
+    "paginate_customers",
+    "facts_token_budget",
+]
+
+# these queries cross-join a 1-row broadcast stats/scalar frame (BM25
+# corpus header, query-vector norm) — that prints as
+# BroadcastNestedLoopJoin but fans out exactly 1x per row, by design;
+# they must still never plan an unbroadcast CartesianProduct
+SCALAR_CROSS = {
+    "knn_topk",
+    "bm25_topk_docs",
+    "search_end_to_end",
+    "hybrid_search_topk",
+    "ask_prompt_facts",
+}
+
+
+def plan_of(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPlanRegressions:
+    @pytest.mark.parametrize("name", PURE_JVM)
+    def test_no_python_on_query_path(self, spark, name):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "InPandas" not in plan, name
+
+    @pytest.mark.parametrize("name", PURE_JVM + NO_BNLJ_ONLY)
+    def test_no_nested_loop_join(self, spark, name):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in SCALAR_CROSS:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        else:
+            # the allowed cross must be a BROADCAST nested loop (1-row
+            # stats side), never a shuffle-side nested loop
+            assert "BroadcastExchange" in plan, name
+
+    @pytest.mark.parametrize("name", TAKE_ORDERED)
+    def test_topk_precut(self, spark, name):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+    def test_q1_scan_prunes_columns(self, spark):
+        """Column pruning must reach the lineitem scan: q1 touches 7 of 16
+        columns; a ReadSchema carrying the full row width means projection
+        stopped being pushed."""
+        plan = plan_of(spark, "q1_pricing_summary")
+        start = plan.index("ReadSchema")
+        schema = plan[start:plan.index("\n", start)]
+        assert "l_comment" not in schema
+        assert "l_shipmode" not in schema
+
+    def test_q3_filters_pushed(self, spark):
+        """q3's segment/date predicates must reach the parquet scans."""
+        plan = plan_of(spark, "q3_shipping_priority")
+        assert "PushedFilters: [" in plan
+        # at least one scan pushes a non-trivial predicate
+        assert "IsNotNull" in plan.split("PushedFilters")[1]
