@@ -589,6 +589,36 @@ def fts_index_topk(spark, sf):
     )
 
 
+def fts_upsert_topk(spark, sf):
+    """Incremental FTS maintenance at the oracle level (SqliteFtsIndex
+    IndexAsync semantics, src/Core/Search/SqliteFtsIndex.cs:81-142): build
+    the postings index on the even-id half of the corpus, upsert the odd
+    half PLUS a re-delivered slice of already-indexed docs, then query.
+    Must score identically to one full build over the whole corpus — the
+    oracle is the same whole-corpus BM25 SQL as fts_index_topk, so a
+    hash-match proves postings replacement AND the incrementally-bumped
+    stats header both converged exactly."""
+    import tempfile
+
+    from kernel_memory_spark.operators import search_text as ST
+    from kernel_memory_spark.sources.tables import TableCatalog
+
+    docs = load_table(spark, sf, "documents")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="kms_ftsu_"))
+    ST.build_fts_index(spark, cat, docs.filter(F.col("doc_id") % 2 == 0))
+    redelivered = docs.filter(F.col("doc_id") % 100 == 0)  # already indexed
+    ST.upsert_fts_index(
+        spark, cat,
+        docs.filter(F.col("doc_id") % 2 == 1).unionByName(redelivered),
+    )
+    return (
+        ST.query_fts_index(spark, cat, ["spark", "vector", "merge"], k=1 << 20)
+        .select("doc", F.round("score", 3).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(10)
+    )
+
+
 def search_snippets(spark, sf):
     """Snippet derivation (SqliteFtsIndex.cs:168 snippet() + :231 match-all
     substr path): windowed excerpt around the first query-term match with
@@ -911,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup_events": time_rollup_events,
         "stratified_sample_docs": stratified_sample_docs,
         "fts_index_topk": fts_index_topk,
+        "fts_upsert_topk": fts_upsert_topk,
         "facts_token_budget": facts_token_budget,
         "summarize_docs": summarize_docs,
         "kg_triples_sf": kg_triples_sf,  # rows-only (pandas-UDF chunker)
@@ -1369,6 +1400,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY e.qid ORDER BY query_id
         """,
         "fts_index_topk": """
+            WITH toks AS (
+                SELECT doc_id AS doc,
+                       len(string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+')) AS dl,
+                       unnest(string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+')) AS term
+                FROM documents),
+            postings AS (
+                SELECT doc, dl, term, count(*) AS tf FROM toks
+                WHERE length(term) > 0 GROUP BY doc, dl, term),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n,
+                       (SELECT avg(dl) FROM (SELECT DISTINCT doc, dl FROM postings)) AS avgdl),
+            q AS (SELECT * FROM postings WHERE term IN ('spark', 'vector', 'merge')),
+            dfreq AS (SELECT term, count(DISTINCT doc) AS df FROM q GROUP BY term),
+            w AS (
+                SELECT q.doc,
+                       ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                       * (q.tf * 2.2)
+                       / (q.tf + 1.2 * (1 - 0.75 + 0.75 * q.dl / stats.avgdl)) AS wt
+                FROM q JOIN dfreq USING (term), stats)
+            SELECT doc, round(sum(wt), 3) AS score
+            FROM w GROUP BY doc
+            ORDER BY score DESC, doc ASC LIMIT 10
+        """,
+        # incremental build (build half -> upsert rest + re-delivery) must
+        # converge to the SAME index as one full build, so it shares the
+        # whole-corpus BM25 oracle
+        "fts_upsert_topk": """
             WITH toks AS (
                 SELECT doc_id AS doc,
                        len(string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+')) AS dl,

@@ -321,6 +321,40 @@ class TestPersistedIndex:
         got = out.collect()
         assert got[0].vec_id == rows[0].vec_id
 
+    def test_ivf_lifecycle_build_upsert_delete_query(
+        self, spark, embeddings, tmp_path
+    ):
+        """Full maintenance lifecycle (round-3 verdict stretch #8):
+        build -> upsert -> delete -> query stays correct throughout."""
+        from kernel_memory_spark.sources.tables import TableCatalog
+
+        cat = TableCatalog(str(tmp_path))
+        rows = embeddings.orderBy("vec_id").limit(4).collect()
+        centroids = [list(r.embedding) for r in rows]
+        SIM.build_ivf_index(
+            spark, cat, embeddings.filter(F.col("vec_id") < 300), centroids
+        )
+        SIM.upsert_ivf_index(
+            spark, cat, embeddings.filter(F.col("vec_id") >= 300), centroids
+        )
+        before = {e["path"]: e["bucket"]
+                  for e in cat._entries("ann_ivf_index")}
+        SIM.delete_ivf_index(spark, cat, [int(rows[1].vec_id)])
+        after = {e["path"] for e in cat._entries("ann_ivf_index")}
+        # every rewritten entry belongs to the ONE centroid holding the id
+        # (it may span several manifest entries from earlier merges)
+        rewritten = {before[p] for p in set(before) - after}
+        assert len(rewritten) == 1
+        idx = cat.read(spark, "ann_ivf_index")
+        assert idx.count() == embeddings.count() - 1
+        assert idx.filter(F.col("vec_id") == rows[1].vec_id).count() == 0
+        # deleted vector no longer retrievable; its centroid still probes
+        out = SIM.query_ivf_index(
+            spark, cat, centroids, list(rows[1].embedding), k=3, nprobe=2
+        ).collect()
+        assert rows[1].vec_id not in [r.vec_id for r in out]
+        assert len(out) == 3
+
     def test_ivf_index_upsert(self, spark, embeddings, tmp_path):
         from kernel_memory_spark.sources.tables import TableCatalog
 
