@@ -301,6 +301,17 @@ def _search_filtered(
         search_node(node_dfs[n], ast_node, request, n, **kwargs)
         for n in nodes
     ]
+    return _fuse(spark, nodes, per_node, request)
+
+
+def _fuse(
+    spark: SparkSession,
+    nodes: Sequence[str],
+    per_node: Sequence[DataFrame],
+    request: SearchRequest,
+) -> DataFrame:
+    """Union the per-node appearances, apply weights, diminishing-rerank,
+    min-relevance filter (SearchService.cs:81-96 after the fan-out)."""
     appearances = per_node[0]
     for p in per_node[1:]:
         appearances = appearances.unionByName(p)
@@ -356,6 +367,59 @@ def search_with_total(
             filtered, _result_order(), request.offset, request.limit
         ),
         total,
+    )
+
+
+def search_with_diagnostics(
+    spark: SparkSession,
+    node_dfs: Dict[str, DataFrame],
+    request: SearchRequest,
+    **kwargs,
+) -> Tuple[DataFrame, DataFrame]:
+    """SearchService.cs:167-192 (ExecuteSearchOnNodesAsync diagnostics):
+    per-node elapsed time, appearance count, and FAILURE capture — a node
+    whose frame errors is reported in the diagnostics row instead of
+    sinking the whole fan-out, and the surviving nodes still produce
+    results (the reference's partial-failure semantics).
+
+    Returns (paginated results, diagnostics frame of
+    (node, appearances, wall_ms, error)). Unlike search(), each node's
+    appearances are materialized separately to time them — this is the
+    observability path, not the hot path; search() keeps the single fused
+    plan."""
+    import time as _time
+
+    ast_node = A.parse_query(request.query) if request.query.strip() else None
+    nodes = _determine_nodes(list(node_dfs.keys()), request)
+    diags, ok_nodes, ok_frames = [], [], []
+    for n in nodes:
+        t0 = _time.time()
+        try:
+            app = search_node(
+                node_dfs[n], ast_node, request, n, **kwargs
+            ).localCheckpoint()  # executes + pins this node's appearances
+            cnt = app.count()
+            ok_nodes.append(n)
+            ok_frames.append(app)
+            diags.append((n, cnt, int((_time.time() - t0) * 1000), None))
+        except Exception as e:  # partial failure: report, keep going
+            diags.append((
+                n, 0, int((_time.time() - t0) * 1000),
+                f"{type(e).__name__}: {e}"[:500],
+            ))
+    diag_df = spark.createDataFrame(
+        diags, "node string, appearances long, wall_ms long, error string"
+    )
+    if not ok_frames:
+        # every node failed: empty result frame with the search schema
+        empty = spark.createDataFrame(
+            [], "record_id string, relevance double, created_at timestamp"
+        )
+        return empty, diag_df
+    fused = _fuse(spark, ok_nodes, ok_frames, request)
+    return (
+        qry.paginate(fused, _result_order(), request.offset, request.limit),
+        diag_df,
     )
 
 

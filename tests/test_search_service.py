@@ -325,3 +325,48 @@ class TestSearchMemories:
             F.explode("partitions").alias("p")
         ).count()
         assert n_parts == records.count()  # copies deduped
+
+
+class TestSearchDiagnostics:
+    """SearchService.cs:167-192: per-node timings, appearance counts,
+    partial-failure capture."""
+
+    def test_diagnostics_rows_per_node(self, spark, corpus):
+        req = SearchRequest(query="content:spark", min_relevance=0.0,
+                            limit=100)
+        results, diag = svc.search_with_diagnostics(
+            spark, {"node-a": corpus, "node-b": corpus}, req
+        )
+        rows = {r.node: r for r in diag.collect()}
+        assert set(rows) == {"node-a", "node-b"}
+        for r in rows.values():
+            assert r.error is None
+            assert r.appearances > 0
+            assert r.wall_ms >= 0
+        # fused results match the plain search() over the same nodes
+        plain = svc.search(spark, {"node-a": corpus, "node-b": corpus}, req)
+        assert ids(results) == ids(plain)
+
+    def test_partial_failure_keeps_surviving_nodes(self, spark, corpus):
+        broken = corpus.drop("id")  # no id column: plan-time failure
+        req = SearchRequest(query="content:spark", min_relevance=0.0,
+                            limit=100)
+        results, diag = svc.search_with_diagnostics(
+            spark, {"good": corpus, "bad": broken}, req
+        )
+        rows = {r.node: r for r in diag.collect()}
+        assert rows["bad"].error is not None
+        assert rows["good"].error is None
+        # results come from the surviving node alone
+        plain = svc.search(spark, {"good": corpus}, req)
+        assert ids(results) == ids(plain)
+
+    def test_all_nodes_failed_returns_empty_plus_errors(self, spark, corpus):
+        broken = corpus.drop("id")
+        req = SearchRequest(query="content:spark", min_relevance=0.0,
+                            limit=10)
+        results, diag = svc.search_with_diagnostics(
+            spark, {"bad": broken}, req
+        )
+        assert results.count() == 0
+        assert [r.error is not None for r in diag.collect()] == [True]
