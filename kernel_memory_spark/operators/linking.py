@@ -161,3 +161,157 @@ def link_entities(
         (F.col("jaccard") >= jaccard_threshold)
         & (F.col("cosine") >= cosine_threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental linking (the streaming refresh_graph's remaining O(accumulated)
+# cost): link_entities re-signs and re-pairs EVERY accumulated surface on
+# every refresh. This state machine confines the expensive stages —
+# signature UDF, pair generation, verification UDF — to the NEW surfaces,
+# while converging to exactly what link_entities computes over the full
+# corpus (append-only streams; a re-upload that REMOVES a surface needs a
+# full refresh, documented on refresh_links_incremental).
+#
+# Persisted state (all bucket-scoped merges — no O(state) rewrites):
+#   {p}_surfaces      (norm)               surfaces already processed
+#   {p}_band_members  (band, norm)         the exploded LSH band table
+#   {p}_band_pairs    (band, a, b)         per-band candidate contributions;
+#                                          a NULL sentinel row marks a band
+#                                          recomputed to an empty set
+#   {p}_edge_scores   (a, b, jaccard, cosine)  verification memo
+#
+# Per refresh: new surfaces sign (UDF O(new)); bands containing a new
+# surface are recomputed FROM CURRENT MEMBERSHIP (pruned read of exactly
+# those band buckets) — this replays the hot-bucket cap with up-to-date
+# counts, so a band crossing the cap retroactively withdraws its pairs,
+# exactly as a batch run would never have emitted them; only never-scored
+# pairs hit the verification UDF (scores are deterministic in (a, b)).
+# ---------------------------------------------------------------------------
+
+LINK_STATE_BUCKETS = 64
+
+
+def refresh_links_incremental(
+    spark,
+    catalog,
+    mentions: DataFrame,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    cosine_threshold: float = COSINE_THRESHOLD,
+    bucket_cap: int = BAND_BUCKET_CAP,
+    prefix: str = "link",
+) -> DataFrame:
+    """Update the incremental linking state with `mentions` and return the
+    CURRENT alias edges (a, b, jaccard, cosine) — bit-identical to
+    link_entities(all mentions) for append-only corpora (asserted by
+    tests/test_streaming_ingest.py). Surfaces that disappear from the
+    corpus (re-upload shrinking a document) are NOT withdrawn from the
+    state; run the full refresh for that case."""
+    sfc = f"{prefix}_surfaces"
+    mem = f"{prefix}_band_members"
+    prs = f"{prefix}_band_pairs"
+    scr = f"{prefix}_edge_scores"
+
+    surfaces = mentions.select("norm").distinct()
+    if catalog.exists(sfc):
+        known = catalog.read(spark, sfc).select("norm")
+        new = surfaces.join(known, "norm", "left_anti")
+    else:
+        new = surfaces
+    new = new.localCheckpoint()
+    if new.isEmpty():
+        return current_links(
+            spark, catalog, jaccard_threshold, cosine_threshold, prefix
+        )
+
+    # 1) sign ONLY the new surfaces (the Arrow UDF is O(new))
+    sigs = surface_signatures(new).localCheckpoint()
+    catalog.merge_bucketed(
+        spark, sfc, sigs.select("norm"), ["norm"], "norm",
+        n_buckets=LINK_STATE_BUCKETS,
+    )
+    new_members = sigs.select(F.explode("bands").alias("band"), "norm")
+    catalog.merge_bucketed(
+        spark, mem, new_members, ["band", "norm"], "band",
+        n_buckets=LINK_STATE_BUCKETS,
+    )
+
+    # 2) recompute candidate pairs for exactly the bands a new surface
+    # touched, from CURRENT membership: a bucket-pruned read (band hashes
+    # to its bucket) + the same cap as the batch path
+    touched = new_members.select("band").distinct().localCheckpoint()
+    wanted = [
+        r[0] for r in touched.select(
+            catalog._bucket_expr("band", LINK_STATE_BUCKETS).alias("b")
+        ).distinct().collect()
+    ]
+    members = catalog.read_buckets(spark, mem, wanted).join(
+        touched, "band", "left_semi"
+    ).localCheckpoint()  # feeds the cap agg and both self-join sides
+    hot = (
+        members.groupBy("band").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > bucket_cap).select("band")
+    )
+    cool = members.join(F.broadcast(hot), "band", "left_anti")
+    l, r = cool.alias("l"), cool.alias("r")
+    pairs = (
+        l.join(r, F.col("l.band") == F.col("r.band"))
+        .filter(F.col("l.norm") < F.col("r.norm"))
+        .select(
+            F.col("l.band").alias("band"),
+            F.col("l.norm").alias("a"), F.col("r.norm").alias("b"),
+        )
+    ).localCheckpoint()  # feeds both the band_pairs merge and scoring
+    # sentinel row per touched band: merge_bucketed's anti-join drops ALL
+    # old rows of every touched band even when its recomputed pair set is
+    # empty (hot-crossing withdraws the band's prior contribution)
+    sentinels = touched.select(
+        "band", F.lit(None).cast("string").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+    )
+    catalog.merge_bucketed(
+        spark, prs, pairs.unionByName(sentinels),
+        ["band", "a", "b"], "band", n_buckets=LINK_STATE_BUCKETS,
+        anti_cols=["band"],
+    )
+
+    # 3) verify only never-scored pairs (scores deterministic in (a, b))
+    cand = pairs.select("a", "b").distinct()
+    if catalog.exists(scr):
+        seen = catalog.read(spark, scr).select("a", "b")
+        cand = cand.join(seen, ["a", "b"], "left_anti")
+    fresh_scores = score_pairs(cand)
+    catalog.merge_bucketed(
+        spark, scr, fresh_scores, ["a", "b"], "a",
+        n_buckets=LINK_STATE_BUCKETS,
+    )
+    return current_links(
+        spark, catalog, jaccard_threshold, cosine_threshold, prefix
+    )
+
+
+def current_links(
+    spark,
+    catalog,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    cosine_threshold: float = COSINE_THRESHOLD,
+    prefix: str = "link",
+) -> DataFrame:
+    """Alias edges implied by the current state: a pair is an edge iff it
+    is still justified by some cool band AND its memoized verification
+    passes both thresholds. Ids-only JVM join, no Python."""
+    prs = f"{prefix}_band_pairs"
+    scr = f"{prefix}_edge_scores"
+    if not (catalog.exists(prs) and catalog.exists(scr)):
+        return spark.createDataFrame(
+            [], "a string, b string, jaccard double, cosine double"
+        )
+    valid = (
+        catalog.read(spark, prs)
+        .filter(F.col("a").isNotNull())
+        .select("a", "b").distinct()
+    )
+    scores = catalog.read(spark, scr)
+    return scores.join(valid, ["a", "b"], "left_semi").filter(
+        (F.col("jaccard") >= jaccard_threshold)
+        & (F.col("cosine") >= cosine_threshold)
+    )

@@ -236,6 +236,48 @@ def refresh_graph(
         mentions, cfg.jaccard_threshold, cfg.cosine_threshold
     )
     catalog.overwrite(alias_edges, "alias_edges")
+    return _refine_graph(spark, catalog, extractions, mentions,
+                         execution_id, t0)
+
+
+def refresh_graph_incremental(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    config: Optional[PipelineConfig] = None,
+    execution_id: str = "refresh",
+) -> dict:
+    """refresh_graph with INCREMENTAL linking: the signature / pair /
+    verification UDF stages run only over surfaces that arrived since the
+    previous refresh (linking.refresh_links_incremental state machine);
+    connected components, canonical triples, and node/edge materialize
+    remain global — they are pure JVM joins over (edges, mentions), the
+    cheap part, and a new alias edge can merge two OLD components so their
+    scope is global by nature. Converges to exactly refresh_graph's output
+    for append-only corpora (parity pytest); a re-upload that REMOVES
+    surfaces requires the full refresh_graph (state keeps dead surfaces)."""
+    cfg = config or PipelineConfig()
+    t0 = time.time()
+    extractions = catalog.read(spark, "extractions")
+    mentions = tri.mentions_from_extractions(extractions).localCheckpoint()
+    alias_edges = lnk.refresh_links_incremental(
+        spark, catalog, mentions, cfg.jaccard_threshold,
+        cfg.cosine_threshold,
+    )
+    catalog.overwrite(alias_edges, "alias_edges")
+    return _refine_graph(spark, catalog, extractions, mentions,
+                         execution_id, t0)
+
+
+def _refine_graph(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    extractions: DataFrame,
+    mentions: DataFrame,
+    execution_id: str,
+    t0: float,
+) -> dict:
+    """Shared tail of both refresh flavors: canonical entity map ->
+    canonical triples -> nodes/edges -> zero-copy `triples` union."""
     emap = czn.entity_map(mentions, catalog.read(spark, "alias_edges"))
     catalog.overwrite(emap, "entity_map")
     emap = catalog.read(spark, "entity_map")

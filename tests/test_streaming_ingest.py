@@ -171,3 +171,73 @@ class TestStreamingIngest:
                 stream_cat.read(spark, t).count()
                 == batch_cat.read(spark, t).count()
             ), t
+
+
+class TestIncrementalRefresh:
+    def test_incremental_refresh_matches_batch_pipeline(
+        self, spark, tmp_path, batches
+    ):
+        """refresh_graph_incremental after EVERY arrival must converge to
+        the batch pipeline over the full corpus — while its UDF stages only
+        ever touched the new surfaces (linking state machine)."""
+        full, first, second = batches
+        src = str(tmp_path / "incoming")
+        scat = TableCatalog(str(tmp_path / "scat"))
+
+        drop_file(first, src, "arrival1")
+        run_stream(spark, scat, src)
+        si.refresh_graph_incremental(spark, scat)
+        surfaces_after_1 = scat.read(spark, "link_surfaces").count()
+        scores_after_1 = scat.read(spark, "link_edge_scores").count()
+
+        drop_file(second, src, "arrival2")
+        run_stream(spark, scat, src)
+        si.refresh_graph_incremental(spark, scat)
+        # the state accumulated (no rebuild from scratch)
+        assert scat.read(spark, "link_surfaces").count() >= surfaces_after_1
+        assert scat.read(spark, "link_edge_scores").count() >= scores_after_1
+
+        batch_cat = TableCatalog(str(tmp_path / "bcat"))
+        pipe = Pipeline(spark, batch_cat, PipelineConfig(execution_id="batch"))
+        pipe.run(full.select("doc_id", "spans"), full.select("doc_id", "tags"))
+
+        def triple_set(cat):
+            return {
+                (r.subj, r.pred, r.obj, r.doc_id)
+                for r in cat.read(spark, "triples")
+                .select("subj", "pred", "obj", "doc_id").collect()
+            }
+
+        assert triple_set(scat) == triple_set(batch_cat)
+
+        def edge_set(cat):
+            return {
+                (r.a, r.b) for r in cat.read(spark, "alias_edges")
+                .select("a", "b").collect()
+            }
+
+        assert edge_set(scat) == edge_set(batch_cat)
+        for t in ("nodes", "edges", "entity_map"):
+            assert (
+                scat.read(spark, t).count()
+                == batch_cat.read(spark, t).count()
+            ), t
+
+    def test_second_refresh_with_no_new_docs_is_stable(
+        self, spark, tmp_path, batches
+    ):
+        _full, first, _second = batches
+        src = str(tmp_path / "incoming")
+        scat = TableCatalog(str(tmp_path / "scat"))
+        drop_file(first, src, "arrival1")
+        run_stream(spark, scat, src)
+        si.refresh_graph_incremental(spark, scat)
+        edges_v1 = {
+            (r.a, r.b) for r in scat.read(spark, "alias_edges").collect()
+        }
+        # idempotent: nothing new arrived, state and output unchanged
+        si.refresh_graph_incremental(spark, scat)
+        edges_v2 = {
+            (r.a, r.b) for r in scat.read(spark, "alias_edges").collect()
+        }
+        assert edges_v1 == edges_v2
