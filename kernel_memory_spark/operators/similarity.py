@@ -232,6 +232,61 @@ def ivf_assign(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    k: int,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[List[float]]:
+    """Distributed Lloyd's k-means on the unit sphere (spherical k-means —
+    cosine assignment matches ivf_assign/ivf_topk's metric).
+
+    Deterministic: seeds are the k vectors with the smallest ids (no RNG,
+    so results are layout-independent and replayable). Each iteration is
+    one Arrow-batched assignment pass (the same kernel ivf_assign uses)
+    plus ONE hash aggregate — posexplode(vector) -> groupBy(centroid, pos)
+    -> avg — so per-iteration cost is a single scan + shuffle of
+    (centroid, pos) keys; only the k x dim centroid matrix ever reaches
+    the driver. Stops when every centroid moves less than `tol` (cosine
+    distance) or after max_iter."""
+    seeds = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col).limit(k).collect()
+    )
+    cents = [_unit([float(x) for x in r[vec_col]]) for r in seeds]
+    for _ in range(max_iter):
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+        sums = (
+            assigned.select(
+                "centroid", F.posexplode(vec_col).alias("pos", "x")
+            )
+            .groupBy("centroid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_c: dict = {}
+        for r in sums:
+            by_c.setdefault(r.centroid, {})[r.pos] = r.m
+        new_cents = []
+        for i, old in enumerate(cents):
+            dims = by_c.get(i)
+            if not dims:  # empty cluster keeps its previous centroid
+                new_cents.append(old)
+                continue
+            vec = [dims[p] for p in sorted(dims)]
+            new_cents.append(_unit(vec))
+        shift = max(
+            1.0 - sum(a * b for a, b in zip(o, n))
+            for o, n in zip(cents, new_cents)
+        )
+        cents = new_cents
+        if shift < tol:
+            break
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     centroids: List[List[float]],

@@ -401,3 +401,49 @@ class TestCosineDup:
         plan = pairs._jdf.queryExecution().executedPlan().toString()
         # exactly one Python stage (the bucketizer); the verify is JVM-only
         assert "MapInPandas" not in plan  # signatures checkpointed once
+
+
+class TestIvfTraining:
+    def test_kmeans_recovers_planted_clusters(self, spark):
+        """Three well-separated planted clusters: training from cold seeds
+        must converge to one centroid per cluster, and every member must
+        assign to its cluster's centroid."""
+        import numpy as np
+
+        base = {
+            0: [1.0] * 8 + [0.0] * 8,
+            1: [0.0] * 8 + [1.0] * 8,
+            2: ([1.0, -1.0] * 8),
+        }
+        rows = []
+        for vid in range(90):
+            c = vid % 3
+            v = np.array(base[c], dtype=np.float64)
+            # deterministic small jitter, cluster structure preserved
+            v = v + 0.05 * np.sin(np.arange(16) * (vid + 1))
+            rows.append((vid, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+        cents = SIM.train_ivf_centroids(df, k=3, max_iter=10)
+        assert len(cents) == 3
+        assigned = SIM.ivf_assign(df, cents)
+        got = {
+            (r.vec_id % 3, r.centroid) for r in assigned.collect()
+        }
+        # each planted cluster maps to exactly one trained centroid
+        mapping = {}
+        for cluster, centroid in got:
+            mapping.setdefault(cluster, set()).add(centroid)
+        assert all(len(v) == 1 for v in mapping.values())
+        assert len({next(iter(v)) for v in mapping.values()}) == 3
+
+    def test_training_is_layout_independent(self, spark):
+        rows = [
+            (i, [float((i * 7 + j * 3) % 11) for j in range(8)])
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = SIM.train_ivf_centroids(df, k=4, max_iter=4)
+        b = SIM.train_ivf_centroids(df.repartition(13), k=4, max_iter=4)
+        for va, vb in zip(a, b):
+            assert va == pytest.approx(vb, abs=1e-9)
