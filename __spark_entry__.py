@@ -891,6 +891,67 @@ def kg_triples_sf(spark, sf):
     return lineage.unionByName(TRI.mention_triples(mentions, "sf"))
 
 
+def _copurchase_edges(spark, sf):
+    """Canonical undirected co-purchase graph over parts: two parts are
+    linked iff they appear in the same order (the standard market-basket /
+    KG co-occurrence construction; ~2000 nodes, ~116k edges at sf0.01).
+    Per-order pair fan-out is bounded by order size, so edges grow
+    linearly with lineitem."""
+    from kernel_memory_spark.operators import graph as GR
+
+    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    raw = a.join(b, "ok").select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    )
+    und = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    return und
+
+
+def pagerank_copurchase(spark, sf):
+    """Fixed-iteration PageRank over the part co-purchase graph (3
+    iterations, d=0.85) — importance ranking of KG nodes."""
+    from kernel_memory_spark.operators import graph as GR
+
+    adj = GR.symmetrize(_copurchase_edges(spark, sf))
+    pr = GR.pagerank(adj, iterations=3, damping=0.85)
+    return pr.select(
+        F.col("node").alias("part"), F.round("rank", 6).alias("rank")
+    )
+
+
+def triangle_counts_parts(spark, sf):
+    """Degree-ordered per-node triangle counts over the co-purchase graph
+    (graph cohesion / clustering signal)."""
+    from kernel_memory_spark.operators import graph as GR
+
+    t = GR.triangles_per_node(_copurchase_edges(spark, sf))
+    return t.select(F.col("node").alias("part"), "n_triangles")
+
+
+def khop_parts(spark, sf):
+    """2-hop BFS neighborhood (min hop distance) from parts 0..2 over the
+    co-purchase graph — the KG neighborhood-retrieval primitive."""
+    from kernel_memory_spark.operators import graph as GR
+
+    adj = GR.symmetrize(_copurchase_edges(spark, sf))
+    sources = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_partkey") <= 2)
+        .select("p_partkey")
+    )
+    out = GR.k_hop(adj, sources, k=2)
+    return out.select(F.col("node").alias("part"), "dist")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -944,8 +1005,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_upsert_topk": fts_upsert_topk,
         "facts_token_budget": facts_token_budget,
         "summarize_docs": summarize_docs,
+        "pagerank_copurchase": pagerank_copurchase,
+        "triangle_counts_parts": triangle_counts_parts,
+        "khop_parts": khop_parts,
         "kg_triples_sf": kg_triples_sf,  # rows-only (pandas-UDF chunker)
     }
+
+
+_GRAPH_CTE = """
+WITH und AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS src,
+                  greatest(a.l_partkey, b.l_partkey) AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), adj AS (
+  SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und
+)
+"""
+
+
+def _pagerank_sql(iterations: int = 3) -> str:
+    """Unrolled fixed-iteration PageRank CTE chain mirroring
+    operators/graph.pagerank bit-for-bit up to float sum order (teleport
+    written as (1.0 - 0.85) so the double literal matches Python's)."""
+    parts = [
+        _GRAPH_CTE.rstrip(),
+        ", nodes AS (SELECT DISTINCT src AS node FROM adj)",
+        ", outm AS (SELECT src, COUNT(*) AS outdeg FROM adj GROUP BY src)",
+        ", r0 AS (SELECT node, 1.0::DOUBLE / (SELECT COUNT(*) FROM nodes)"
+        " AS rank FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", r{i} AS (
+  SELECT n.node,
+         (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT COUNT(*) FROM nodes)
+         + 0.85::DOUBLE * COALESCE(c.s, 0.0::DOUBLE) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank * (1.0::DOUBLE / o.outdeg)) AS s
+    FROM adj e JOIN outm o ON e.src = o.src
+               JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst) c ON n.node = c.node)"""
+        )
+    parts.append(
+        f"SELECT node AS part, ROUND(rank, 6) AS rank FROM r{iterations}"
+    )
+    return "\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1850,6 +1955,44 @@ def oracle_sql() -> dict[str, str]:
                         ELSE trim(substr(text, 1, 160))
                    END AS summary
             FROM documents
+        """,
+        "pagerank_copurchase": _pagerank_sql(3),
+        "triangle_counts_parts": _GRAPH_CTE
+        + """
+            , deg AS (SELECT src AS node, COUNT(*) AS deg FROM adj GROUP BY src)
+            , oriented AS (
+                SELECT e.src AS u, e.dst AS v FROM adj e
+                JOIN deg da ON da.node = e.src
+                JOIN deg db ON db.node = e.dst
+                WHERE (da.deg < db.deg)
+                   OR (da.deg = db.deg AND e.src < e.dst))
+            , wedges AS (
+                SELECT e1.u AS u, e1.v AS v, e2.v AS w
+                FROM oriented e1 JOIN oriented e2
+                  ON e1.u = e2.u AND e1.v < e2.v)
+            , tris AS (
+                SELECT wg.u, wg.v, wg.w FROM wedges wg
+                WHERE EXISTS (SELECT 1 FROM und c
+                              WHERE c.src = wg.v AND c.dst = wg.w))
+            , corners AS (
+                SELECT u AS part FROM tris
+                UNION ALL SELECT v FROM tris
+                UNION ALL SELECT w FROM tris)
+            SELECT part, COUNT(*) AS n_triangles FROM corners GROUP BY part
+        """,
+        "khop_parts": _GRAPH_CTE
+        + """
+            , d0 AS (SELECT p_partkey AS node FROM part WHERE p_partkey <= 2)
+            , f1 AS (SELECT DISTINCT e.dst AS node
+                     FROM adj e JOIN d0 ON d0.node = e.src
+                     WHERE e.dst NOT IN (SELECT node FROM d0))
+            , f2 AS (SELECT DISTINCT e.dst AS node
+                     FROM adj e JOIN f1 ON f1.node = e.src
+                     WHERE e.dst NOT IN (SELECT node FROM d0)
+                       AND e.dst NOT IN (SELECT node FROM f1))
+            SELECT node AS part, CAST(0 AS INT) AS dist FROM d0
+            UNION ALL SELECT node, 1 FROM f1
+            UNION ALL SELECT node, 2 FROM f2
         """,
         # kg_triples_sf: intentionally no oracle (pandas-UDF chunker inside;
         # driver records the rows-only check; full fidelity is gated by the

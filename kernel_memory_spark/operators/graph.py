@@ -1,0 +1,223 @@
+"""Graph analytics over the materialized knowledge graph (NODES/EDGES).
+
+The pipeline's `materialize` stage produces canonical entity nodes and
+weighted (src, pred, dst, weight) edges (operators/canonicalize.py:108-143;
+reference KG assembly: src/Core/Graph — the reference stops at storing the
+graph, these operators answer the questions a stored KG exists to answer:
+importance ranking, neighborhood retrieval, cohesion).
+
+Scale design — every operator here is iterative-join-shaped, which is where
+naive Spark graph code dies at 10^10 edges:
+
+* PageRank: the edge relation is joined `iterations` times. We compute
+  out-degrees ONCE, pre-join them into a static contribution relation, and
+  cache it; per iteration there is exactly ONE shuffle-join (ranks ⋈ edges
+  on src) and ONE hash aggregate (sum by dst, partial/map-side combine
+  absorbs hub skew). Lineage is truncated with localCheckpoint every few
+  iterations or the plan grows exponentially and the driver OOMs planning
+  iteration 20.
+* Triangle counting uses the degree-ordering trick (orient each undirected
+  edge from the (degree, id)-smaller endpoint to the larger): the wedge
+  join then touches each wedge once and its size is bounded by
+  sum(min_deg^2) instead of sum(deg^2) — the difference between feasible
+  and not on power-law graphs.
+* k-hop BFS keeps a `visited` anti-join so each node is expanded once;
+  frontiers are distinct-ed before the expansion join so hub fan-in doesn't
+  re-expand.
+
+Everything is pure DataFrame (no Python in any hot path), deterministic,
+and layout-independent — each operator has a DuckDB-replayable SQL mirror
+in __spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CHECKPOINT_EVERY = 4
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distinct undirected edge set as both directions of each pair
+    (self-loops dropped): the canonical input for pagerank/k_hop on an
+    undirected graph."""
+    pairs = (
+        edges.select(src, dst)
+        .filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias(src), F.greatest(src, dst).alias(dst)
+        )
+        .distinct()
+    )
+    return pairs.unionByName(
+        pairs.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: Optional[str] = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank -> (node, rank).
+
+    r_{t+1}(v) = (1-d)/N + d * sum over in-edges (u,v) of r_t(u)/outdeg(u)
+    (weighted variant divides by the sum of u's outgoing weights). Dangling
+    nodes contribute nothing (their mass decays into the teleport term) —
+    the standard simplification; symmetrize() the edges first if the graph
+    is undirected, which also removes danglers.
+
+    Deterministic given the edge set: the only float reduction is a hash
+    aggregate whose addition order varies, so compare ranks rounded (the
+    oracle rounds to 6); N reaches the driver as a single scalar, ranks
+    never do."""
+    e = edges.select(src, dst, *( [weight] if weight else [] ))
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    w = F.col(weight) if weight else F.lit(1.0)
+    out_mass = e.groupBy(src).agg(F.sum(w).alias("out_mass"))
+    # static contribution relation: one join, computed once, reused per
+    # iteration (cache keeps it materialized across the iteration jobs)
+    contrib_e = (
+        e.join(out_mass, src)
+        .select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("node"),
+            (w / F.col("out_mass")).alias("share"),
+        )
+        .cache()
+    )
+    nodes = nodes.cache()
+    teleport = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for i in range(iterations):
+        contribs = (
+            contrib_e.join(
+                ranks.select(F.col("node").alias("u"), "rank"), "u"
+            )
+            .select("node", (F.col("rank") * F.col("share")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def triangles_per_node(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts -> (node, n_triangles), nodes with none
+    omitted.
+
+    Degree-ordered enumeration: undirected edges are oriented from the
+    (degree, id)-smaller endpoint to the larger, wedges are generated by
+    self-joining oriented edges on their source, and a wedge (u; v, w)
+    closes iff the oriented edge (v, w) exists — each triangle is produced
+    exactly once, and the wedge join is bounded by sum(min_deg^2), the
+    classic power-law-safe bound (Schank & Wagner 2005)."""
+    und = (
+        edges.select(src, dst)
+        .filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+    )
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "a", "node"
+    )
+    # orient by (deg, id): u -> v iff (deg(u), u) < (deg(v), v)
+    ranked = (
+        adj.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")),
+            "b",
+        )
+    )
+    oriented = ranked.filter(
+        (F.col("deg_a") < F.col("deg_b"))
+        | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+        .filter(F.col("e1.v") < F.col("e2.v"))
+        .select(
+            F.col("e1.u").alias("u"),
+            F.col("e1.v").alias("v"),
+            F.col("e2.v").alias("w"),
+        )
+    )
+    closing = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    ).unionByName(oriented.select(F.col("v").alias("v"), F.col("u").alias("w")))
+    tris = wedges.join(closing.distinct(), ["v", "w"], "left_semi")
+    corners = (
+        tris.select(F.col("u").alias("node"))
+        .unionByName(tris.select(F.col("v").alias("node")))
+        .unionByName(tris.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+
+
+def k_hop(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """BFS shortest hop-distance from a source set -> (node, dist),
+    dist in [0, k]; unreachable nodes omitted. `sources` is a one-column
+    DataFrame of node ids (its column is taken positionally).
+
+    Each level is one join + distinct + anti-join; `visited` is
+    localCheckpoint-ed per level so the lineage stays O(1) and a failed
+    task replays one level, not the whole traversal. Early-exits when a
+    frontier empties (the .count() per level is a scalar job on an
+    already-shuffled frontier — the idiomatic convergence guard, same as
+    connected_components)."""
+    node_col = sources.columns[0]
+    frontier = (
+        sources.select(F.col(node_col).alias("node")).distinct().cache()
+    )
+    visited = frontier.select("node", F.lit(0).alias("dist"))
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("nxt"))
+    for level in range(1, k + 1):
+        nxt = (
+            frontier.join(e, "node")
+            .select(F.col("nxt").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        frontier = nxt.localCheckpoint()
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(
+            frontier.select("node", F.lit(level).alias("dist"))
+        ).localCheckpoint()
+    return visited

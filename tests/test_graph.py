@@ -1,0 +1,130 @@
+"""Graph analytics (operators/graph.py): exact results on hand-built
+graphs, invariance under layout, convergence guards."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kernel_memory_spark.operators import graph as GR
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _ref_pagerank(edges, iterations, d=0.85):
+    """Driver-side reference: same fixed-iteration, no-dangling-
+    redistribution semantics as the distributed operator."""
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        s = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            s[v] += r[u] * (1.0 / out[u])
+        r = {v: (1.0 - d) / n + d * s[v] for v in nodes}
+    return r
+
+
+class TestPageRank:
+    def test_cycle_is_stationary(self, spark):
+        """On a directed cycle the uniform vector is exactly stationary."""
+        e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+        got = {r.node: r.rank for r in GR.pagerank(e, iterations=5).collect()}
+        for v in (1, 2, 3):
+            assert got[v] == pytest.approx(1.0 / 3, abs=1e-12)
+
+    def test_matches_reference_with_dangling(self, spark):
+        """Chain with a dangling sink: mass decays through the teleport
+        term exactly as in the driver-side reference implementation."""
+        pairs = [(1, 2), (2, 3), (1, 3), (4, 1)]
+        e = _edges(spark, pairs)
+        got = {r.node: r.rank for r in GR.pagerank(e, iterations=4).collect()}
+        ref = _ref_pagerank(pairs, iterations=4)
+        assert set(got) == set(ref)
+        for v, rv in ref.items():
+            assert got[v] == pytest.approx(rv, abs=1e-12)
+
+    def test_layout_independent(self, spark):
+        pairs = [(i, (i * 3 + 1) % 17) for i in range(17)] + [
+            (i, (i + 5) % 17) for i in range(17)
+        ]
+        e = _edges(spark, [p for p in pairs if p[0] != p[1]])
+        a = {r.node: r.rank for r in GR.pagerank(e, iterations=6).collect()}
+        b = {
+            r.node: r.rank
+            for r in GR.pagerank(e.repartition(7), iterations=6).collect()
+        }
+        for v in a:
+            assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+    def test_weighted_prefers_heavy_edge(self, spark):
+        e = spark.createDataFrame(
+            [(1, 2, 9.0), (1, 3, 1.0)], "src long, dst long, w double"
+        )
+        got = {
+            r.node: r.rank
+            for r in GR.pagerank(e, iterations=1, weight="w").collect()
+        }
+        # node 2 receives 0.9 of node 1's mass, node 3 receives 0.1
+        assert got[2] > got[3]
+        assert got[2] - got[3] == pytest.approx(
+            0.85 * (1.0 / 3) * 0.8, abs=1e-12
+        )
+
+
+class TestTriangles:
+    def test_single_triangle_plus_tail(self, spark):
+        e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+        got = {
+            r.node: r.n_triangles
+            for r in GR.triangles_per_node(e).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1}  # node 4 in no triangle -> absent
+
+    def test_k4_complete(self, spark):
+        pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+        got = {
+            r.node: r.n_triangles
+            for r in GR.triangles_per_node(_edges(spark, pairs)).collect()
+        }
+        # K4 has C(3,2)=3 triangles per node
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        e = _edges(spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1)])
+        got = {
+            r.node: r.n_triangles
+            for r in GR.triangles_per_node(e).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1}
+
+
+class TestKHop:
+    def test_path_graph_min_distance(self, spark):
+        path = [(i, i + 1) for i in range(1, 5)]
+        adj = GR.symmetrize(_edges(spark, path))
+        src = spark.createDataFrame([(1,)], "node long")
+        got = {r.node: r.dist for r in GR.k_hop(adj, src, k=2).collect()}
+        assert got == {1: 0, 2: 1, 3: 2}
+
+    def test_early_exit_on_exhausted_component(self, spark):
+        adj = GR.symmetrize(_edges(spark, [(1, 2), (2, 3), (7, 8)]))
+        src = spark.createDataFrame([(1,)], "node long")
+        got = {r.node: r.dist for r in GR.k_hop(adj, src, k=10).collect()}
+        assert got == {1: 0, 2: 1, 3: 2}  # other component never reached
+
+    def test_multi_source_takes_min(self, spark):
+        adj = GR.symmetrize(_edges(spark, [(1, 2), (2, 3), (3, 4)]))
+        src = spark.createDataFrame([(1,), (4,)], "node long")
+        got = {r.node: r.dist for r in GR.k_hop(adj, src, k=3).collect()}
+        assert got == {1: 0, 4: 0, 2: 1, 3: 1}
+
+    def test_isolated_source_kept_at_zero(self, spark):
+        adj = GR.symmetrize(_edges(spark, [(1, 2)]))
+        src = spark.createDataFrame([(99,)], "node long")
+        got = {r.node: r.dist for r in GR.k_hop(adj, src, k=2).collect()}
+        assert got == {99: 0}

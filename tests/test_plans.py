@@ -40,6 +40,9 @@ PURE_JVM = [
     "union_distinct_customers",
     "tag_filter_and_or",
     "ask_prompt_facts",
+    "pagerank_copurchase",
+    "triangle_counts_parts",
+    "khop_parts",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
