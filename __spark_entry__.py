@@ -952,6 +952,36 @@ def khop_parts(spark, sf):
     return out.select(F.col("node").alias("part"), "dist")
 
 
+def token_shards_docs(spark, sf):
+    """Contiguous token-budget export shards: exclusive global running
+    token sum (range-partitioned two-phase cumsum, no single-task window)
+    cut every 2000 tokens."""
+    from kernel_memory_spark.operators import packing as PK
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    out = PK.shard_by_budget(docs, "n_tokens", "doc_id", budget=2000)
+    return out.select("doc_id", "n_tokens", "shard").orderBy("doc_id")
+
+
+def temperature_mix_docs(spark, sf):
+    """Temperature-weighted mix (alpha=0.5) over a skewed length-bucket
+    stratum: tail buckets up-weighted, hash-deterministic kept-set."""
+    from kernel_memory_spark.operators import sampling as SMP
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100).cast("int")
+    )
+    out = SMP.temperature_mix(
+        docs, "len_bucket", "doc_id", alpha=0.5, target_frac=0.5
+    )
+    return out.select("doc_id", "len_bucket").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1008,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_copurchase": pagerank_copurchase,
         "triangle_counts_parts": triangle_counts_parts,
         "khop_parts": khop_parts,
+        "token_shards_docs": token_shards_docs,
+        "temperature_mix_docs": temperature_mix_docs,
         "kg_triples_sf": kg_triples_sf,  # rows-only (pandas-UDF chunker)
     }
 
@@ -1993,6 +2025,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS part, CAST(0 AS INT) AS dist FROM d0
             UNION ALL SELECT node, 1 FROM f1
             UNION ALL SELECT node, 2 FROM f2
+        """,
+        "token_shards_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(len(string_split_regex(trim(text), '\\s+'))
+                            AS BIGINT) AS n_tokens
+                FROM documents)
+            SELECT doc_id, n_tokens,
+                   CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) / 2000)
+                        AS BIGINT) AS shard
+            FROM toks
+            ORDER BY doc_id
+        """,
+        "temperature_mix_docs": """
+            WITH b AS (
+                SELECT doc_id,
+                       CAST(floor(n_chars / 100) AS INT) AS len_bucket
+                FROM documents),
+            counts AS (
+                SELECT len_bucket, COUNT(*) AS n FROM b GROUP BY len_bucket),
+            tot AS (
+                SELECT CAST(SUM(n) AS DOUBLE) AS N,
+                       SUM(sqrt(CAST(n AS DOUBLE))) AS Z
+                FROM counts),
+            rates AS (
+                SELECT c.len_bucket,
+                       least(1.0::DOUBLE,
+                             0.5::DOUBLE * t.N * sqrt(CAST(c.n AS DOUBLE))
+                             / t.Z / CAST(c.n AS DOUBLE)) AS rate
+                FROM counts c CROSS JOIN tot t)
+            SELECT b.doc_id, b.len_bucket
+            FROM b JOIN rates r ON b.len_bucket = r.len_bucket
+            WHERE ('0x' || substr(md5('mix|' || CAST(b.doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT % 1000000
+                  < CAST(floor(r.rate * 1000000) AS BIGINT)
+            ORDER BY doc_id
         """,
         # kg_triples_sf: intentionally no oracle (pandas-UDF chunker inside;
         # driver records the rows-only check; full fidelity is gated by the

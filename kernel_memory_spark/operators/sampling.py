@@ -59,6 +59,57 @@ def stratified_sample(
     return df.filter(_hash_pos(key_col, salt) < thresh)
 
 
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-weighted source mixing (the multilingual/multi-source
+    rebalancing rule of Rae et al. 2021 / mC4): source s is sampled in
+    proportion to n_s^alpha, so alpha=1 keeps natural proportions, alpha=0
+    weights all sources equally, 0<alpha<1 up-weights the tail. The
+    expected output size is target_frac * |df|; a source whose quota
+    exceeds its size keeps everything (rate capped at 1 — no upsampling).
+
+    Fully distributed: per-source counts and the normalizer are small
+    aggregates broadcast back onto the rows; the kept-set is then the same
+    layout-independent hash predicate as deterministic_sample, so the mix
+    is reproducible and engine-replayable. alpha=0.5 uses sqrt (exactly
+    rounded per IEEE 754, so thresholds match any engine bit-for-bit);
+    other alphas use pow (last-ulp may differ across libms — thresholds
+    are floor(rate*1e6), so a mismatch needs a row hash exactly at the
+    contested integer)."""
+    n = F.col("__cnt").cast("double")
+    w = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(float(alpha)))
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__cnt"))
+    tot = counts.agg(
+        F.sum("__cnt").cast("double").alias("__total"),
+        F.sum(w).alias("__norm"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_frac))
+            * F.col("__total")
+            * w
+            / F.col("__norm")
+            / n,
+        ).alias("__rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(
+            _hash_pos(key_col, salt)
+            < F.floor(F.col("__rate") * F.lit(float(_M))).cast("long")
+        )
+        .drop("__rate")
+    )
+
+
 def split(
     df: DataFrame,
     key_col: str,

@@ -1,0 +1,178 @@
+"""Packing/sharding (operators/packing.py) and temperature mixing
+(operators/sampling.py): exact invariants + layout independence."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kernel_memory_spark.operators import packing as PK
+from kernel_memory_spark.operators import sampling as SMP
+
+
+def _docs(spark, toks):
+    rows = [(i, t) for i, t in enumerate(toks)]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+class TestGlobalCumsum:
+    def test_matches_driver_prefix_sum(self, spark):
+        toks = [(i * 37 + 11) % 97 + 1 for i in range(200)]
+        out = PK.global_cumsum(
+            _docs(spark, toks), "doc_id", "n_tokens", num_partitions=7
+        )
+        got = {r.doc_id: r.cum_before for r in out.collect()}
+        acc = 0
+        for i, t in enumerate(toks):
+            assert got[i] == acc, i
+            acc += t
+
+    def test_layout_independent(self, spark):
+        toks = [5, 10, 1, 99, 3, 42, 7, 8]
+        df = _docs(spark, toks)
+        a = {
+            r.doc_id: r.cum_before
+            for r in PK.global_cumsum(df, "doc_id", "n_tokens").collect()
+        }
+        b = {
+            r.doc_id: r.cum_before
+            for r in PK.global_cumsum(
+                df.repartition(5), "doc_id", "n_tokens", num_partitions=3
+            ).collect()
+        }
+        assert a == b
+
+
+class TestShardByBudget:
+    def test_shards_are_contiguous_and_budget_bounded(self, spark):
+        toks = [(i * 13 + 7) % 50 + 1 for i in range(300)]
+        out = PK.shard_by_budget(
+            _docs(spark, toks), "n_tokens", "doc_id", budget=100
+        )
+        rows = sorted(out.collect(), key=lambda r: r.doc_id)
+        # shard ids non-decreasing in key order (contiguity)
+        shards = [r.shard for r in rows]
+        assert shards == sorted(shards)
+        # exclusive-cumsum rule: doc goes to shard floor(cum_before/100)
+        acc = 0
+        for r in rows:
+            assert r.shard == acc // 100
+            acc += r.n_tokens
+        # every shard except the last ends with a document that crosses its
+        # upper boundary (documents are never split, so the boundary doc is
+        # counted into the shard it started in)
+        end = {}  # shard -> cum_after of its last doc
+        acc = 0
+        for r in rows:
+            acc += r.n_tokens
+            end[r.shard] = acc
+        last = max(end)
+        for s, cum_after in end.items():
+            if s != last:
+                assert cum_after >= (s + 1) * 100
+
+
+class TestFirstFitPacking:
+    def test_partition_of_inputs_and_capacity(self, spark):
+        toks = [(i * 17 + 3) % 120 + 1 for i in range(400)]
+        df = _docs(spark, toks)
+        out = PK.pack_first_fit(
+            df, "doc_id", "n_tokens", budget=100, n_groups=8
+        ).collect()
+        # every doc exactly once
+        assert sorted(int(r.doc_id) for r in out) == list(range(400))
+        sums, oversize = {}, 0
+        for r in out:
+            if r.oversize:
+                oversize += 1
+                assert r.n_tokens > 100
+                continue
+            sums[r.pack_id] = sums.get(r.pack_id, 0) + r.n_tokens
+        assert all(v <= 100 for v in sums.values())
+        assert oversize == sum(1 for t in toks if t > 100)
+
+    def test_deterministic_under_layout(self, spark):
+        toks = [(i * 29 + 5) % 90 + 1 for i in range(150)]
+        df = _docs(spark, toks)
+        a = sorted(
+            map(tuple, PK.pack_first_fit(df, "doc_id", "n_tokens", 64).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                PK.pack_first_fit(
+                    df.repartition(11), "doc_id", "n_tokens", 64
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_ffd_is_reasonably_tight(self, spark):
+        """120 docs of 50 tokens, budget 100 -> FFD within one group packs
+        pairs: exactly 60 packs, zero waste."""
+        df = _docs(spark, [50] * 120)
+        out = PK.pack_first_fit(df, "doc_id", "n_tokens", 100, n_groups=1)
+        packs = out.groupBy("pack_id").agg(F.sum("n_tokens").alias("t"))
+        rows = packs.collect()
+        assert len(rows) == 60
+        assert all(r.t == 100 for r in rows)
+
+
+class TestTemperatureMix:
+    def _skewed(self, spark):
+        rows = []
+        sizes = {"big": 400, "mid": 80, "tiny": 20}
+        i = 0
+        for src, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, src))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, src string"), sizes
+
+    def test_alpha_one_keeps_natural_proportions(self, spark):
+        df, sizes = self._skewed(spark)
+        out = SMP.temperature_mix(
+            df, "src", "doc_id", alpha=1.0, target_frac=0.5
+        )
+        # alpha=1 -> every source rate is exactly target_frac
+        kept = {r[0]: r[1] for r in out.groupBy("src").count().collect()}
+        for src, n in sizes.items():
+            assert kept.get(src, 0) == pytest.approx(n * 0.5, abs=n * 0.25)
+
+    def test_alpha_half_upweights_tail(self, spark):
+        df, sizes = self._skewed(spark)
+        out = SMP.temperature_mix(
+            df, "src", "doc_id", alpha=0.5, target_frac=0.5
+        )
+        kept = {r[0]: r[1] for r in out.groupBy("src").count().collect()}
+        # tail keep-RATE must exceed head keep-rate
+        assert kept["tiny"] / sizes["tiny"] > kept["big"] / sizes["big"]
+        # and nothing is upsampled
+        for src, n in sizes.items():
+            assert kept.get(src, 0) <= n
+
+    def test_subset_and_layout_independent(self, spark):
+        df, _ = self._skewed(spark)
+        a = sorted(
+            r.doc_id
+            for r in SMP.temperature_mix(
+                df, "src", "doc_id", 0.5, 0.4
+            ).collect()
+        )
+        b = sorted(
+            r.doc_id
+            for r in SMP.temperature_mix(
+                df.repartition(9), "src", "doc_id", 0.5, 0.4
+            ).collect()
+        )
+        assert a == b
+        all_ids = {r.doc_id for r in df.collect()}
+        assert set(a) <= all_ids
+
+    def test_rate_caps_at_one(self, spark):
+        """A 2-row source under alpha=0 with a large target keeps both rows
+        (no upsampling past 1.0)."""
+        rows = [(i, "big") for i in range(100)] + [(100, "t"), (101, "t")]
+        df = spark.createDataFrame(rows, "doc_id long, src string")
+        out = SMP.temperature_mix(df, "src", "doc_id", 0.0, 0.9)
+        kept = {r[0]: r[1] for r in out.groupBy("src").count().collect()}
+        assert kept["t"] == 2

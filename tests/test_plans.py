@@ -43,6 +43,8 @@ PURE_JVM = [
     "pagerank_copurchase",
     "triangle_counts_parts",
     "khop_parts",
+    "token_shards_docs",
+    "temperature_mix_docs",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
@@ -73,6 +75,7 @@ SCALAR_CROSS = {
     "search_end_to_end",
     "hybrid_search_topk",
     "ask_prompt_facts",
+    "temperature_mix_docs",
 }
 
 
