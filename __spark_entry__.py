@@ -982,6 +982,118 @@ def temperature_mix_docs(spark, sf):
     return out.select("doc_id", "len_bucket").orderBy("doc_id")
 
 
+def pmi_copurchase_edges(spark, sf):
+    """PMI-weighted co-occurrence edges over the part co-purchase baskets
+    (KG edge weighting: pairs co-occurring above chance float, incidental
+    pairs sink)."""
+    from kernel_memory_spark.operators import cooccur as CO
+
+    l = load_table(spark, sf, "lineitem")
+    out = CO.pmi_edges(l, "l_orderkey", "l_partkey", min_pairs=2)
+    return out.select(
+        "src", "dst", "n_pairs", F.round("pmi", 6).alias("pmi")
+    )
+
+
+def neighbor_mean_embeddings(spark, sf):
+    """One round of neighborhood feature smoothing over a deterministic
+    chain+skip graph on the embeddings table (GNN aggregation primitive;
+    exploded (node, pos, val) output is engine-neutral)."""
+    from kernel_memory_spark.operators import graph as GR
+
+    emb = load_table(spark, sf, "embeddings")
+    ids = emb.select("vec_id")
+    chain = (
+        emb.select(
+            F.col("vec_id").alias("src"),
+            (F.col("vec_id") + 1).alias("dst"),
+        )
+        .unionByName(
+            emb.select(
+                F.col("vec_id").alias("src"),
+                (F.col("vec_id") + 2).alias("dst"),
+            )
+        )
+        .join(ids.select(F.col("vec_id").alias("dst")), "dst")
+    )
+    edges = GR.symmetrize(chain)
+    out = GR.neighbor_mean(edges, emb, "vec_id", "embedding")
+    return out.select(
+        "node", "pos", F.round("mean_val", 6).alias("mean_val")
+    )
+
+
+def tfidf_keywords_docs(spark, sf):
+    """Per-document top-5 TF-IDF keywords (machine-derived tags for the
+    memory records)."""
+    from kernel_memory_spark.operators import keywords as KW
+
+    docs = load_table(spark, sf, "documents")
+    return KW.tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
+def quota_cap_docs(spark, sf):
+    """Per-source quota cap (15 of 25 per source): hash-ordered
+    deterministic kept-set, layout-independent."""
+    from kernel_memory_spark.operators import sampling as SMP
+
+    docs = load_table(spark, sf, "documents")
+    out = SMP.quota_cap(docs, "source", "doc_id", max_per_source=15)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def dedup_collapse_docs(spark, sf):
+    """Near-dup group collapse: MinHash-LSH pairs -> transitive closure
+    (CC) -> canonical elect (min id); singletons map to themselves."""
+    from kernel_memory_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    pairs = minhash_lsh_dedup(spark, sf)
+    return DD.collapse_duplicates(both, pairs).orderBy("id")
+
+
+def dense_node_ids(spark, sf):
+    """Distributed zipWithIndex: contiguous 0-based dense ids over the
+    co-purchase node set (KG export remap), no single-task window."""
+    from kernel_memory_spark.operators import packing as PK
+    from kernel_memory_spark.operators import graph as GR
+
+    nodes = (
+        GR.symmetrize(_copurchase_edges(spark, sf))
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    return PK.global_rank(nodes, "node").select(
+        F.col("node").alias("part"), "idx"
+    )
+
+
+def degree_histogram_parts(spark, sf):
+    """Degree distribution of the co-purchase KG (scale-audit primitive:
+    the skew profile that decides salting/cap parameters)."""
+    from kernel_memory_spark.operators import graph as GR
+
+    adj = GR.symmetrize(_copurchase_edges(spark, sf))
+    deg = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+def profile_documents(spark, sf):
+    """One-pass per-column profile of the documents table (null rate,
+    cardinality, range — the corpus-audit primitive)."""
+    from kernel_memory_spark.operators import profile as PR
+
+    docs = load_table(spark, sf, "documents")
+    return PR.profile_table(
+        docs, ["doc_id", "lang", "source", "n_chars"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1040,6 +1152,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_parts": khop_parts,
         "token_shards_docs": token_shards_docs,
         "temperature_mix_docs": temperature_mix_docs,
+        "pmi_copurchase_edges": pmi_copurchase_edges,
+        "neighbor_mean_embeddings": neighbor_mean_embeddings,
+        "tfidf_keywords_docs": tfidf_keywords_docs,
+        "quota_cap_docs": quota_cap_docs,
+        "dedup_collapse_docs": dedup_collapse_docs,
+        "dense_node_ids": dense_node_ids,
+        "degree_histogram_parts": degree_histogram_parts,
+        "profile_documents": profile_documents,
         "kg_triples_sf": kg_triples_sf,  # rows-only (pandas-UDF chunker)
     }
 
@@ -2064,6 +2184,160 @@ def oracle_sql() -> dict[str, str]:
                                   1, 8))::BIGINT % 1000000
                   < CAST(floor(r.rate * 1000000) AS BIGINT)
             ORDER BY doc_id
+        """,
+        "pmi_copurchase_edges": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                FROM lineitem),
+            marg AS (SELECT i, COUNT(*) AS n FROM items GROUP BY i),
+            tot AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS N
+                    FROM items),
+            pairs AS (
+                SELECT a.i AS src, c.i AS dst, COUNT(*) AS n_pairs
+                FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+                GROUP BY a.i, c.i
+                HAVING COUNT(*) >= 2)
+            SELECT p.src, p.dst, p.n_pairs,
+                   round(ln(CAST(p.n_pairs AS DOUBLE) * t.N
+                            / (CAST(ma.n AS DOUBLE) * mb.n)), 6) AS pmi
+            FROM pairs p
+            JOIN marg ma ON ma.i = p.src
+            JOIN marg mb ON mb.i = p.dst
+            CROSS JOIN tot t
+        """,
+        "neighbor_mean_embeddings": """
+            WITH chain AS (
+                SELECT e.vec_id AS src, e.vec_id + 1 AS dst
+                FROM embeddings e
+                WHERE e.vec_id + 1 IN (SELECT vec_id FROM embeddings)
+                UNION ALL
+                SELECT e.vec_id, e.vec_id + 2 FROM embeddings e
+                WHERE e.vec_id + 2 IN (SELECT vec_id FROM embeddings)),
+            und AS (
+                SELECT DISTINCT least(src, dst) AS src,
+                                greatest(src, dst) AS dst
+                FROM chain WHERE src <> dst),
+            adj AS (
+                SELECT src, dst FROM und
+                UNION ALL SELECT dst AS src, src AS dst FROM und),
+            feat AS (
+                SELECT e.vec_id, CAST(t.pos AS INT) AS pos,
+                       e.embedding[CAST(t.pos AS INT) + 1] AS val
+                FROM embeddings e,
+                     unnest(range(len(e.embedding))) AS t(pos))
+            SELECT a.dst AS node, f.pos,
+                   round(avg(f.val), 6) AS mean_val
+            FROM adj a JOIN feat f ON f.vec_id = a.src
+            GROUP BY a.dst, f.pos
+        """,
+        "tfidf_keywords_docs": """
+            WITH terms AS (
+                SELECT doc_id AS id, t.term
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '[^a-z]+'))
+                         AS t(term)
+                WHERE len(t.term) >= 3),
+            tf AS (
+                SELECT id, term, COUNT(*) AS tf
+                FROM terms GROUP BY id, term),
+            idf AS (
+                SELECT term,
+                       ln((1.0 + (SELECT COUNT(DISTINCT doc_id)
+                                  FROM documents))
+                          / (CAST(COUNT(*) AS DOUBLE) + 1.0)) + 1.0
+                           AS idf
+                FROM tf GROUP BY term),
+            scored AS (
+                SELECT tf.id, tf.term, tf.tf,
+                       round(tf.tf * idf.idf, 6) AS score
+                FROM tf JOIN idf ON tf.term = idf.term)
+            SELECT id, term, tf, score,
+                   CAST(rn AS INT) AS rn
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY id
+                    ORDER BY score DESC, term) AS rn
+                FROM scored)
+            WHERE rn <= 5
+        """,
+        "quota_cap_docs": """
+            SELECT doc_id, source
+            FROM (
+                SELECT doc_id, source, row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY ('0x' || substr(md5('quota|'
+                                  || CAST(doc_id AS VARCHAR)), 1, 8))
+                                 ::BIGINT % 1000000,
+                             doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 15
+            ORDER BY doc_id
+        """,
+        "dedup_collapse_docs": """
+            WITH both_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id + 100000, text FROM documents),
+            w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+                  FROM both_docs),
+            ix AS (SELECT doc_id, ws,
+                          unnest(range(greatest(len(ws) - 2, 1))) AS i FROM w),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(ws[i + 1 : i + 3], ' ') AS gram
+                  FROM ix),
+            sig AS (SELECT doc_id,
+                           min(md5('0|' || gram)) || '|' ||
+                           min(md5('1|' || gram)) || '|' ||
+                           min(md5('2|' || gram)) || '|' ||
+                           min(md5('3|' || gram)) AS band
+                    FROM g GROUP BY doc_id)
+            -- the LSH pair graph links EVERY same-band pair, so components
+            -- are exactly the band groups (each group is a clique); the CC
+            -- fixpoint is therefore min(doc_id) within band
+            SELECT doc_id AS id,
+                   min(doc_id) OVER (PARTITION BY band) AS canonical_id,
+                   count(*) OVER (PARTITION BY band) AS cluster_size,
+                   doc_id = min(doc_id) OVER (PARTITION BY band) AS is_kept
+            FROM sig
+            ORDER BY id
+        """,
+        "dense_node_ids": _GRAPH_CTE
+        + """
+            , nodes AS (SELECT DISTINCT src AS node FROM adj)
+            SELECT node AS part,
+                   CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT)
+                       AS idx
+            FROM nodes
+        """,
+        "degree_histogram_parts": _GRAPH_CTE
+        + """
+            , deg AS (SELECT src AS node, COUNT(*) AS degree
+                      FROM adj GROUP BY src)
+            SELECT degree, COUNT(*) AS n_nodes
+            FROM deg GROUP BY degree
+        """,
+        "profile_documents": """
+            SELECT 'doc_id' AS col_name,
+                   COUNT(*) - COUNT(doc_id) AS n_nulls,
+                   COUNT(DISTINCT doc_id) AS n_distinct,
+                   CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+                   CAST(MAX(doc_id) AS VARCHAR) AS max_val
+            FROM documents
+            UNION ALL
+            SELECT 'lang', COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+                   CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source', COUNT(*) - COUNT(source),
+                   COUNT(DISTINCT source),
+                   CAST(MIN(source) AS VARCHAR),
+                   CAST(MAX(source) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', COUNT(*) - COUNT(n_chars),
+                   COUNT(DISTINCT n_chars),
+                   CAST(MIN(n_chars) AS VARCHAR),
+                   CAST(MAX(n_chars) AS VARCHAR)
+            FROM documents
         """,
         # kg_triples_sf: intentionally no oracle (pandas-UDF chunker inside;
         # driver records the rows-only check; full fidelity is gated by the

@@ -379,3 +379,50 @@ def ngram_jaccard_pairs(
         .select("a", "b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def collapse_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "dup_a",
+    b_col: str = "dup_b",
+) -> DataFrame:
+    """The dedup ACTION: fold near-duplicate PAIRS into groups and elect a
+    canonical representative -> (id, canonical_id, cluster_size, is_kept).
+
+    Pair finders (minhash/simhash/ngram/cosine dup pairs above) emit an
+    edge relation; transitive closure makes the groups (A~B, B~C => one
+    group even if A,C never paired directly), and min-label-propagation
+    connected components (canonicalize.connected_components — the same
+    operator that canonicalizes KG entity aliases) computes exactly that,
+    checkpointed per round with a convergence guard. Canonical member =
+    min id. Documents in no pair are their own singleton group (the
+    left-join + coalesce keeps them without ever materializing singleton
+    edges). Downstream: filter is_kept for the deduplicated corpus, or
+    join canonical_id to re-point references into collapsed docs.
+
+    Scale: |pairs| rows into CC (bounded by the finders' caps), one keyed
+    join back to ids, one count agg for sizes — never quadratic in docs.
+    """
+    from kernel_memory_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    comp = connected_components(edges).select(
+        F.col("norm").alias("id"), "component"
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    lab = ids.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("canonical_id")
+    )
+    sizes = lab.groupBy("canonical_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return lab.join(sizes, "canonical_id").select(
+        "id",
+        "canonical_id",
+        "cluster_size",
+        (F.col("id") == F.col("canonical_id")).alias("is_kept"),
+    )

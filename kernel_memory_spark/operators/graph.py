@@ -221,3 +221,43 @@ def k_hop(
             frontier.select("node", F.lit(level).alias("dist"))
         ).localCheckpoint()
     return visited
+
+
+def neighbor_mean(
+    edges: DataFrame,
+    features: DataFrame,
+    id_col: str,
+    vec_col: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One round of neighborhood feature aggregation (the GNN/node2vec
+    smoothing primitive): for every edge target, the element-wise MEAN of
+    its neighbors' feature vectors -> exploded (node, pos, val) rows.
+
+    Implementation is posexplode + hash-aggregate on (node, pos), NOT
+    collect_list-then-fold: a hub with 10^6 neighbors never materializes
+    10^6 vectors in one task — partial aggregation collapses each map
+    partition to one (sum, count) per (node, pos) before the shuffle, so
+    skew from power-law degree distributions is absorbed map-side (same
+    reasoning as the salted aggregations in linking.py, but here the
+    combiner alone suffices because the aggregate is algebraic).
+
+    Emitting exploded rows instead of re-assembled arrays is deliberate:
+    (node, pos, val) is engine-neutral (the DuckDB mirror is unnest WITH
+    ORDINALITY), and the caller can pivot back with collect_list over pos
+    if an array is wanted."""
+    feats = features.select(
+        F.col(id_col).alias("__nbr"), F.col(vec_col).alias("__vec")
+    )
+    adj = edges.select(
+        F.col(dst).alias("node"), F.col(src).alias("__nbr")
+    )
+    joined = adj.join(feats, "__nbr")
+    return (
+        joined.select(
+            "node", F.posexplode("__vec").alias("pos", "val")
+        )
+        .groupBy("node", "pos")
+        .agg(F.avg("val").alias("mean_val"))
+    )

@@ -155,3 +155,22 @@ def pack_first_fit(
         grouped.groupBy("__grp")
         .applyInPandas(pack, schema=schema)
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "idx",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """0-based contiguous dense ids in the total order of `order_col`
+    (which must be unique) — the DataFrame-native zipWithIndex, e.g. for
+    remapping string/sparse KG node ids to dense ints before array-indexed
+    algorithms or export. Exactly global_cumsum over a column of ones, so
+    it inherits the scale story: range shuffle + per-partition window +
+    broadcast offsets; no single-task global window, no RDD round-trip,
+    deterministic under any input layout."""
+    with_one = df.withColumn("__one", F.lit(1).cast("long"))
+    return global_cumsum(
+        with_one, order_col, "__one", out_col, num_partitions
+    ).drop("__one")

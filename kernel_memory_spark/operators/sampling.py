@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Dict, Sequence, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _M = 1_000_000  # rate granularity: 1e-6
@@ -107,6 +107,36 @@ def temperature_mix(
             < F.floor(F.col("__rate") * F.lit(float(_M))).cast("long")
         )
         .drop("__rate")
+    )
+
+
+def quota_cap(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    max_per_source: int,
+    salt: str = "quota",
+) -> DataFrame:
+    """Per-source document cap (the host-level/source-level quota rule of
+    Common-Crawl-style corpus curation): keep at most `max_per_source`
+    rows per source, chosen in HASH order of the key — so the kept set is
+    a deterministic, layout-independent pseudo-random subset, stable under
+    corpus growth for the rows that already existed (a source under its
+    cap keeps everything; one over it keeps the rows whose hash positions
+    are smallest, and newly arrived rows only displace from the boundary).
+
+    Scale: one window partitioned BY SOURCE — independent partitions, no
+    global sort; a mega-source is bounded because only row_number (a
+    streaming rank, no buffering of the partition in memory beyond sort
+    spill) runs inside it. Skewed sources sort-spill but never OOM; if one
+    source dominates the corpus, cap it harder, that is the point."""
+    w = Window.partitionBy(source_col).orderBy(
+        _hash_pos(key_col, salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_per_source)
+        .drop("__rn")
     )
 
 

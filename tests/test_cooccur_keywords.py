@@ -1,0 +1,261 @@
+"""PMI co-occurrence edges (operators/cooccur.py), neighborhood feature
+aggregation (graph.neighbor_mean), TF-IDF keywords (operators/keywords.py),
+per-source quota caps (sampling.quota_cap): exact small-graph values +
+layout independence."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kernel_memory_spark.operators import cooccur as CO
+from kernel_memory_spark.operators import graph as GR
+from kernel_memory_spark.operators import keywords as KW
+from kernel_memory_spark.operators import sampling as SMP
+
+
+class TestPmiEdges:
+    def _baskets(self, spark):
+        # b1:{a,b}, b2:{a,b}, b3:{a,c}, b4:{b,c,d}  (a dup in b1 on purpose)
+        rows = [
+            (1, "a"), (1, "b"), (1, "a"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"),
+            (4, "b"), (4, "c"), (4, "d"),
+        ]
+        return spark.createDataFrame(rows, "b long, i string")
+
+    def test_exact_pmi_values(self, spark):
+        out = {
+            (r.src, r.dst): (r.n_pairs, r.pmi)
+            for r in CO.pmi_edges(self._baskets(spark), "b", "i").collect()
+        }
+        # N=4; n_a=3, n_b=3, n_c=2, n_d=1
+        # (a,b): 2 -> ln(2*4/(3*3)); (a,c): 1 -> ln(1*4/(3*2)); etc.
+        exp = {
+            ("a", "b"): (2, math.log(8 / 9)),
+            ("a", "c"): (1, math.log(4 / 6)),
+            ("b", "c"): (1, math.log(4 / 6)),
+            ("b", "d"): (1, math.log(4 / 3)),
+            ("c", "d"): (1, math.log(4 / 2)),
+        }
+        assert set(out) == set(exp)
+        for k, (n, pmi) in exp.items():
+            assert out[k][0] == n
+            assert out[k][1] == pytest.approx(pmi, abs=1e-12)
+
+    def test_min_pairs_prunes(self, spark):
+        out = CO.pmi_edges(self._baskets(spark), "b", "i", min_pairs=2)
+        assert [(r.src, r.dst) for r in out.collect()] == [("a", "b")]
+
+    def test_max_basket_guard(self, spark):
+        # basket 4 has 3 distinct items -> dropped entirely at max_basket=2
+        out = {
+            (r.src, r.dst)
+            for r in CO.pmi_edges(
+                self._baskets(spark), "b", "i", max_basket=2
+            ).collect()
+        }
+        assert out == {("a", "b"), ("a", "c")}
+
+    def test_layout_independent(self, spark):
+        df = self._baskets(spark)
+        a = sorted(map(tuple, CO.pmi_edges(df, "b", "i").collect()))
+        b = sorted(
+            map(tuple, CO.pmi_edges(df.repartition(7), "b", "i").collect())
+        )
+        assert [(s, d, n) for s, d, n, _ in a] == [
+            (s, d, n) for s, d, n, _ in b
+        ]
+        for (_, _, _, pa), (_, _, _, pb) in zip(a, b):
+            assert pa == pytest.approx(pb, abs=1e-12)
+
+
+class TestNeighborMean:
+    def test_exact_means(self, spark):
+        feats = spark.createDataFrame(
+            [(1, [1.0, 10.0]), (2, [3.0, 30.0]), (3, [5.0, 50.0])],
+            "id long, vec array<double>",
+        )
+        # star: 1-2, 1-3 (undirected)
+        edges = GR.symmetrize(
+            spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+        )
+        out = {
+            (r.node, r.pos): r.mean_val
+            for r in GR.neighbor_mean(edges, feats, "id", "vec").collect()
+        }
+        assert out[(1, 0)] == pytest.approx(4.0)   # mean(3, 5)
+        assert out[(1, 1)] == pytest.approx(40.0)
+        assert out[(2, 0)] == pytest.approx(1.0)   # only neighbor is 1
+        assert out[(3, 1)] == pytest.approx(10.0)
+
+    def test_hub_is_aggregated_not_collected(self, spark):
+        # 200-neighbor hub: mean of 0..199 = 99.5 per dim
+        feats = spark.createDataFrame(
+            [(i, [float(i)]) for i in range(200)] + [(999, [0.0])],
+            "id long, vec array<double>",
+        )
+        edges = spark.createDataFrame(
+            [(i, 999) for i in range(200)], "src long, dst long"
+        )
+        out = GR.neighbor_mean(edges, feats, "id", "vec").collect()
+        hub = [r for r in out if r.node == 999]
+        assert len(hub) == 1 and hub[0].mean_val == pytest.approx(99.5)
+
+
+class TestTfidfTopTerms:
+    def test_exact_scores_and_ranking(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "apple apple banana shared"),
+                (2, "banana cherry shared"),
+                (3, "cherry cherry cherry shared"),
+            ],
+            "doc_id long, text string",
+        )
+        out = KW.tfidf_top_terms(docs, "doc_id", "text", k=2)
+        rows = {(r.id, r.rn): (r.term, r.tf, r.score) for r in out.collect()}
+        idf2 = math.log(4 / 3) + 1  # df=2 terms (apple df=1!)
+        idf1 = math.log(4 / 2) + 1  # df=1
+        idf3 = math.log(4 / 4) + 1  # shared, df=3
+        # doc1: apple tf=2 idf1, banana tf=1 idf2, shared tf=1 idf3
+        assert rows[(1, 1)][0] == "apple"
+        assert rows[(1, 1)][2] == pytest.approx(round(2 * idf1, 6))
+        assert rows[(1, 2)][0] == "banana"
+        assert rows[(1, 2)][2] == pytest.approx(round(1 * idf2, 6))
+        # doc3: cherry tf=3 dominates, then shared
+        assert rows[(3, 1)][0] == "cherry"
+        assert rows[(3, 2)][0] == "shared"
+        assert rows[(3, 2)][2] == pytest.approx(round(idf3, 6))
+
+    def test_tie_breaks_on_term(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "zed abc")], "doc_id long, text string"
+        )
+        out = KW.tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+        ranked = sorted(out, key=lambda r: r.rn)
+        assert [r.term for r in ranked] == ["abc", "zed"]
+
+    def test_min_len_and_case_fold(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "Go BIG or go home, go!")], "doc_id long, text string"
+        )
+        out = KW.tfidf_top_terms(docs, "doc_id", "text", k=10).collect()
+        terms = {r.term for r in out}
+        assert terms == {"big", "home"}  # 'go'/'or' < 3 chars dropped
+
+
+class TestQuotaCap:
+    def _docs(self, spark):
+        rows = [(i, "big") for i in range(40)] + [
+            (100 + i, "small") for i in range(5)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, src string")
+
+    def test_cap_engages_only_over_quota(self, spark):
+        out = SMP.quota_cap(self._docs(spark), "src", "doc_id", 10)
+        kept = {r[0]: r[1] for r in out.groupBy("src").count().collect()}
+        assert kept == {"big": 10, "small": 5}
+
+    def test_deterministic_and_layout_independent(self, spark):
+        df = self._docs(spark)
+        a = sorted(
+            r.doc_id
+            for r in SMP.quota_cap(df, "src", "doc_id", 10).collect()
+        )
+        b = sorted(
+            r.doc_id
+            for r in SMP.quota_cap(
+                df.repartition(13), "src", "doc_id", 10
+            ).collect()
+        )
+        assert a == b
+
+    def test_growth_stability(self, spark):
+        """Adding rows only displaces from the hash boundary: the kept set
+        of the grown corpus restricted to old rows loses at most
+        (new kept among old) - i.e. old survivors with smaller hash keep
+        their place."""
+        df = self._docs(spark)
+        before = {
+            r.doc_id
+            for r in SMP.quota_cap(df, "src", "doc_id", 10).collect()
+        }
+        grown = df.unionByName(
+            spark.createDataFrame(
+                [(1000 + i, "big") for i in range(10)],
+                "doc_id long, src string",
+            )
+        )
+        after = {
+            r.doc_id
+            for r in SMP.quota_cap(grown, "src", "doc_id", 10).collect()
+        }
+        # old rows that survive the grown cap were all kept before
+        assert {d for d in after if d < 1000} <= before
+
+
+class TestCollapseDuplicates:
+    def test_transitive_closure_and_singletons(self, spark):
+        from kernel_memory_spark.operators import dedup as DD
+
+        docs = spark.createDataFrame(
+            [(i, "t") for i in (1, 2, 3, 7, 8, 9)], "doc_id long, text string"
+        )
+        # chain 1~2, 2~3 (1 and 3 never paired directly); isolated pair 7~8
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], "dup_a long, dup_b long"
+        )
+        out = {
+            r.id: (r.canonical_id, r.cluster_size, r.is_kept)
+            for r in DD.collapse_duplicates(docs, pairs).collect()
+        }
+        assert out[1] == (1, 3, True)
+        assert out[2] == (1, 3, False)
+        assert out[3] == (1, 3, False)
+        assert out[7] == (7, 2, True)
+        assert out[8] == (7, 2, False)
+        assert out[9] == (9, 1, True)  # singleton, no edge materialized
+
+    def test_kept_set_is_one_per_cluster(self, spark):
+        from kernel_memory_spark.operators import dedup as DD
+
+        docs = spark.createDataFrame(
+            [(i, "t") for i in range(20)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(i, i + 10) for i in range(10)], "dup_a long, dup_b long"
+        )
+        out = DD.collapse_duplicates(docs, pairs)
+        kept = out.filter("is_kept").count()
+        clusters = out.select("canonical_id").distinct().count()
+        assert kept == clusters == 10
+
+
+class TestProfileTable:
+    def test_one_pass_profile(self, spark):
+        from kernel_memory_spark.operators import profile as PR
+
+        df = spark.createDataFrame(
+            [(9, "a"), (10, "b"), (2, None), (9, "a")],
+            "n long, s string",
+        )
+        out = {
+            r.col_name: (r.n_nulls, r.n_distinct, r.min_val, r.max_val)
+            for r in PR.profile_table(df).collect()
+        }
+        # numeric min/max computed BEFORE the string cast: min 2, max 10
+        assert out["n"] == (0, 3, "2", "10")
+        assert out["s"] == (1, 2, "a", "b")
+
+    def test_approx_mode_runs(self, spark):
+        from kernel_memory_spark.operators import profile as PR
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "n long")
+        row = {
+            r.col_name: r.n_distinct
+            for r in PR.profile_table(df, exact_distinct=False).collect()
+        }
+        assert abs(row["n"] - 500) / 500 < 0.1

@@ -176,3 +176,21 @@ class TestTemperatureMix:
         out = SMP.temperature_mix(df, "src", "doc_id", 0.0, 0.9)
         kept = {r[0]: r[1] for r in out.groupBy("src").count().collect()}
         assert kept["t"] == 2
+
+
+class TestGlobalRank:
+    def test_dense_contiguous_and_layout_independent(self, spark):
+        import random
+
+        keys = random.Random(7).sample(range(10000), 500)
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        out = {r.k: r.idx for r in PK.global_rank(df, "k").collect()}
+        expect = {k: i for i, k in enumerate(sorted(keys))}
+        assert out == expect
+        out2 = {
+            r.k: r.idx
+            for r in PK.global_rank(
+                df.repartition(13), "k", num_partitions=5
+            ).collect()
+        }
+        assert out2 == expect

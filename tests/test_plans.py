@@ -45,6 +45,13 @@ PURE_JVM = [
     "khop_parts",
     "token_shards_docs",
     "temperature_mix_docs",
+    "pmi_copurchase_edges",
+    "neighbor_mean_embeddings",
+    "tfidf_keywords_docs",
+    "quota_cap_docs",
+    "dense_node_ids",
+    "degree_histogram_parts",
+    "profile_documents",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
@@ -55,6 +62,7 @@ NO_BNLJ_ONLY = [
     "ngram_dup_pairs",
     "cosine_dup_pairs",
     "connected_components_star",
+    "dedup_collapse_docs",
 ]
 
 # pre-limit pagination / budget accumulation must pre-cut with a top-k
