@@ -1094,6 +1094,75 @@ def profile_documents(spark, sf):
     )
 
 
+def ppr_parts(spark, sf):
+    """Personalized PageRank from seed parts 0..4 (3 iterations): 'entities
+    related to X' relevance over the co-purchase KG."""
+    from kernel_memory_spark.operators import graph as GR
+
+    adj = GR.symmetrize(_copurchase_edges(spark, sf))
+    seeds = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_partkey") <= 4)
+        .select("p_partkey")
+    )
+    pr = GR.personalized_pagerank(adj, seeds, iterations=3, damping=0.85)
+    return pr.select(
+        F.col("node").alias("part"), F.round("rank", 6).alias("rank")
+    )
+
+
+def pagerank_weighted_pmi(spark, sf):
+    """WEIGHTED PageRank over positive-PMI co-occurrence edges (3
+    iterations): edge strength modulates the random walk — the composed
+    cooccur -> graph flow."""
+    from kernel_memory_spark.operators import cooccur as CO
+    from kernel_memory_spark.operators import graph as GR
+
+    l = load_table(spark, sf, "lineitem")
+    und = (
+        CO.pmi_edges(l, "l_orderkey", "l_partkey", min_pairs=2)
+        .filter(F.col("pmi") > 0)
+        .select("src", "dst", F.col("pmi").alias("wt"))
+    )
+    adj = und.unionByName(
+        und.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "wt"
+        )
+    )
+    pr = GR.pagerank(adj, iterations=3, damping=0.85, weight="wt")
+    return pr.select(
+        F.col("node").alias("part"), F.round("rank", 6).alias("rank")
+    )
+
+
+def link_graph_docs(spark, sf):
+    """Web-link-graph extraction: deterministic HTML built around each
+    document, hyperlinks pulled with the regex-only column pipeline
+    (functions/html.html_links_expr) -> (doc_id, href, anchor) edges."""
+    from kernel_memory_spark.functions import html as HT
+
+    docs = load_table(spark, sf, "documents")
+    page = docs.withColumn(
+        "html",
+        F.concat(
+            F.lit('<p>See <a href="/doc/'),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit('">ref one</a> and <A HREF="/doc/'),
+            ((F.col("doc_id") + 7) % 100).cast("string"),
+            F.lit('">ref two</a></p>'),
+            F.col("text"),
+        ),
+    )
+    return (
+        page.select(
+            "doc_id", F.explode(HT.html_links_expr("html")).alias("l")
+        )
+        .select("doc_id", F.col("l.href").alias("href"),
+                F.col("l.anchor").alias("anchor"))
+        .orderBy("doc_id", "href")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1160,6 +1229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_node_ids": dense_node_ids,
         "degree_histogram_parts": degree_histogram_parts,
         "profile_documents": profile_documents,
+        "ppr_parts": ppr_parts,
+        "pagerank_weighted_pmi": pagerank_weighted_pmi,
+        "link_graph_docs": link_graph_docs,
         "kg_triples_sf": kg_triples_sf,  # rows-only (pandas-UDF chunker)
     }
 
@@ -1195,6 +1267,90 @@ def _pagerank_sql(iterations: int = 3) -> str:
          + 0.85::DOUBLE * COALESCE(c.s, 0.0::DOUBLE) AS rank
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS node, SUM(r.rank * (1.0::DOUBLE / o.outdeg)) AS s
+    FROM adj e JOIN outm o ON e.src = o.src
+               JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst) c ON n.node = c.node)"""
+        )
+    parts.append(
+        f"SELECT node AS part, ROUND(rank, 6) AS rank FROM r{iterations}"
+    )
+    return "\n".join(parts)
+
+
+def _ppr_sql(iterations: int = 3) -> str:
+    """Unrolled personalized PageRank mirroring graph.personalized_pagerank:
+    teleport vector = 1/|seeds| on seed nodes present in the graph, 0
+    elsewhere; |seeds| counted on the seed INPUT (part filter), so seeds
+    absent from the graph dilute the teleport mass identically."""
+    parts = [
+        _GRAPH_CTE.rstrip(),
+        ", nodes AS (SELECT DISTINCT src AS node FROM adj)",
+        ", outm AS (SELECT src, COUNT(*) AS outdeg FROM adj GROUP BY src)",
+        ", seeds AS (SELECT DISTINCT p_partkey AS node FROM part"
+        " WHERE p_partkey <= 4)",
+        """, tele AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN 1.0::DOUBLE / (SELECT COUNT(*) FROM seeds)
+              ELSE 0.0::DOUBLE END AS tele
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node)""",
+        ", r0 AS (SELECT node, tele AS rank FROM tele)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", r{i} AS (
+  SELECT t.node,
+         (1.0::DOUBLE - 0.85::DOUBLE) * t.tele
+         + 0.85::DOUBLE * COALESCE(c.s, 0.0::DOUBLE) AS rank
+  FROM tele t LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank * (1.0::DOUBLE / o.outdeg)) AS s
+    FROM adj e JOIN outm o ON e.src = o.src
+               JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst) c ON t.node = c.node)"""
+        )
+    parts.append(
+        f"SELECT node AS part, ROUND(rank, 6) AS rank FROM r{iterations}"
+    )
+    return "\n".join(parts)
+
+
+def _wpr_sql(iterations: int = 3) -> str:
+    """Unrolled WEIGHTED PageRank over positive-PMI co-occurrence edges,
+    mirroring cooccur.pmi_edges(min_pairs=2) + graph.pagerank(weight):
+    share = wt / sum(wt over out-edges)."""
+    parts = [
+        """WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+marg AS (SELECT i, COUNT(*) AS n FROM items GROUP BY i),
+tot AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS N FROM items),
+pairs AS (
+  SELECT a.i AS src, c.i AS dst, COUNT(*) AS n_pairs
+  FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+  GROUP BY a.i, c.i HAVING COUNT(*) >= 2),
+wund0 AS (
+  SELECT p.src, p.dst,
+         ln(CAST(p.n_pairs AS DOUBLE) * t.N
+            / (CAST(ma.n AS DOUBLE) * mb.n)) AS wt
+  FROM pairs p
+  JOIN marg ma ON ma.i = p.src
+  JOIN marg mb ON mb.i = p.dst
+  CROSS JOIN tot t),
+wund AS (SELECT * FROM wund0 WHERE wt > 0),
+adj AS (SELECT src, dst, wt FROM wund
+        UNION ALL SELECT dst AS src, src AS dst, wt FROM wund),
+nodes AS (SELECT DISTINCT src AS node FROM adj),
+outm AS (SELECT src, SUM(wt) AS out_mass FROM adj GROUP BY src),
+r0 AS (SELECT node, 1.0::DOUBLE / (SELECT COUNT(*) FROM nodes) AS rank
+       FROM nodes)""",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", r{i} AS (
+  SELECT n.node,
+         (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT COUNT(*) FROM nodes)
+         + 0.85::DOUBLE * COALESCE(c.s, 0.0::DOUBLE) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank * (e.wt / o.out_mass)) AS s
     FROM adj e JOIN outm o ON e.src = o.src
                JOIN r{i - 1} r ON r.node = e.src
     GROUP BY e.dst) c ON n.node = c.node)"""
@@ -2338,6 +2494,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(n_chars) AS VARCHAR),
                    CAST(MAX(n_chars) AS VARCHAR)
             FROM documents
+        """,
+        "ppr_parts": _ppr_sql(3),
+        "pagerank_weighted_pmi": _wpr_sql(3),
+        "link_graph_docs": r"""
+            WITH h AS (
+                SELECT doc_id,
+                       '<p>See <a href="/doc/'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                       || '">ref one</a> and <A HREF="/doc/'
+                       || CAST((doc_id + 7) % 100 AS VARCHAR)
+                       || '">ref two</a></p>' || text AS html
+                FROM documents)
+            SELECT doc_id,
+                   unnest(regexp_extract_all(html,
+                       '(?i)<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)', 1))
+                       AS href,
+                   unnest(regexp_extract_all(html,
+                       '(?i)<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)', 2))
+                       AS anchor
+            FROM h
+            ORDER BY doc_id, href
         """,
         # kg_triples_sf: intentionally no oracle (pandas-UDF chunker inside;
         # driver records the rows-only check; full fidelity is gated by the

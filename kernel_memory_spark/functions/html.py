@@ -87,3 +87,23 @@ def html_to_text_expr(col, strip_script: bool = True) -> Column:
     for ent, ch in _ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(ch))
     return normalize_newlines_col(c, trim=True)
+
+
+def html_links_expr(col) -> Column:
+    """Outgoing hyperlinks of an HTML column as
+    array<struct<href:string, anchor:string>> — the web-link-graph
+    extraction step (a web-scale KG's richest edge source: link graphs
+    feed pagerank/personalized_pagerank in operators/graph.py).
+
+    Regex-only on purpose (like html_to_text_expr) so a SQL oracle
+    replays it 1:1: two regexp_extract_all passes over the SAME anchor
+    pattern (group 1 = href, group 2 = inner text), zipped positionally —
+    both passes see identical matches, so the zip is always aligned.
+    Matches double-quoted hrefs in <a> tags; anchor inner text is taken
+    raw (tags inside the anchor end the match, same both engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = r'(?i)<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)'
+    return F.arrays_zip(
+        F.regexp_extract_all(c, F.lit(pat), 1).alias("href"),
+        F.regexp_extract_all(c, F.lit(pat), 2).alias("anchor"),
+    )

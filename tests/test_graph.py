@@ -128,3 +128,94 @@ class TestKHop:
         src = spark.createDataFrame([(99,)], "node long")
         got = {r.node: r.dist for r in GR.k_hop(adj, src, k=2).collect()}
         assert got == {99: 0}
+
+
+def _ref_ppr(edges, seeds, iterations, d=0.85):
+    """Driver-side personalized-PageRank reference (teleport to seeds;
+    |seeds| counts seeds absent from the graph too)."""
+    nodes = sorted({u for e in edges for u in e})
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    tele = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    r = dict(tele)
+    for _ in range(iterations):
+        s = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            s[v] += r[u] * (1.0 / out[u])
+        r = {v: (1.0 - d) * tele[v] + d * s[v] for v in nodes}
+    return r
+
+
+class TestPersonalizedPageRank:
+    def test_matches_reference(self, spark):
+        pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 3), (2, 4)]
+        seeds = {1}
+        got = {
+            r.node: r.rank
+            for r in GR.personalized_pagerank(
+                _edges(spark, pairs),
+                spark.createDataFrame([(s,) for s in seeds], "node long"),
+                iterations=6,
+            ).collect()
+        }
+        exp = _ref_ppr(pairs, seeds, 6)
+        assert set(got) == set(exp)
+        for v in exp:
+            assert got[v] == pytest.approx(exp[v], abs=1e-12), v
+
+    def test_mass_concentrates_near_seed(self, spark):
+        # path 1-2-3-4-5 (undirected), seed at node 1: rank must be
+        # monotonically decreasing with distance from the seed
+        pairs = [(i, i + 1) for i in range(1, 5)]
+        adj = GR.symmetrize(_edges(spark, pairs))
+        got = {
+            r.node: r.rank
+            for r in GR.personalized_pagerank(
+                adj,
+                spark.createDataFrame([(1,)], "node long"),
+                iterations=10,
+            ).collect()
+        }
+        assert got[1] > got[2] > got[3] > got[4] > got[5]
+
+    def test_absent_seed_dilutes_teleport(self, spark):
+        # seed 99 not in graph: teleport mass halves, total rank < 1
+        pairs = [(1, 2), (2, 1)]
+        got = {
+            r.node: r.rank
+            for r in GR.personalized_pagerank(
+                _edges(spark, pairs),
+                spark.createDataFrame([(1,), (99,)], "node long"),
+                iterations=4,
+            ).collect()
+        }
+        exp = _ref_ppr(pairs, {1, 99}, 4)
+        for v in exp:
+            assert got[v] == pytest.approx(exp[v], abs=1e-12)
+        assert sum(got.values()) < 1.0
+
+
+class TestHtmlLinks:
+    def test_extracts_href_and_anchor(self, spark):
+        from kernel_memory_spark.functions.html import html_links_expr
+
+        df = spark.createDataFrame(
+            [
+                (1, '<a href="/x">X</a> text <A HREF="/y" class="z">Y</A>'),
+                (2, "no links here"),
+                (3, '<a class="q" href="/only">mixed <b>tail'),
+            ],
+            "id long, html string",
+        )
+        out = (
+            df.select("id", F.explode(html_links_expr("html")).alias("l"))
+            .select("id", "l.href", "l.anchor")
+            .collect()
+        )
+        got = {(r.id, r.href, r.anchor) for r in out}
+        assert got == {
+            (1, "/x", "X"),
+            (1, "/y", "Y"),
+            (3, "/only", "mixed "),  # inner tag ends the anchor capture
+        }

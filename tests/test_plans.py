@@ -52,6 +52,9 @@ PURE_JVM = [
     "dense_node_ids",
     "degree_histogram_parts",
     "profile_documents",
+    "ppr_parts",
+    "pagerank_weighted_pmi",
+    "link_graph_docs",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
