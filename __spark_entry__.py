@@ -1163,6 +1163,43 @@ def link_graph_docs(spark, sf):
     )
 
 
+def lm_quality_docs(spark, sf):
+    """Mean unigram log-probability per document (self-trained add-one
+    model — the corpus-statistical quality signal)."""
+    from kernel_memory_spark.operators import lm as LM
+
+    docs = load_table(spark, sf, "documents")
+    out = LM.unigram_logprob_scores(docs)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round("avg_logp", 6).alias("avg_logp"),
+    )
+
+
+def quantized_embeddings(spark, sf):
+    """Symmetric int8 quantization of the embedding column (4x storage /
+    shuffle cut for ANN) — integers are cross-engine bit-exact."""
+    from kernel_memory_spark.functions import quant as Q
+
+    emb = load_table(spark, sf, "embeddings")
+    qs = emb.select("vec_id", Q.quantize_int8_expr("embedding").alias("qs"))
+    return qs.select(
+        "vec_id",
+        F.col("qs.scale").alias("scale"),
+        F.posexplode("qs.q").alias("pos", "q"),
+    )
+
+
+def boilerplate_ngrams_docs(spark, sf):
+    """Cross-document boilerplate 5-grams (df >= 3): the repeated spans
+    that survive per-doc dedup but poison training data."""
+    from kernel_memory_spark.operators import cleaning as CL
+
+    docs = load_table(spark, sf, "documents")
+    return CL.boilerplate_ngrams(docs, n=5, min_df=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1232,6 +1269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_parts": ppr_parts,
         "pagerank_weighted_pmi": pagerank_weighted_pmi,
         "link_graph_docs": link_graph_docs,
+        "lm_quality_docs": lm_quality_docs,
+        "quantized_embeddings": quantized_embeddings,
+        "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
         "kg_triples_sf": kg_triples_sf,  # rows-only (pandas-UDF chunker)
     }
 
@@ -2515,6 +2555,55 @@ def oracle_sql() -> dict[str, str]:
                        AS anchor
             FROM h
             ORDER BY doc_id, href
+        """,
+        "lm_quality_docs": """
+            WITH toks AS (
+                SELECT doc_id AS id, t.term
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '[^a-z]+'))
+                         AS t(term)
+                WHERE len(t.term) >= 1),
+            counts AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+            tot AS (SELECT CAST(SUM(c) + COUNT(*) AS DOUBLE) AS denom
+                    FROM counts),
+            lm AS (SELECT term,
+                          ln((CAST(c AS DOUBLE) + 1.0)
+                             / (SELECT denom FROM tot)) AS logp
+                   FROM counts)
+            SELECT t.id AS doc_id, COUNT(*) AS n_tokens,
+                   round(avg(l.logp), 6) AS avg_logp
+            FROM toks t JOIN lm l USING (term)
+            GROUP BY t.id
+        """,
+        "quantized_embeddings": """
+            SELECT vec_id,
+                   CAST(list_max(list_transform(embedding, x -> abs(x)))
+                        AS DOUBLE) / 127.0 AS scale,
+                   CAST(t.pos AS INT) AS pos,
+                   CAST(round(
+                       CAST(embedding[CAST(t.pos AS INT) + 1] AS DOUBLE)
+                       / (CAST(list_max(list_transform(embedding,
+                                                       x -> abs(x)))
+                               AS DOUBLE) / 127.0)) AS INT) AS q
+            FROM embeddings,
+                 unnest(range(len(embedding))) AS t(pos)
+        """,
+        "boilerplate_ngrams_docs": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(
+                         string_split_regex(
+                           lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')),
+                           '\\s+'),
+                         w -> length(w) > 0) AS ws
+                FROM documents),
+            dgrams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ws[i : i + 4], ' ') AS gram
+                FROM words,
+                     unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i))
+            SELECT gram, COUNT(*) AS df
+            FROM dgrams GROUP BY gram HAVING COUNT(*) >= 3
         """,
         # kg_triples_sf: intentionally no oracle (pandas-UDF chunker inside;
         # driver records the rows-only check; full fidelity is gated by the

@@ -130,3 +130,31 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
          / F.sum(F.col("c") * F.col("chars"))).alias("top_bigram_char_frac"),
     )
     return line_stats.join(gram_stats, id_col, "full")
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate detection -> (gram, df): word n-grams
+    appearing in >= min_df DISTINCT documents (headers, footers, cookie
+    banners, licence blurbs — the spans that survive per-doc dedup but
+    poison training data). Set semantics per document (a gram repeated
+    inside one doc counts once), same tokenizer as decontaminate so the
+    two share scan work when composed.
+
+    Scale: the (doc, gram) relation is distinct-ed then hash-aggregated
+    by gram with map-side combine; min_df prunes before anything joins
+    back. The result is the small side by construction — broadcast it
+    against the corpus to strip matching spans."""
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("gram")
+    ).distinct()
+    return (
+        doc_grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )

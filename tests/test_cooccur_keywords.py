@@ -259,3 +259,109 @@ class TestProfileTable:
             for r in PR.profile_table(df, exact_distinct=False).collect()
         }
         assert abs(row["n"] - 500) / 500 < 0.1
+
+
+class TestUnigramLm:
+    def test_exact_logprobs(self, spark):
+        import math
+
+        from kernel_memory_spark.operators import lm as LM
+
+        docs = spark.createDataFrame(
+            [(1, "aa aa bb"), (2, "aa cc")], "doc_id long, text string"
+        )
+        # counts: aa=3, bb=1, cc=1; T=5, V=3, denom=8
+        out = {
+            r.id: (r.n_tokens, r.avg_logp)
+            for r in LM.unigram_logprob_scores(docs).collect()
+        }
+        lp = {t: math.log((c + 1) / 8.0) for t, c in
+              {"aa": 3, "bb": 1, "cc": 1}.items()}
+        assert out[1][0] == 3
+        assert out[1][1] == pytest.approx(
+            (2 * lp["aa"] + lp["bb"]) / 3, abs=1e-12
+        )
+        assert out[2][1] == pytest.approx(
+            (lp["aa"] + lp["cc"]) / 2, abs=1e-12
+        )
+
+    def test_oov_scored_with_floor(self, spark):
+        import math
+
+        from kernel_memory_spark.operators import lm as LM
+
+        train = spark.createDataFrame(
+            [(1, "aa aa bb")], "doc_id long, text string"
+        )
+        lm, oov = LM.train_unigram_lm(train)
+        # T=3, V=2 -> denom=5; OOV logp = ln(1/5)
+        assert oov == pytest.approx(math.log(1 / 5.0), abs=1e-12)
+        score = spark.createDataFrame(
+            [(9, "zz aa")], "doc_id long, text string"
+        )
+        out = LM.unigram_logprob_scores(score, lm, oov).collect()[0]
+        # zz OOV -> ln(1/5); aa count=2 -> ln((2+1)/5)
+        assert out.avg_logp == pytest.approx(
+            (math.log(1 / 5.0) + math.log(3 / 5.0)) / 2, abs=1e-12
+        )
+        # gibberish scores strictly below in-vocab prose
+        prose = LM.unigram_logprob_scores(
+            spark.createDataFrame([(8, "aa aa")], "doc_id long, text string"),
+            lm, oov,
+        ).collect()[0]
+        assert out.avg_logp < prose.avg_logp
+
+
+class TestInt8Quantization:
+    def test_roundtrip_error_bounded(self, spark):
+        from kernel_memory_spark.functions import quant as Q
+
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25, 0.0]), (2, [100.0, -50.0, 1.0, 0.3])],
+            "id long, vec array<double>",
+        )
+        qs = df.select(
+            "id", "vec", Q.quantize_int8_expr("vec").alias("qs")
+        )
+        rec = qs.select(
+            "id", "vec",
+            Q.dequantize_expr(F.col("qs.q"), F.col("qs.scale")).alias("r"),
+            F.col("qs.scale").alias("s"),
+            F.col("qs.q").alias("q"),
+        ).collect()
+        for row in rec:
+            assert all(abs(v) <= 127 for v in row.q)
+            for v, r in zip(row.vec, row.r):
+                assert abs(v - r) <= row.s / 2 + 1e-12
+            # the max-|v| component maps to exactly +/-127
+            assert max(abs(x) for x in row.q) == 127
+
+    def test_zero_vector_guard(self, spark):
+        from kernel_memory_spark.functions import quant as Q
+
+        df = spark.createDataFrame([(1, [0.0, 0.0])], "id long, vec array<double>")
+        row = df.select(Q.quantize_int8_expr("vec").alias("qs")).collect()[0]
+        assert row.qs.scale == 0.0 and list(row.qs.q) == [0, 0]
+
+
+class TestBoilerplateNgrams:
+    def test_cross_doc_df_with_set_semantics(self, spark):
+        from kernel_memory_spark.operators import cleaning as CL
+
+        footer = "all rights reserved by example corp"
+        docs = spark.createDataFrame(
+            [
+                (1, "unique one. " + footer),
+                (2, "unique two! " + footer + " " + footer),  # twice in doc2
+                (3, "unique three? " + footer),
+                (4, "nothing shared here at all today"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.gram: r.df
+            for r in CL.boilerplate_ngrams(docs, n=6, min_df=3).collect()
+        }
+        assert out.get("all rights reserved by example corp") == 3
+        # doc-4-only gram never reaches min_df
+        assert "nothing shared here at all today" not in out

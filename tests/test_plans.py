@@ -55,6 +55,9 @@ PURE_JVM = [
     "ppr_parts",
     "pagerank_weighted_pmi",
     "link_graph_docs",
+    "lm_quality_docs",
+    "quantized_embeddings",
+    "boilerplate_ngrams_docs",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
