@@ -995,6 +995,33 @@ def pmi_copurchase_edges(spark, sf):
     )
 
 
+def pmi_index_edges(spark, sf):
+    """Incremental co-occurrence maintenance at the oracle level: fold the
+    even-orderkey baskets into a persisted count index, then the odd half,
+    then answer PMI from the INDEX alone (no corpus re-scan). The oracle is
+    the same one-shot whole-corpus PMI SQL as pmi_copurchase_edges — a
+    hash-match proves the additive pair/marginal/basket folds converged
+    exactly to the full rebuild."""
+    import tempfile
+
+    from kernel_memory_spark.operators import cooccur as CO
+    from kernel_memory_spark.sources.tables import TableCatalog
+
+    l = load_table(spark, sf, "lineitem")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="kms_coocc_"))
+    for batch in (
+        l.filter(F.col("l_orderkey") % 2 == 0),
+        l.filter(F.col("l_orderkey") % 2 == 1),
+    ):
+        CO.upsert_cooccur_index(
+            spark, cat, "cp", batch, "l_orderkey", "l_partkey"
+        )
+    out = CO.pmi_from_index(spark, cat, "cp", min_pairs=2)
+    return out.select(
+        "src", "dst", "n_pairs", F.round("pmi", 6).alias("pmi")
+    )
+
+
 def neighbor_mean_embeddings(spark, sf):
     """One round of neighborhood feature smoothing over a deterministic
     chain+skip graph on the embeddings table (GNN aggregation primitive;
@@ -1259,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards_docs": token_shards_docs,
         "temperature_mix_docs": temperature_mix_docs,
         "pmi_copurchase_edges": pmi_copurchase_edges,
+        "pmi_index_edges": pmi_index_edges,
         "neighbor_mean_embeddings": neighbor_mean_embeddings,
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "quota_cap_docs": quota_cap_docs,
@@ -1403,6 +1431,14 @@ r0 AS (SELECT node, 1.0::DOUBLE / (SELECT COUNT(*) FROM nodes) AS rank
 
 def oracle_sql() -> dict[str, str]:
     stopset = ", ".join(f"'{w}'" for w in STOPSET)
+    out = _oracle_sql_dict(stopset)
+    # pmi_index_edges must converge to the one-shot whole-corpus PMI —
+    # the incremental index shares the full-rebuild oracle verbatim.
+    out["pmi_index_edges"] = out["pmi_copurchase_edges"]
+    return out
+
+
+def _oracle_sql_dict(stopset: str) -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

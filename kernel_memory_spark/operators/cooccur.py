@@ -48,33 +48,21 @@ def pmi_edges(
     single-co-occurrence pairs before the marginal join; `max_basket`
     drops baskets with more distinct items than the bound (fan-out guard).
     """
-    items = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
-    if max_basket is not None:
-        sizes = items.groupBy("__b").agg(F.count("*").alias("__sz"))
-        items = (
-            items.join(sizes, "__b")
-            .filter(F.col("__sz") <= max_basket)
-            .drop("__sz")
-        )
-    n_baskets = items.select("__b").distinct().count()
-    marg = items.groupBy("__i").agg(F.count("*").alias("__n"))
-
-    a = items.select(F.col("__b"), F.col("__i").alias("src"))
-    b = items.select(F.col("__b"), F.col("__i").alias("dst"))
-    pairs = (
-        a.join(b, "__b")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("n_pairs"))
-        .filter(F.col("n_pairs") >= min_pairs)
+    pairs, marg, n_baskets = cooccur_counts(
+        df, basket_col, item_col, max_basket
     )
+    return _pmi_join(
+        pairs.filter(F.col("n_pairs") >= min_pairs), marg, n_baskets
+    )
+
+
+def _pmi_join(pairs: DataFrame, marg: DataFrame, n_baskets: int) -> DataFrame:
+    """pmi = ln(n_ab * N / (n_a * n_b)) via two keyed marginal joins."""
     return (
-        pairs.join(marg.select(F.col("__i").alias("src"),
-                               F.col("__n").alias("__na")), "src")
-        .join(marg.select(F.col("__i").alias("dst"),
-                          F.col("__n").alias("__nb")), "dst")
+        pairs.join(marg.select(F.col("item").alias("src"),
+                               F.col("n").alias("__na")), "src")
+        .join(marg.select(F.col("item").alias("dst"),
+                          F.col("n").alias("__nb")), "dst")
         .select(
             "src",
             "dst",
@@ -86,3 +74,124 @@ def pmi_edges(
             ).alias("pmi"),
         )
     )
+
+
+def cooccur_counts(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: Optional[int] = None,
+):
+    """Raw co-occurrence statistics of a basket set -> (pairs, marginals,
+    n_baskets): pair counts (src < dst), per-item basket counts, total
+    basket count. All three are ADDITIVE across disjoint basket sets —
+    the property the incremental index below exploits."""
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_basket is not None:
+        sizes = items.groupBy("__b").agg(F.count("*").alias("__sz"))
+        items = (
+            items.join(sizes, "__b")
+            .filter(F.col("__sz") <= max_basket)
+            .drop("__sz")
+        )
+    n_baskets = items.select("__b").distinct().count()
+    marg = items.groupBy(F.col("__i").alias("item")).agg(
+        F.count("*").alias("n")
+    )
+    a = items.select(F.col("__b"), F.col("__i").alias("src"))
+    b = items.select(F.col("__b"), F.col("__i").alias("dst"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    return pairs, marg, n_baskets
+
+
+def upsert_cooccur_index(
+    spark,
+    catalog,
+    name: str,
+    batch: DataFrame,
+    basket_col: str,
+    item_col: str,
+    n_buckets: int = 16,
+    max_basket: Optional[int] = None,
+) -> None:
+    """Incremental co-occurrence index maintenance: fold a batch of NEW
+    baskets into persisted count tables without ever re-scanning the old
+    corpus (the additive-aggregate analog of the ANN/FTS index upserts in
+    similarity.py / search_text.py).
+
+    Tables: `{name}__pairs` (src,dst,n_pairs; bucketed by src),
+    `{name}__marg` (item,n; bucketed by item), `{name}__stats`
+    (one n_baskets row). The batch's deltas are combined with the CURRENT
+    rows of only the touched buckets (read_buckets manifest pruning), then
+    merge_bucketed replaces those buckets — I/O is O(touched), compute is
+    O(batch).
+
+    Contract: baskets are ATOMIC per batch (a basket's items never split
+    across batches — true for document-granular ingestion) and never
+    re-delivered; a re-delivered basket double-counts (remove it first).
+    """
+    pairs, marg, n_new = cooccur_counts(
+        batch, basket_col, item_col, max_basket
+    )
+    p_name, m_name, s_name = (
+        f"{name}__pairs", f"{name}__marg", f"{name}__stats",
+    )
+
+    def _fold(delta, tname, keys, bucket_key, sum_col):
+        if catalog.exists(tname):
+            wanted = (
+                delta.select(
+                    catalog._bucket_expr(bucket_key, n_buckets).alias("b")
+                )
+                .distinct()
+            )
+            bucket_ids = {r["b"] for r in wanted.collect()}
+            old = catalog.read_buckets(spark, tname, bucket_ids).select(
+                *keys, sum_col
+            )
+            combined = (
+                delta.unionByName(old)
+                .groupBy(*keys)
+                .agg(F.sum(sum_col).alias(sum_col))
+            )
+        else:
+            combined = delta
+        catalog.merge_bucketed(
+            spark, tname, combined, list(keys), bucket_key,
+            n_buckets=n_buckets,
+        )
+
+    _fold(pairs, p_name, ["src", "dst"], "src", "n_pairs")
+    _fold(marg, m_name, ["item"], "item", "n")
+    prev = 0
+    if catalog.exists(s_name):
+        prev = catalog.read(spark, s_name).collect()[0]["n_baskets"]
+    catalog.overwrite(
+        spark.createDataFrame(
+            [(int(prev) + int(n_new),)], "n_baskets long"
+        ),
+        s_name,
+    )
+
+
+def pmi_from_index(
+    spark, catalog, name: str, min_pairs: int = 1
+) -> DataFrame:
+    """PMI edges from the PERSISTED count tables (no corpus scan):
+    identical output to pmi_edges over the union of all upserted batches
+    (given the basket-atomicity contract)."""
+    pairs = catalog.read(spark, f"{name}__pairs").filter(
+        F.col("n_pairs") >= min_pairs
+    )
+    marg = catalog.read(spark, f"{name}__marg")
+    n_baskets = catalog.read(spark, f"{name}__stats").collect()[0][
+        "n_baskets"
+    ]
+    return _pmi_join(pairs, marg, n_baskets)

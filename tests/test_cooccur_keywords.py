@@ -365,3 +365,50 @@ class TestBoilerplateNgrams:
         assert out.get("all rights reserved by example corp") == 3
         # doc-4-only gram never reaches min_df
         assert "nothing shared here at all today" not in out
+
+
+class TestIncrementalCooccurIndex:
+    def test_incremental_matches_full_rebuild(self, spark, tmp_catalog_root):
+        from kernel_memory_spark.operators import cooccur as CO
+        from kernel_memory_spark.sources.tables import TableCatalog
+
+        rows1 = [(1, "a"), (1, "b"), (2, "a"), (2, "c")]
+        rows2 = [(3, "a"), (3, "b"), (4, "b"), (4, "c"), (4, "d")]
+        b1 = spark.createDataFrame(rows1, "b long, i string")
+        b2 = spark.createDataFrame(rows2, "b long, i string")
+        full = spark.createDataFrame(rows1 + rows2, "b long, i string")
+
+        cat = TableCatalog(tmp_catalog_root)
+        CO.upsert_cooccur_index(spark, cat, "cx", b1, "b", "i", n_buckets=4)
+        CO.upsert_cooccur_index(spark, cat, "cx", b2, "b", "i", n_buckets=4)
+
+        inc = {
+            (r.src, r.dst): (r.n_pairs, r.pmi)
+            for r in CO.pmi_from_index(spark, cat, "cx").collect()
+        }
+        ref = {
+            (r.src, r.dst): (r.n_pairs, r.pmi)
+            for r in CO.pmi_edges(full, "b", "i").collect()
+        }
+        assert set(inc) == set(ref)
+        for k in ref:
+            assert inc[k][0] == ref[k][0], k
+            assert inc[k][1] == pytest.approx(ref[k][1], abs=1e-12), k
+
+    def test_counts_accumulate_across_batches(self, spark, tmp_catalog_root):
+        from kernel_memory_spark.operators import cooccur as CO
+        from kernel_memory_spark.sources.tables import TableCatalog
+
+        cat = TableCatalog(tmp_catalog_root)
+        batch = spark.createDataFrame(
+            [(1, "a"), (1, "b")], "b long, i string"
+        )
+        CO.upsert_cooccur_index(spark, cat, "cy", batch, "b", "i")
+        batch2 = spark.createDataFrame(
+            [(2, "a"), (2, "b")], "b long, i string"
+        )
+        CO.upsert_cooccur_index(spark, cat, "cy", batch2, "b", "i")
+        pairs = cat.read(spark, "cy__pairs").collect()
+        assert {(r.src, r.dst, r.n_pairs) for r in pairs} == {("a", "b", 2)}
+        stats = cat.read(spark, "cy__stats").collect()[0]
+        assert stats.n_baskets == 2
