@@ -347,6 +347,30 @@ def ngram_dup_pairs(spark, sf):
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def containment_docs(spark, sf):
+    """Asymmetric n-gram containment (quote/subset detection): documents
+    plus a 15-word excerpt of each at doc_id+100000 — every excerpt must
+    be found contained in its parent at ~1.0 even though the pair's
+    Jaccard is far below any dedup threshold."""
+    from kernel_memory_spark.operators import dedup as D
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    excerpts = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), r"\s+"), 1, 15), " "
+        ).alias("text"),
+    )
+    both = docs.unionByName(excerpts).select(
+        F.lpad(F.col("doc_id").cast("string"), 9, "0").alias("doc_id"),
+        "text",
+    )
+    pairs = D.containment_pairs(both, threshold=0.9)
+    return pairs.select(
+        "src", "dst", F.round("containment", 6).alias("containment")
+    )
+
+
 def cosine_dup_pairs(spark, sf):
     """Embedding-cosine near-dup via the production operator: md5-derived
     +/-1 sign-projection buckets (SQL-reproducible), hot-bucket cap,
@@ -952,6 +976,37 @@ def khop_parts(spark, sf):
     return out.select(F.col("node").alias("part"), "dist")
 
 
+def _repeat_copurchase_edges(spark, sf):
+    """Sparser KG edge set for link-prediction/community entries: parts
+    co-purchased in >= 2 distinct orders (single co-occurrences are noise
+    for these ops; also keeps the AA wedge bound sum(deg^2) small)."""
+    from kernel_memory_spark.operators import cooccur as CO
+
+    l = load_table(spark, sf, "lineitem")
+    pairs, _, _ = CO.cooccur_counts(l, "l_orderkey", "l_partkey")
+    return pairs.filter(F.col("n_pairs") >= 2).select("src", "dst")
+
+
+def adamic_adar_parts(spark, sf):
+    """Adamic-Adar link prediction over the repeat co-purchase graph —
+    ranked missing-edge candidates for KG completion."""
+    from kernel_memory_spark.operators import graph as GR
+
+    out = GR.adamic_adar(_repeat_copurchase_edges(spark, sf))
+    return out.select(
+        "u", "v", "n_common", F.round("score", 6).alias("score")
+    )
+
+
+def lpa_communities_parts(spark, sf):
+    """Deterministic synchronous label-propagation communities (3 rounds,
+    min-label tie-break) over the repeat co-purchase graph."""
+    from kernel_memory_spark.operators import graph as GR
+
+    out = GR.label_propagation(_repeat_copurchase_edges(spark, sf), 3)
+    return out.select(F.col("node").alias("part"), "label")
+
+
 def token_shards_docs(spark, sf):
     """Contiguous token-budget export shards: exclusive global running
     token sum (range-partitioned two-phase cumsum, no single-task window)
@@ -1248,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": minhash_lsh_dedup,
         "simhash_dup_pairs": simhash_dup_pairs,
         "ngram_dup_pairs": ngram_dup_pairs,
+        "containment_docs": containment_docs,
         "cosine_dup_pairs": cosine_dup_pairs,
         "knn_topk": knn_topk,
         "ann_recall": ann_recall,
@@ -1283,6 +1339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_copurchase": pagerank_copurchase,
         "triangle_counts_parts": triangle_counts_parts,
         "khop_parts": khop_parts,
+        "adamic_adar_parts": adamic_adar_parts,
+        "lpa_communities_parts": lpa_communities_parts,
         "token_shards_docs": token_shards_docs,
         "temperature_mix_docs": temperature_mix_docs,
         "pmi_copurchase_edges": pmi_copurchase_edges,
@@ -1303,6 +1361,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_sf": kg_triples_sf,  # rows-only (pandas-UDF chunker)
     }
 
+
+_REPEAT_GRAPH_CTE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), und AS (
+  SELECT a.i AS src, c.i AS dst
+  FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+  GROUP BY a.i, c.i HAVING COUNT(*) >= 2
+), adj AS (
+  SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und
+)
+"""
 
 _GRAPH_CTE = """
 WITH und AS (
@@ -1646,6 +1716,36 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                 JOIN sig sa ON cands.a = sa.id
                 JOIN sig sb ON cands.b = sb.id)
             WHERE hamming <= 3
+        """,
+        "containment_docs": """
+            WITH both_docs AS (
+                SELECT lpad(CAST(doc_id AS VARCHAR), 9, '0') AS id, text
+                FROM documents
+                UNION ALL
+                SELECT lpad(CAST(doc_id + 100000 AS VARCHAR), 9, '0'),
+                       array_to_string(
+                         string_split_regex(text, '\\s+')[1:15], ' ')
+                FROM documents),
+            w AS (SELECT id, string_split_regex(lower(text), '\\s+') AS ws
+                  FROM both_docs),
+            ix AS (SELECT id, ws,
+                          unnest(range(greatest(len(ws) - 3, 0) + 1)) AS i
+                   FROM w),
+            g AS (SELECT DISTINCT id,
+                         array_to_string(ws[i + 1 : i + 3], ' ') AS gram
+                  FROM ix),
+            cool AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 64),
+            cg AS (SELECT id, gram FROM g JOIN cool USING (gram)),
+            sizes AS (SELECT id, count(*) AS n FROM cg GROUP BY id),
+            inter AS (SELECT l.id AS a, r.id AS b, count(*) AS i
+                      FROM cg l JOIN cg r ON l.gram = r.gram AND l.id < r.id
+                      GROUP BY l.id, r.id),
+            directed AS (
+                SELECT a AS src, b AS dst, i FROM inter
+                UNION ALL SELECT b, a, i FROM inter)
+            SELECT d.src, d.dst, round(d.i / ns.n, 6) AS containment
+            FROM directed d JOIN sizes ns ON d.src = ns.id
+            WHERE d.i / ns.n >= 0.9
         """,
         "ngram_dup_pairs": """
             WITH both_docs AS (
@@ -2363,6 +2463,47 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                 UNION ALL SELECT v FROM tris
                 UNION ALL SELECT w FROM tris)
             SELECT part, COUNT(*) AS n_triangles FROM corners GROUP BY part
+        """,
+        "adamic_adar_parts": _REPEAT_GRAPH_CTE
+        + """
+            , deg AS (SELECT src AS w, COUNT(*) AS deg_w FROM adj GROUP BY src)
+            , thru AS (SELECT a.src AS w, a.dst AS u, d.deg_w
+                       FROM adj a JOIN deg d ON d.w = a.src)
+            , pairs AS (
+                SELECT l.u AS u, r.u AS v, COUNT(*) AS n_common,
+                       SUM(1.0 / ln(CAST(l.deg_w AS DOUBLE))) AS score
+                FROM thru l JOIN thru r ON l.w = r.w AND l.u < r.u
+                GROUP BY l.u, r.u)
+            SELECT p.u, p.v, p.n_common, round(p.score, 6) AS score
+            FROM pairs p
+            WHERE NOT EXISTS (SELECT 1 FROM und e
+                              WHERE e.src = p.u AND e.dst = p.v)
+        """,
+        "lpa_communities_parts": _REPEAT_GRAPH_CTE
+        + """
+            , l0 AS (SELECT DISTINCT src AS node, src AS label FROM adj)
+            , c1 AS (SELECT a.src AS node, l.label, COUNT(*) AS votes
+                     FROM adj a JOIN l0 l ON l.node = a.dst
+                     GROUP BY a.src, l.label)
+            , l1 AS (SELECT node, label FROM (
+                       SELECT node, label, row_number() OVER (
+                         PARTITION BY node ORDER BY votes DESC, label ASC
+                       ) AS rn FROM c1) WHERE rn = 1)
+            , c2 AS (SELECT a.src AS node, l.label, COUNT(*) AS votes
+                     FROM adj a JOIN l1 l ON l.node = a.dst
+                     GROUP BY a.src, l.label)
+            , l2 AS (SELECT node, label FROM (
+                       SELECT node, label, row_number() OVER (
+                         PARTITION BY node ORDER BY votes DESC, label ASC
+                       ) AS rn FROM c2) WHERE rn = 1)
+            , c3 AS (SELECT a.src AS node, l.label, COUNT(*) AS votes
+                     FROM adj a JOIN l2 l ON l.node = a.dst
+                     GROUP BY a.src, l.label)
+            , l3 AS (SELECT node, label FROM (
+                       SELECT node, label, row_number() OVER (
+                         PARTITION BY node ORDER BY votes DESC, label ASC
+                       ) AS rn FROM c3) WHERE rn = 1)
+            SELECT node AS part, label FROM l3
         """,
         "khop_parts": _GRAPH_CTE
         + """

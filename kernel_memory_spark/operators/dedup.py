@@ -347,6 +347,30 @@ def ngram_jaccard_pairs(
     (stopword-like grams are quadratic in the self-join and carry no dedup
     signal), pair docs sharing a surviving gram, compute
     |A∩B| / (|A|+|B|-|A∩B|) over the capped gram space."""
+    inter, sizes = _gram_intersections(
+        df, id_col, text_col, n, gram_df_cap
+    )
+    na = sizes.select(F.col("id").alias("a"), F.col("n_grams").alias("na"))
+    nb = sizes.select(F.col("id").alias("b"), F.col("n_grams").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _gram_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    gram_df_cap: int,
+):
+    """Shared pair machinery for the n-gram similarity family ->
+    (inter: (a, b, inter) with a < b over docs sharing a surviving gram,
+    sizes: (id, n_grams) over the SAME capped gram space)."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     grams = df.select(
         F.col(id_col).alias("id"),
@@ -370,14 +394,49 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
-    na = sizes.select(F.col("id").alias("a"), F.col("n_grams").alias("na"))
-    nb = sizes.select(F.col("id").alias("b"), F.col("n_grams").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return inter, sizes
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    gram_df_cap: int = GRAM_DF_CAP,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment -> (src, dst, containment):
+    containment(src in dst) = |grams(src) ∩ grams(dst)| / |grams(src)|
+    (Broder 1997's containment coefficient). Catches what Jaccard
+    structurally cannot: a short document quoted wholesale inside a much
+    longer one has tiny Jaccard (union is dominated by the long doc) but
+    containment ~1 — the quote/subset/boilerplate-page case an LLM
+    training-dedup pass must see.
+
+    Same capped-gram pair machinery as ngram_jaccard_pairs (one
+    intersection count per unordered pair, derived in BOTH directions
+    afterwards — the asymmetry costs nothing extra in the shuffle)."""
+    inter, sizes = _gram_intersections(
+        df, id_col, text_col, n, gram_df_cap
+    )
+    directed = inter.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "inter"
+    ).unionByName(
+        inter.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), "inter"
+        )
+    )
+    nsrc = sizes.select(
+        F.col("id").alias("src"), F.col("n_grams").alias("n_src")
+    )
     return (
-        inter.join(na, "a")
-        .join(nb, "b")
-        .select("a", "b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        directed.join(nsrc, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("inter") / F.col("n_src")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
     )
 
 

@@ -331,3 +331,122 @@ def personalized_pagerank(
         if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: Optional[int] = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Adamic-Adar link prediction -> (u, v, n_common, score) for
+    NON-adjacent pairs, u < v: score = sum over common neighbors w of
+    1 / ln(deg(w)) (Adamic & Adar 2003) — the KG-completion primitive
+    ("which entities should probably be connected?").
+
+    Pairs are enumerated per common neighbor (adj self-join on the shared
+    endpoint), so the work is sum(deg^2) over NEIGHBOR nodes — on
+    power-law graphs a single hub explodes that bound, so `max_degree`
+    caps which nodes may act as common neighbors (a hub shared by 10^6
+    pairs carries ~no evidence anyway: its weight is 1/ln(10^6) ≈ 0.07;
+    dropping it is the standard approximation, stated, not silent).
+    Existing edges are removed with one anti-join on the undirected edge
+    set; `min_common` prunes single-witness pairs before the join."""
+    und = (
+        edges.select(src, dst)
+        .filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+    )
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("w")).agg(
+        F.count("*").alias("deg_w")
+    )
+    if max_degree is not None:
+        deg = deg.filter(F.col("deg_w") <= max_degree)
+    # (w, u) rows for every neighbor u of an eligible common-neighbor w
+    thru = adj.select(F.col("a").alias("w"), F.col("b").alias("u")).join(
+        deg, "w"
+    )
+    pairs = (
+        thru.alias("l")
+        .join(thru.alias("r"), F.col("l.w") == F.col("r.w"))
+        .filter(F.col("l.u") < F.col("r.u"))
+        .select(
+            F.col("l.u").alias("u"),
+            F.col("r.u").alias("v"),
+            (F.lit(1.0) / F.log(F.col("l.deg_w").cast("double"))).alias(
+                "__aa"
+            ),
+        )
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("__aa").alias("score"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )
+    return pairs.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation communities -> (node, label)
+    (Raghavan et al. 2007, deterministic variant): labels start as the
+    node's own id; each round every node adopts the label held by the
+    MOST of its neighbors, ties broken by smallest label. Fixed iteration
+    count + deterministic tie-break = reproducible output (async LPA's
+    random visit order is deliberately not reproduced).
+
+    Per round: one shuffle-join (neighbor labels), one (node, label)
+    hash-aggregate (map-side combine absorbs hub fan-in), one node-
+    partitioned window for the argmax — no global window, no collect.
+    Lineage is checkpoint-truncated like pagerank's."""
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(src, dst)
+        .filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+    )
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("node"), F.col("b").alias("nbr")).cache()
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    pick = Window.partitionBy("node").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    for i in range(iterations):
+        votes = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("votes"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(pick))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iterations:
+            labels = labels.localCheckpoint()
+    return labels

@@ -73,6 +73,40 @@ class TestDedup:
         pairs = {(p.a, p.b) for p in D.ngram_jaccard_pairs(df, threshold=0.5).collect()}
         assert pairs == {("1", "2")}
 
+    def test_containment_catches_quote_jaccard_misses(self, spark):
+        """Short doc quoted verbatim inside a long one: containment
+        short->long is 1.0 while Jaccard stays below any useful
+        threshold (the asymmetric case the operator exists for)."""
+        quote = "the quick brown fox jumps over the lazy dog"
+        filler = " ".join(f"w{i}" for i in range(60))
+        df = spark.createDataFrame(
+            [("s", quote), ("l", filler + " " + quote)],
+            "doc_id string, text string",
+        )
+        got = {
+            (r.src, r.dst): r.containment
+            for r in D.containment_pairs(df, threshold=0.9).collect()
+        }
+        assert got == {("s", "l"): pytest.approx(1.0)}
+        assert D.ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+
+    def test_containment_exact_values_both_directions(self, spark):
+        """9-word vs 10-word docs sharing a 6-word prefix: 3-gram sets
+        have 7 and 8 grams, 4 shared -> 4/7 and 4/8 exactly."""
+        df = spark.createDataFrame(
+            [
+                ("a", "c1 c2 c3 c4 c5 c6 x1 x2 x3"),
+                ("b", "c1 c2 c3 c4 c5 c6 y1 y2 y3 y4"),
+            ],
+            "doc_id string, text string",
+        )
+        got = {
+            (r.src, r.dst): r.containment
+            for r in D.containment_pairs(df, threshold=0.0).collect()
+        }
+        assert got[("a", "b")] == pytest.approx(4 / 7, abs=1e-12)
+        assert got[("b", "a")] == pytest.approx(4 / 8, abs=1e-12)
+
     def test_exact_dedup_on_testdata(self, documents):
         # idempotent: deduping a dedup output changes nothing
         once = D.dedup_exact(documents)

@@ -219,3 +219,146 @@ class TestHtmlLinks:
             (1, "/y", "Y"),
             (3, "/only", "mixed "),  # inner tag ends the anchor capture
         }
+
+
+def _ref_adamic_adar(pairs, max_degree=None, min_common=1):
+    """Driver-side reference: exact AA over the undirected simple graph."""
+    import math
+    from collections import defaultdict
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nbrs = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    out = {}
+    nodes = sorted(nbrs)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (u, v) in und:
+                continue
+            common = [
+                w
+                for w in nbrs[u] & nbrs[v]
+                if max_degree is None or len(nbrs[w]) <= max_degree
+            ]
+            if len(common) >= min_common and common:
+                out[(u, v)] = (
+                    len(common),
+                    sum(1.0 / math.log(len(nbrs[w])) for w in common),
+                )
+    return out
+
+
+class TestAdamicAdar:
+    def test_square_plus_diagonal(self, spark):
+        """Square 1-2-3-4-1: the two non-edges (1,3) and (2,4) each have
+        two degree-2 common neighbors -> score 2/ln(2)."""
+        import math
+
+        e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+        got = {
+            (r.u, r.v): (r.n_common, r.score)
+            for r in GR.adamic_adar(e).collect()
+        }
+        assert set(got) == {(1, 3), (2, 4)}
+        for k in got:
+            assert got[k][0] == 2
+            assert got[k][1] == pytest.approx(2.0 / math.log(2), abs=1e-12)
+
+    def test_matches_reference(self, spark):
+        pairs = [(i, (i * 5 + 2) % 23) for i in range(23)] + [
+            (i, (i + 7) % 23) for i in range(23)
+        ] + [(0, i) for i in range(1, 9)]
+        pairs = [p for p in pairs if p[0] != p[1]]
+        e = _edges(spark, pairs)
+        got = {
+            (r.u, r.v): (r.n_common, r.score)
+            for r in GR.adamic_adar(e).collect()
+        }
+        ref = _ref_adamic_adar(pairs)
+        assert set(got) == set(ref)
+        for k, (nc, sc) in ref.items():
+            assert got[k][0] == nc, k
+            assert got[k][1] == pytest.approx(sc, abs=1e-10), k
+
+    def test_max_degree_drops_hub_witnesses(self, spark):
+        """A hub common neighbor above the cap stops witnessing pairs:
+        star 0-{1..5} plus edge 1-2. With cap 4 the hub (deg 5) is
+        excluded, so e.g. (3,4) loses its only witness."""
+        pairs = [(0, i) for i in range(1, 6)] + [(1, 2)]
+        e = _edges(spark, pairs)
+        got = {
+            (r.u, r.v): (r.n_common, r.score)
+            for r in GR.adamic_adar(e, max_degree=4).collect()
+        }
+        ref = _ref_adamic_adar(pairs, max_degree=4)
+        assert set(got) == set(ref)
+        assert (3, 4) not in got
+
+    def test_existing_edges_excluded_and_layout_invariant(self, spark):
+        pairs = [(i, (i + 1) % 12) for i in range(12)] + [(0, 6), (3, 9)]
+        e = _edges(spark, pairs)
+        got = GR.adamic_adar(e)
+        und = {tuple(sorted(p)) for p in pairs}
+        for r in got.collect():
+            assert (r.u, r.v) not in und
+        a = {(r.u, r.v): r.n_common for r in got.collect()}
+        b = {
+            (r.u, r.v): r.n_common
+            for r in GR.adamic_adar(e.repartition(5)).collect()
+        }
+        assert a == b
+
+
+def _ref_lpa(pairs, iterations):
+    from collections import defaultdict
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nbrs = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    labels = {v: v for v in nbrs}
+    for _ in range(iterations):
+        new = {}
+        for v in nbrs:
+            counts = defaultdict(int)
+            for w in nbrs[v]:
+                counts[labels[w]] += 1
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[v] = best[0]
+        labels = new
+    return labels
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        """Two 4-cliques joined by one bridge edge: each clique converges
+        to its own minimum label."""
+        c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+        pairs = c1 + c2 + [(3, 10)]
+        e = _edges(spark, pairs)
+        got = {r.node: r.label for r in GR.label_propagation(e, 4).collect()}
+        assert got == _ref_lpa(pairs, 4)
+        assert {got[v] for v in range(4)} == {0}
+        assert {got[v] for v in range(10, 14)} == {10}
+
+    def test_matches_reference_and_layout_invariant(self, spark):
+        pairs = [(i, (i * 3 + 1) % 19) for i in range(19)] + [
+            (i, (i + 4) % 19) for i in range(19)
+        ]
+        pairs = [p for p in pairs if p[0] != p[1]]
+        e = _edges(spark, pairs)
+        for it in (1, 3):
+            got = {
+                r.node: r.label
+                for r in GR.label_propagation(e, it).collect()
+            }
+            assert got == _ref_lpa(pairs, it), it
+        a = GR.label_propagation(e, 3).collect()
+        b = GR.label_propagation(e.repartition(7), 3).collect()
+        assert {(r.node, r.label) for r in a} == {
+            (r.node, r.label) for r in b
+        }
