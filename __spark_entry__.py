@@ -1007,6 +1007,16 @@ def lpa_communities_parts(spark, sf):
     return out.select(F.col("node").alias("part"), "label")
 
 
+def kcore_parts(spark, sf):
+    """3-round 3-core peel over the repeat co-purchase graph (fixed-round
+    variant so the unrolled SQL mirror replays it; the to-convergence
+    variant is pytest-gated against a reference implementation)."""
+    from kernel_memory_spark.operators import graph as GR
+
+    out = GR.k_core(_repeat_copurchase_edges(spark, sf), 3, iterations=3)
+    return out.select(F.col("node").alias("part"))
+
+
 def token_shards_docs(spark, sf):
     """Contiguous token-budget export shards: exclusive global running
     token sum (range-partitioned two-phase cumsum, no single-task window)
@@ -1245,6 +1255,41 @@ def link_graph_docs(spark, sf):
     )
 
 
+def host_graph_docs(spark, sf):
+    """Host-level link graph (the web-scale rollup of link_graph_docs):
+    deterministic pages with two absolute cross-host links (mixed-case
+    scheme/host + an explicit port) and one relative link, hrefs pulled
+    by html_links_expr, authorities normalized by url_host_expr, rolled
+    up to (src_host, dst_host, n_links) — relative links ('' host) must
+    drop out."""
+    from kernel_memory_spark.functions import html as HT
+
+    docs = load_table(spark, sf, "documents")
+    page = docs.withColumn(
+        "html",
+        F.concat(
+            F.lit('<p><a href="http://h'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('.Example.com/a">x</a> <a href="HTTPS://h'),
+            ((F.col("doc_id") + 3) % 7).cast("string"),
+            F.lit('.example.com:8443/b?q=1">y</a>'),
+            F.lit(' <a href="/doc/relative">z</a></p>'),
+        ),
+    ).withColumn(
+        "src_host",
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com")),
+    )
+    links = page.select(
+        "src_host", F.explode(HT.html_links_expr("html")).alias("l")
+    ).select("src_host", HT.url_host_expr(F.col("l.href")).alias("dst_host"))
+    return (
+        links.filter(F.col("dst_host") != "")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
 def lm_quality_docs(spark, sf):
     """Mean unigram log-probability per document (self-trained add-one
     model — the corpus-statistical quality signal)."""
@@ -1341,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_parts": khop_parts,
         "adamic_adar_parts": adamic_adar_parts,
         "lpa_communities_parts": lpa_communities_parts,
+        "kcore_parts": kcore_parts,
         "token_shards_docs": token_shards_docs,
         "temperature_mix_docs": temperature_mix_docs,
         "pmi_copurchase_edges": pmi_copurchase_edges,
@@ -1355,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_parts": ppr_parts,
         "pagerank_weighted_pmi": pagerank_weighted_pmi,
         "link_graph_docs": link_graph_docs,
+        "host_graph_docs": host_graph_docs,
         "lm_quality_docs": lm_quality_docs,
         "quantized_embeddings": quantized_embeddings,
         "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
@@ -2505,6 +2552,21 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                        ) AS rn FROM c3) WHERE rn = 1)
             SELECT node AS part, label FROM l3
         """,
+        "kcore_parts": _REPEAT_GRAPH_CTE
+        + """
+            , d1 AS (SELECT src AS node, COUNT(*) AS deg FROM adj GROUP BY src)
+            , n1 AS (SELECT node FROM d1 WHERE deg >= 3)
+            , a1 AS (SELECT e.src, e.dst FROM adj e
+                     JOIN n1 x ON x.node = e.src
+                     JOIN n1 y ON y.node = e.dst)
+            , d2 AS (SELECT src AS node, COUNT(*) AS deg FROM a1 GROUP BY src)
+            , n2 AS (SELECT node FROM d2 WHERE deg >= 3)
+            , a2 AS (SELECT e.src, e.dst FROM a1 e
+                     JOIN n2 x ON x.node = e.src
+                     JOIN n2 y ON y.node = e.dst)
+            , d3 AS (SELECT src AS node, COUNT(*) AS deg FROM a2 GROUP BY src)
+            SELECT node AS part FROM d3 WHERE deg >= 3
+        """,
         "khop_parts": _GRAPH_CTE
         + """
             , d0 AS (SELECT p_partkey AS node FROM part WHERE p_partkey <= 2)
@@ -2714,6 +2776,33 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
         """,
         "ppr_parts": _ppr_sql(3),
         "pagerank_weighted_pmi": _wpr_sql(3),
+        "host_graph_docs": r"""
+            WITH h AS (
+                SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                           AS src_host,
+                       '<p><a href="http://h'
+                       || CAST(doc_id % 7 AS VARCHAR)
+                       || '.Example.com/a">x</a> <a href="HTTPS://h'
+                       || CAST((doc_id + 3) % 7 AS VARCHAR)
+                       || '.example.com:8443/b?q=1">y</a>'
+                       || ' <a href="/doc/relative">z</a></p>' AS html
+                FROM documents),
+            links AS (
+                SELECT src_host,
+                       unnest(regexp_extract_all(html,
+                           '(?i)<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)', 1))
+                           AS href
+                FROM h),
+            hosts AS (
+                SELECT src_host,
+                       lower(regexp_extract(href,
+                           '^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//([^/?#]+)', 1))
+                           AS dst_host
+                FROM links)
+            SELECT src_host, dst_host, COUNT(*) AS n_links
+            FROM hosts WHERE dst_host <> ''
+            GROUP BY src_host, dst_host
+        """,
         "link_graph_docs": r"""
             WITH h AS (
                 SELECT doc_id,

@@ -107,3 +107,20 @@ def html_links_expr(col) -> Column:
         F.regexp_extract_all(c, F.lit(pat), 1).alias("href"),
         F.regexp_extract_all(c, F.lit(pat), 2).alias("anchor"),
     )
+
+
+def url_host_expr(col) -> Column:
+    """Lowercased URL authority (host[:port]) -> string column; '' for
+    relative/fragment/mailto-style URLs with no '//' authority part.
+
+    The web-scale KG normalization step between raw hrefs
+    (html_links_expr) and a host-level link graph: page-level edges are
+    too fine at 10^11 pages, host rollup is the standard first
+    aggregation (host-graph pagerank a la Common Crawl host ranks).
+    RFC 3986's authority = the segment after the first '//' up to the
+    next '/', '?' or '#'; the scheme prefix is optional so
+    protocol-relative '//host/x' URLs resolve too. Pure regexp_extract +
+    lower, identical in the DuckDB mirror."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = r"^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//([^/?#]+)"
+    return F.lower(F.regexp_extract(c, pat, 1))

@@ -86,16 +86,7 @@ def cooccur_counts(
     n_baskets): pair counts (src < dst), per-item basket counts, total
     basket count. All three are ADDITIVE across disjoint basket sets —
     the property the incremental index below exploits."""
-    items = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
-    if max_basket is not None:
-        sizes = items.groupBy("__b").agg(F.count("*").alias("__sz"))
-        items = (
-            items.join(sizes, "__b")
-            .filter(F.col("__sz") <= max_basket)
-            .drop("__sz")
-        )
+    items = _basket_items(df, basket_col, item_col, max_basket)
     n_baskets = items.select("__b").distinct().count()
     marg = items.groupBy(F.col("__i").alias("item")).agg(
         F.count("*").alias("n")
@@ -111,6 +102,27 @@ def cooccur_counts(
     return pairs, marg, n_baskets
 
 
+def _basket_items(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: Optional[int],
+) -> DataFrame:
+    """Distinct (basket, item) pairs with the mega-basket guard applied
+    -> columns (__b, __i)."""
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_basket is not None:
+        sizes = items.groupBy("__b").agg(F.count("*").alias("__sz"))
+        items = (
+            items.join(sizes, "__b")
+            .filter(F.col("__sz") <= max_basket)
+            .drop("__sz")
+        )
+    return items
+
+
 def upsert_cooccur_index(
     spark,
     catalog,
@@ -120,8 +132,9 @@ def upsert_cooccur_index(
     item_col: str,
     n_buckets: int = 16,
     max_basket: Optional[int] = None,
+    replace: bool = False,
 ) -> None:
-    """Incremental co-occurrence index maintenance: fold a batch of NEW
+    """Incremental co-occurrence index maintenance: fold a batch of
     baskets into persisted count tables without ever re-scanning the old
     corpus (the additive-aggregate analog of the ANN/FTS index upserts in
     similarity.py / search_text.py).
@@ -134,15 +147,50 @@ def upsert_cooccur_index(
     O(batch).
 
     Contract: baskets are ATOMIC per batch (a basket's items never split
-    across batches — true for document-granular ingestion) and never
-    re-delivered; a re-delivered basket double-counts (remove it first).
+    across batches — true for document-granular ingestion).
+
+    Re-delivery: with replace=False a re-delivered basket double-counts
+    (append-only contract). With replace=True the batch's baskets REPLACE
+    their previous contribution — prior items of exactly those baskets
+    are read back from the `{name}__baskets` sidecar (bucket-pruned on
+    basket id), their counts folded NEGATIVELY, then the new counts
+    folded; compute is O(batch + prior rows of re-delivered baskets),
+    I/O still O(touched buckets). Counts that reach zero persist as
+    tombstone rows invisible to pmi_from_index (min_pairs >= 1) until
+    the bucket's next compaction. The sidecar is maintained on every
+    upsert, so replace works regardless of how earlier batches were
+    flagged.
     """
-    pairs, marg, n_new = cooccur_counts(
-        batch, basket_col, item_col, max_basket
-    )
-    p_name, m_name, s_name = (
+    items_new = _basket_items(batch, basket_col, item_col, max_basket)
+    pairs, marg, n_new = cooccur_counts(items_new, "__b", "__i")
+    p_name, m_name, s_name, b_name = (
         f"{name}__pairs", f"{name}__marg", f"{name}__stats",
+        f"{name}__baskets",
     )
+
+    n_replaced = 0
+    if replace and catalog.exists(b_name):
+        batch_baskets = items_new.select("__b").distinct()
+        wanted = {
+            r["bk"]
+            for r in batch_baskets.select(
+                catalog._bucket_expr("__b", n_buckets).alias("bk")
+            )
+            .distinct()
+            .collect()
+        }
+        old_items = catalog.read_buckets(spark, b_name, wanted).join(
+            batch_baskets, "__b", "left_semi"
+        )
+        old_pairs, old_marg, n_replaced = cooccur_counts(
+            old_items, "__b", "__i"
+        )
+        pairs = pairs.unionByName(
+            old_pairs.select("src", "dst", (-F.col("n_pairs")).alias("n_pairs"))
+        )
+        marg = marg.unionByName(
+            old_marg.select("item", (-F.col("n")).alias("n"))
+        )
 
     def _fold(delta, tname, keys, bucket_key, sum_col):
         if catalog.exists(tname):
@@ -156,13 +204,8 @@ def upsert_cooccur_index(
             old = catalog.read_buckets(spark, tname, bucket_ids).select(
                 *keys, sum_col
             )
-            combined = (
-                delta.unionByName(old)
-                .groupBy(*keys)
-                .agg(F.sum(sum_col).alias(sum_col))
-            )
-        else:
-            combined = delta
+            delta = delta.unionByName(old)
+        combined = delta.groupBy(*keys).agg(F.sum(sum_col).alias(sum_col))
         catalog.merge_bucketed(
             spark, tname, combined, list(keys), bucket_key,
             n_buckets=n_buckets,
@@ -170,12 +213,16 @@ def upsert_cooccur_index(
 
     _fold(pairs, p_name, ["src", "dst"], "src", "n_pairs")
     _fold(marg, m_name, ["item"], "item", "n")
+    catalog.merge_bucketed(
+        spark, b_name, items_new, ["__b", "__i"], "__b",
+        n_buckets=n_buckets, anti_cols=["__b"],
+    )
     prev = 0
     if catalog.exists(s_name):
         prev = catalog.read(spark, s_name).collect()[0]["n_baskets"]
     catalog.overwrite(
         spark.createDataFrame(
-            [(int(prev) + int(n_new),)], "n_baskets long"
+            [(int(prev) + int(n_new) - int(n_replaced),)], "n_baskets long"
         ),
         s_name,
     )

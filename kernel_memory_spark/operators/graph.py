@@ -450,3 +450,55 @@ def label_propagation(
         if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iterations:
             labels = labels.localCheckpoint()
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    iterations: Optional[int] = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core membership -> (node,): the maximal subgraph in which every
+    node keeps degree >= k (Seidman 1983) — the KG densest-region filter
+    (drop the periphery before expensive per-node analytics).
+
+    Iterative peel: drop nodes with current degree < k, remove their
+    edges, repeat. The fixpoint is unique regardless of peel order, so
+    the output is deterministic. `iterations=None` runs to convergence
+    (monotone shrinking node set; the per-round count is the same scalar
+    convergence guard as connected_components'); an int runs EXACTLY that
+    many peels — the fixed-round variant an unrolled SQL mirror can
+    replay.
+
+    Per round: one degree aggregate + two semi-joins (both endpoints must
+    survive); the adjacency is localCheckpoint-ed so lineage stays O(1)
+    across rounds."""
+    und = (
+        edges.select(src, dst)
+        .filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+    )
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    n_prev = adj.select("a").distinct().count()
+    rounds = 0
+    while True:
+        deg = adj.groupBy("a").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("a").alias("node"))
+        rounds += 1
+        if iterations is not None and rounds >= iterations:
+            return keep
+        n_now = keep.count()
+        adj = (
+            adj.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+        if n_now == n_prev:
+            return keep
+        n_prev = n_now

@@ -412,3 +412,96 @@ class TestIncrementalCooccurIndex:
         assert {(r.src, r.dst, r.n_pairs) for r in pairs} == {("a", "b", 2)}
         stats = cat.read(spark, "cy__stats").collect()[0]
         assert stats.n_baskets == 2
+
+    def test_replace_redelivered_basket_matches_rebuild(
+        self, spark, tmp_catalog_root
+    ):
+        """Re-deliver basket 1 with a CHANGED item set under replace=True:
+        the index must converge to a full rebuild over the final corpus
+        (old contribution subtracted, new one added)."""
+        from kernel_memory_spark.operators import cooccur as CO
+        from kernel_memory_spark.sources.tables import TableCatalog
+
+        rows1 = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "c")]
+        rows1_v2 = [(1, "a"), (1, "d")]  # basket 1 shrinks and shifts
+        rows2 = [(3, "a"), (3, "b"), (4, "b"), (4, "d")]
+
+        cat = TableCatalog(tmp_catalog_root)
+        for batch, rep in (
+            (rows1, False),
+            (rows2, False),
+            (rows1_v2, True),
+        ):
+            CO.upsert_cooccur_index(
+                spark, cat, "cz",
+                spark.createDataFrame(batch, "b long, i string"),
+                "b", "i", n_buckets=4, replace=rep,
+            )
+        # final corpus: basket 1 replaced by v2, basket 2 (from batch 1)
+        # untouched, baskets 3-4 from batch 2
+        final = spark.createDataFrame(
+            rows1_v2 + [(2, "a"), (2, "c")] + rows2, "b long, i string"
+        )
+        inc = {
+            (r.src, r.dst): (r.n_pairs, r.pmi)
+            for r in CO.pmi_from_index(spark, cat, "cz").collect()
+        }
+        ref = {
+            (r.src, r.dst): (r.n_pairs, r.pmi)
+            for r in CO.pmi_edges(final, "b", "i").collect()
+        }
+        assert set(inc) == set(ref)
+        for k in ref:
+            assert inc[k][0] == ref[k][0], k
+            assert inc[k][1] == pytest.approx(ref[k][1], abs=1e-12), k
+        stats = cat.read(spark, "cz__stats").collect()[0]
+        assert stats.n_baskets == 4
+
+    def test_replace_identical_redelivery_is_idempotent(
+        self, spark, tmp_catalog_root
+    ):
+        from kernel_memory_spark.operators import cooccur as CO
+        from kernel_memory_spark.sources.tables import TableCatalog
+
+        rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+        cat = TableCatalog(tmp_catalog_root)
+        df = spark.createDataFrame(rows, "b long, i string")
+        CO.upsert_cooccur_index(spark, cat, "cw", df, "b", "i")
+        before = {
+            (r.src, r.dst, r.n_pairs, r.pmi)
+            for r in CO.pmi_from_index(spark, cat, "cw").collect()
+        }
+        # re-deliver the SAME batch twice with replace=True: no drift
+        for _ in range(2):
+            CO.upsert_cooccur_index(
+                spark, cat, "cw", df, "b", "i", replace=True
+            )
+        after = {
+            (r.src, r.dst, r.n_pairs, r.pmi)
+            for r in CO.pmi_from_index(spark, cat, "cw").collect()
+        }
+        assert after == before
+        assert cat.read(spark, "cw__stats").collect()[0].n_baskets == 2
+
+    def test_replace_tombstones_invisible(self, spark, tmp_catalog_root):
+        """A pair whose count drops to zero disappears from pmi_from_index
+        even though a tombstone row may remain in the counts table."""
+        from kernel_memory_spark.operators import cooccur as CO
+        from kernel_memory_spark.sources.tables import TableCatalog
+
+        cat = TableCatalog(tmp_catalog_root)
+        CO.upsert_cooccur_index(
+            spark, cat, "cv",
+            spark.createDataFrame([(1, "a"), (1, "b")], "b long, i string"),
+            "b", "i",
+        )
+        assert {(r.src, r.dst) for r in
+                CO.pmi_from_index(spark, cat, "cv").collect()} == {("a", "b")}
+        CO.upsert_cooccur_index(
+            spark, cat, "cv",
+            spark.createDataFrame([(1, "a")], "b long, i string"),
+            "b", "i", replace=True,
+        )
+        assert CO.pmi_from_index(spark, cat, "cv").count() == 0
+        pair_rows = cat.read(spark, "cv__pairs").collect()
+        assert all(r.n_pairs == 0 for r in pair_rows)

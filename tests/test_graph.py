@@ -362,3 +362,61 @@ class TestLabelPropagation:
         assert {(r.node, r.label) for r in a} == {
             (r.node, r.label) for r in b
         }
+
+
+def _ref_k_core(pairs, k, iterations=None):
+    from collections import defaultdict
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nbrs = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    alive = set(nbrs)
+    rounds = 0
+    while True:
+        keep = {v for v in alive if len(nbrs[v] & alive) >= k}
+        rounds += 1
+        if iterations is not None and rounds >= iterations:
+            return keep
+        if keep == alive:
+            return keep
+        alive = keep
+
+
+class TestKCore:
+    def test_cliques_survive_chain_peels(self, spark):
+        """Two 4-cliques joined by a path: the 3-core is exactly the
+        clique nodes — the path (and its clique attachment points'
+        path-edges) peels away over several cascading rounds."""
+        c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        c2 = [(a, b) for a in range(20, 24) for b in range(20, 24) if a < b]
+        path = [(3, 10), (10, 11), (11, 12), (12, 20)]
+        pairs = c1 + c2 + path
+        got = {r.node for r in GR.k_core(_edges(spark, pairs), 3).collect()}
+        assert got == set(range(4)) | set(range(20, 24))
+        assert got == _ref_k_core(pairs, 3)
+
+    def test_cascading_peel_path_graph(self, spark):
+        """A path fully dissolves under k=2, but only by cascading from
+        the endpoints inward — exercises multi-round convergence."""
+        pairs = [(i, i + 1) for i in range(9)]
+        assert GR.k_core(_edges(spark, pairs), 2).count() == 0
+        # a cycle is its own 2-core
+        cyc = pairs + [(9, 0)]
+        got = {r.node for r in GR.k_core(_edges(spark, cyc), 2).collect()}
+        assert got == set(range(10))
+
+    def test_fixed_rounds_match_reference(self, spark):
+        pairs = [(i, (i * 3 + 1) % 21) for i in range(21)] + [
+            (i, (i + 6) % 21) for i in range(21)
+        ] + [(0, i) for i in range(1, 7)]
+        pairs = [p for p in pairs if p[0] != p[1]]
+        e = _edges(spark, pairs)
+        for rounds in (1, 2, 3):
+            got = {
+                r.node for r in GR.k_core(e, 3, iterations=rounds).collect()
+            }
+            assert got == _ref_k_core(pairs, 3, iterations=rounds), rounds
+        full = {r.node for r in GR.k_core(e, 3).collect()}
+        assert full == _ref_k_core(pairs, 3)

@@ -56,3 +56,29 @@ class TestHtmlToTextExpr:
         )
         got = df.select(H.html_to_text_expr("html").alias("t")).first().t
         assert got == "AB"
+
+
+class TestUrlHost:
+    def test_authority_extraction(self, spark):
+        from kernel_memory_spark.functions import html as HT
+        from pyspark.sql import functions as F
+
+        cases = [
+            ("http://A.Example.com/x", "a.example.com"),
+            ("HTTPS://h2.Ex.com:8443/b?q=1", "h2.ex.com:8443"),
+            ("//proto.rel/x#frag", "proto.rel"),
+            ("ftp://files.site/dir", "files.site"),
+            ("/relative/p", ""),
+            ("mailto:a@b.c", ""),
+            ("doc.html?x=//nothost", ""),
+            ("", ""),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+        got = {
+            r.u: r.h
+            for r in df.select(
+                "u", HT.url_host_expr("u").alias("h")
+            ).collect()
+        }
+        for u, want in cases:
+            assert got[u] == want, u
