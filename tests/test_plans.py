@@ -58,6 +58,12 @@ PURE_JVM = [
     "lm_quality_docs",
     "quantized_embeddings",
     "boilerplate_ngrams_docs",
+    "adamic_adar_parts",
+    "lpa_communities_parts",
+    "kcore_parts",
+    "host_graph_docs",
+    "containment_docs",
+    "pmi_index_edges",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
