@@ -1007,6 +1007,37 @@ def lpa_communities_parts(spark, sf):
     return out.select(F.col("node").alias("part"), "label")
 
 
+def sssp_parts(spark, sf):
+    """Bounded-hop weighted shortest distances (3 Bellman-Ford rounds)
+    from parts 0..2 over the repeat co-purchase graph, edge cost
+    1/n_copurchases (stronger association = cheaper hop) — the weighted
+    sibling of khop_parts."""
+    from kernel_memory_spark.operators import cooccur as CO
+    from kernel_memory_spark.operators import graph as GR
+
+    l = load_table(spark, sf, "lineitem")
+    pairs, _, _ = CO.cooccur_counts(l, "l_orderkey", "l_partkey")
+    rep = pairs.filter(F.col("n_pairs") >= 2)
+    w_edges = rep.select(
+        "src", "dst", (F.lit(1.0) / F.col("n_pairs")).alias("w")
+    ).unionByName(
+        rep.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            (F.lit(1.0) / F.col("n_pairs")).alias("w"),
+        )
+    )
+    sources = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_partkey") <= 2)
+        .select("p_partkey")
+    )
+    out = GR.shortest_paths(w_edges, sources, 3, weight="w")
+    return out.select(
+        F.col("node").alias("part"), F.round("dist", 6).alias("dist")
+    )
+
+
 def kcore_parts(spark, sf):
     """3-round 3-core peel over the repeat co-purchase graph (fixed-round
     variant so the unrolled SQL mirror replays it; the to-convergence
@@ -1387,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar_parts": adamic_adar_parts,
         "lpa_communities_parts": lpa_communities_parts,
         "kcore_parts": kcore_parts,
+        "sssp_parts": sssp_parts,
         "token_shards_docs": token_shards_docs,
         "temperature_mix_docs": temperature_mix_docs,
         "pmi_copurchase_edges": pmi_copurchase_edges,
@@ -2551,6 +2583,36 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                          PARTITION BY node ORDER BY votes DESC, label ASC
                        ) AS rn FROM c3) WHERE rn = 1)
             SELECT node AS part, label FROM l3
+        """,
+        "sssp_parts": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                FROM lineitem),
+            wpairs AS (
+                SELECT a.i AS src, c.i AS dst, COUNT(*) AS n
+                FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+                GROUP BY a.i, c.i HAVING COUNT(*) >= 2),
+            wadj AS (
+                SELECT src, dst, 1.0 / n AS w FROM wpairs
+                UNION ALL SELECT dst, src, 1.0 / n FROM wpairs),
+            d0 AS (SELECT p_partkey AS node, CAST(0.0 AS DOUBLE) AS dist
+                   FROM part WHERE p_partkey <= 2),
+            c1 AS (SELECT e.dst AS node, MIN(d.dist + e.w) AS dist
+                   FROM wadj e JOIN d0 d ON d.node = e.src GROUP BY e.dst),
+            d1 AS (SELECT node, MIN(dist) AS dist FROM (
+                     SELECT * FROM d0 UNION ALL SELECT * FROM c1)
+                   GROUP BY node),
+            c2 AS (SELECT e.dst AS node, MIN(d.dist + e.w) AS dist
+                   FROM wadj e JOIN d1 d ON d.node = e.src GROUP BY e.dst),
+            d2 AS (SELECT node, MIN(dist) AS dist FROM (
+                     SELECT * FROM d1 UNION ALL SELECT * FROM c2)
+                   GROUP BY node),
+            c3 AS (SELECT e.dst AS node, MIN(d.dist + e.w) AS dist
+                   FROM wadj e JOIN d2 d ON d.node = e.src GROUP BY e.dst),
+            d3 AS (SELECT node, MIN(dist) AS dist FROM (
+                     SELECT * FROM d2 UNION ALL SELECT * FROM c3)
+                   GROUP BY node)
+            SELECT node AS part, round(dist, 6) AS dist FROM d3
         """,
         "kcore_parts": _REPEAT_GRAPH_CTE
         + """

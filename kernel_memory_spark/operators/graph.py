@@ -502,3 +502,76 @@ def k_core(
         if n_now == n_prev:
             return keep
         n_prev = n_now
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    iterations: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: Optional[str] = None,
+) -> DataFrame:
+    """Bounded-hop weighted shortest distances from a source set ->
+    (node, dist): Bellman-Ford limited to `iterations` relaxation rounds,
+    i.e. cheapest path using at most that many edges (k_hop's weighted
+    sibling; with weight=None every edge costs 1.0 and dist is float hop
+    count). Non-negative weights assumed (KG edge costs); negative-cycle
+    detection is out of scope by construction.
+
+    Per round: one shuffle-join (frontier distances x out-edges) + one
+    min-aggregate, then a min-merge with the standing distances — all
+    algebraic, map-side combined, hub fan-in collapses before the
+    shuffle. Only nodes whose distance IMPROVED survive into the next
+    frontier, so relaxation work decays like the real algorithm instead
+    of re-expanding the whole reached set every round; the frontier is
+    localCheckpoint-ed (O(1) lineage) and the per-round isEmpty guard
+    early-exits on convergence exactly like k_hop's."""
+    node_col = sources.columns[0]
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nxt"), w.alias("w")
+    )
+    dist = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0.0).alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(iterations):
+        cand = (
+            frontier.join(e, "node")
+            .select(
+                F.col("nxt").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.select("node", "dist")
+            .unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        # survivors of this round: nodes whose standing distance improved
+        # (strictly — float equality is exact here because both sides are
+        # the same sums in the same order only when equal-length paths
+        # tie, and a tie is not an improvement)
+        frontier = (
+            merged.join(
+                dist.select("node", F.col("dist").alias("__old")),
+                "node",
+                "left",
+            )
+            .filter(
+                F.col("__old").isNull() | (F.col("dist") < F.col("__old"))
+            )
+            .select("node", "dist")
+            .localCheckpoint()
+        )
+        dist = merged.localCheckpoint()
+        if frontier.isEmpty():
+            break
+    return dist

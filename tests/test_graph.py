@@ -420,3 +420,94 @@ class TestKCore:
             assert got == _ref_k_core(pairs, 3, iterations=rounds), rounds
         full = {r.node for r in GR.k_core(e, 3).collect()}
         assert full == _ref_k_core(pairs, 3)
+
+
+def _ref_sssp(pairs, sources, iterations, weights=None):
+    """Driver-side bounded Bellman-Ford (directed edges as given)."""
+    dist = {s: 0.0 for s in sources}
+    ws = weights or [1.0] * len(pairs)
+    for _ in range(iterations):
+        new = dict(dist)
+        for (u, v), w in zip(pairs, ws):
+            if u in dist and (v not in new or dist[u] + w < new[v]):
+                new[v] = min(new.get(v, float("inf")), dist[u] + w)
+        dist = new
+    return dist
+
+
+class TestShortestPaths:
+    def test_weighted_beats_hop_count(self, spark):
+        """Long cheap path vs short expensive edge: weighted dist must
+        take the cheap detour while k_hop would take the direct edge."""
+        rows = [
+            (1, 2, 10.0),
+            (1, 3, 1.0), (3, 4, 1.0), (4, 2, 1.0),
+        ]
+        e = spark.createDataFrame(rows, "src long, dst long, w double")
+        srcs = spark.createDataFrame([(1,)], "node long")
+        got = {
+            r.node: r.dist
+            for r in GR.shortest_paths(e, srcs, 5, weight="w").collect()
+        }
+        assert got[2] == pytest.approx(3.0)
+        assert got == {1: 0.0, 3: 1.0, 4: 2.0, 2: 3.0}
+
+    def test_hop_limit_semantics(self, spark):
+        """iterations bounds the number of edges a path may use."""
+        rows = [(1, 2, 5.0), (2, 3, 5.0), (1, 3, 100.0)]
+        e = spark.createDataFrame(rows, "src long, dst long, w double")
+        srcs = spark.createDataFrame([(1,)], "node long")
+        one = {
+            r.node: r.dist
+            for r in GR.shortest_paths(e, srcs, 1, weight="w").collect()
+        }
+        assert one[3] == pytest.approx(100.0)  # 2-edge path not yet usable
+        two = {
+            r.node: r.dist
+            for r in GR.shortest_paths(e, srcs, 2, weight="w").collect()
+        }
+        assert two[3] == pytest.approx(10.0)
+
+    def test_matches_reference_unweighted_and_weighted(self, spark):
+        pairs = [(i, (i * 3 + 1) % 17) for i in range(17)] + [
+            (i, (i + 5) % 17) for i in range(17)
+        ]
+        pairs = [p for p in pairs if p[0] != p[1]]
+        weights = [1.0 + ((a * 7 + b) % 5) for a, b in pairs]
+        e = spark.createDataFrame(
+            [(a, b, w) for (a, b), w in zip(pairs, weights)],
+            "src long, dst long, w double",
+        )
+        srcs = spark.createDataFrame([(0,), (9,)], "node long")
+        for it in (1, 3, 6):
+            got = {
+                r.node: r.dist
+                for r in GR.shortest_paths(
+                    e, srcs, it, weight="w"
+                ).collect()
+            }
+            ref = _ref_sssp(pairs, [0, 9], it, weights)
+            assert got.keys() == ref.keys(), it
+            for n in ref:
+                assert got[n] == pytest.approx(ref[n], abs=1e-12), (it, n)
+        # unweighted: every edge costs 1.0
+        got_u = {
+            r.node: r.dist
+            for r in GR.shortest_paths(e, srcs, 4).collect()
+        }
+        ref_u = _ref_sssp(pairs, [0, 9], 4)
+        assert got_u.keys() == ref_u.keys()
+        for n in ref_u:
+            assert got_u[n] == pytest.approx(ref_u[n], abs=1e-12)
+
+    def test_early_exit_on_convergence(self, spark):
+        rows = [(1, 2, 1.0), (2, 3, 1.0)]
+        e = spark.createDataFrame(rows, "src long, dst long, w double")
+        srcs = spark.createDataFrame([(1,)], "node long")
+        # far more iterations than the diameter: converges, exits, and
+        # the answer is stable
+        got = {
+            r.node: r.dist
+            for r in GR.shortest_paths(e, srcs, 50, weight="w").collect()
+        }
+        assert got == {1: 0.0, 2: 1.0, 3: 2.0}

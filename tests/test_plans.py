@@ -64,6 +64,7 @@ PURE_JVM = [
     "host_graph_docs",
     "containment_docs",
     "pmi_index_edges",
+    "sssp_parts",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
