@@ -135,6 +135,21 @@ def ingest_batch(
     extractions = tri.extract_all_df(parts).localCheckpoint()
     _merge_doc_scoped(catalog, spark, "extractions", extractions, nb)
 
+    if cfg.cooccur_index:
+        # fold this batch's co-mentions into the incremental PMI index:
+        # basket = document, item = normalized mention surface;
+        # replace=True keeps the index idempotent under doc re-delivery
+        # (the same contract as every doc-scoped merge above)
+        from kernel_memory_spark.operators import cooccur as co
+
+        co.upsert_cooccur_index(
+            spark, catalog, cfg.cooccur_index,
+            tri.mentions_from_extractions(extractions).select(
+                "doc_id", "norm"
+            ),
+            "doc_id", "norm", n_buckets=nb, replace=True,
+        )
+
     # raw tags here, not clean_tags: the batch pipeline derives tag triples
     # from the stored doc_tags table (pipeline.py triples step), quarantine
     # only strips user tags from RECORDS — keep the two paths identical

@@ -61,6 +61,13 @@ class PipelineConfig:
     # executor-core count (at real scale: thousands).
     records_buckets: int = 32
     steps: List[str] = field(default_factory=lambda: list(S.KG_STEPS))
+    # streaming only: when set, every micro-batch also folds its docs'
+    # normalized mentions into the named incremental co-occurrence index
+    # (operators/cooccur.upsert_cooccur_index, basket = doc, replace=True
+    # so re-delivered docs replace their prior contribution) — PMI
+    # co-mention edges become queryable from the persisted counts without
+    # any corpus re-scan (pmi_from_index).
+    cooccur_index: Optional[str] = None
 
 
 class Pipeline:

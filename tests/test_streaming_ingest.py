@@ -241,3 +241,46 @@ class TestIncrementalRefresh:
             (r.a, r.b) for r in scat.read(spark, "alias_edges").collect()
         }
         assert edges_v1 == edges_v2
+
+
+class TestStreamingCooccurIndex:
+    def test_index_parity_and_redelivery_idempotence(
+        self, spark, tmp_path, batches
+    ):
+        """With cfg.cooccur_index set, every micro-batch folds its docs'
+        co-mentions into the incremental PMI index; after two arrivals
+        plus a re-delivered first batch, pmi_from_index must equal a
+        one-shot pmi_edges over the stored extractions (replace=True
+        absorbs the re-delivery exactly like the doc-scoped merges)."""
+        from kernel_memory_spark.operators import cooccur as CO
+        from kernel_memory_spark.operators import triples as tri
+
+        full, first, second = batches
+        src = str(tmp_path / "incoming")
+        cat = TableCatalog(str(tmp_path / "cat"))
+        cfg = PipelineConfig(cooccur_index="comention")
+
+        for df, name in (
+            (first, "arrival1"),
+            (second, "arrival2"),
+            (first, "arrival1-redelivered"),
+        ):
+            drop_file(df, src, name)
+            si.stream_ingest(spark, cat, src, config=cfg).awaitTermination()
+
+        mentions = tri.mentions_from_extractions(
+            cat.read(spark, "extractions")
+        ).select("doc_id", "norm")
+        ref = {
+            (r.src, r.dst): (r.n_pairs, r.pmi)
+            for r in CO.pmi_edges(mentions, "doc_id", "norm").collect()
+        }
+        inc = {
+            (r.src, r.dst): (r.n_pairs, r.pmi)
+            for r in CO.pmi_from_index(spark, cat, "comention").collect()
+        }
+        assert set(inc) == set(ref)
+        for k in ref:
+            assert inc[k][0] == ref[k][0], k
+            assert inc[k][1] == pytest.approx(ref[k][1], abs=1e-12), k
+        assert len(ref) > 0
