@@ -998,6 +998,21 @@ def adamic_adar_parts(spark, sf):
     )
 
 
+def adamic_adar_capped(spark, sf):
+    """Adamic-Adar with the hub-witness degree cap engaged (max_degree=4;
+    graph degrees at this sf run 1-13, so the cap genuinely drops hubs):
+    pins the documented drop-the-hub approximation semantics cross-engine
+    — the oracle applies the identical `deg_w <= 4` filter on witnesses."""
+    from kernel_memory_spark.operators import graph as GR
+
+    out = GR.adamic_adar(
+        _repeat_copurchase_edges(spark, sf), max_degree=4
+    )
+    return out.select(
+        "u", "v", "n_common", F.round("score", 6).alias("score")
+    )
+
+
 def lpa_communities_parts(spark, sf):
     """Deterministic synchronous label-propagation communities (3 rounds,
     min-label tie-break) over the repeat co-purchase graph."""
@@ -1359,63 +1374,18 @@ def boilerplate_ngrams_docs(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER matters: the driver's correctness harness checks the first
+    # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
+    # driver-checked) + the two entries rotated out in r4 lead the dict;
+    # long-stable driver-green entries sit at the tail and rotate back into
+    # the window in round 6 so every entry earns a driver CORRECTNESS row.
     return {
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_revenue_by_nation": q5_revenue_by_nation,
-        "tag_filter_and_or": tag_filter_and_or,
-        "mongo_query_filter": mongo_query_filter,
-        "resume_anti_join": resume_anti_join,
-        "purge_keepset": purge_keepset,
-        "latest_event_per_user": latest_event_per_user,
-        "rerank_events": rerank_events,
-        "paginate_customers": paginate_customers,
-        "citations_for_matches": citations_for_matches,
-        "record_ids": record_ids,
-        "record_scaffold": record_scaffold,
-        "sha256_hashes": sha256_hashes,
-        "index_name_normalize": index_name_normalize,
-        "dedup_exact_docs": dedup_exact_docs,
-        "minhash_lsh_dedup": minhash_lsh_dedup,
-        "simhash_dup_pairs": simhash_dup_pairs,
-        "ngram_dup_pairs": ngram_dup_pairs,
-        "containment_docs": containment_docs,
-        "cosine_dup_pairs": cosine_dup_pairs,
-        "knn_topk": knn_topk,
-        "ann_recall": ann_recall,
-        "stopword_hits": stopword_hits,
-        "text_quality_counts": text_quality_counts,
-        "token_counts": token_counts,
-        "fingerprints": fingerprints,
-        "media_span_stats": media_span_stats,
-        "lineage_triples_docs": lineage_triples_docs,
-        "events_hourly": events_hourly,
-        "top3_orders_per_customer": top3_orders_per_customer,
-        "union_distinct_customers": union_distinct_customers,
-        "connected_components_star": connected_components_star,
-        "salted_supplier_counts": salted_supplier_counts,
-        "bm25_topk_docs": bm25_topk_docs,
-        "search_end_to_end": search_end_to_end,
-        "ask_prompt_facts": ask_prompt_facts,
-        "search_snippets": search_snippets,
-        "hybrid_search_topk": hybrid_search_topk,
-        "sessionized_events": sessionized_events,
-        "html_decode_docs": html_decode_docs,
-        "pii_scrub_docs": pii_scrub_docs,
-        "decontam_overlap": decontam_overlap,
-        "repetition_docs": repetition_docs,
-        "asof_purchase_attribution": asof_purchase_attribution,
-        "range_join_clicks": range_join_clicks,
-        "time_rollup_events": time_rollup_events,
-        "stratified_sample_docs": stratified_sample_docs,
-        "fts_index_topk": fts_index_topk,
-        "fts_upsert_topk": fts_upsert_topk,
-        "facts_token_budget": facts_token_budget,
-        "summarize_docs": summarize_docs,
+        # --- round-4 wave: first driver exposure (positions 1-28) ---
         "pagerank_copurchase": pagerank_copurchase,
         "triangle_counts_parts": triangle_counts_parts,
         "khop_parts": khop_parts,
         "adamic_adar_parts": adamic_adar_parts,
+        "adamic_adar_capped": adamic_adar_capped,
         "lpa_communities_parts": lpa_communities_parts,
         "kcore_parts": kcore_parts,
         "sssp_parts": sssp_parts,
@@ -1437,7 +1407,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_docs": lm_quality_docs,
         "quantized_embeddings": quantized_embeddings,
         "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
+        "facts_token_budget": facts_token_budget,
+        "summarize_docs": summarize_docs,
         "kg_triples_sf": kg_triples_sf,  # rows-only (pandas-UDF chunker)
+        # --- recent search/dedup family (driver-green r4, kept in-window) ---
+        "minhash_lsh_dedup": minhash_lsh_dedup,
+        "simhash_dup_pairs": simhash_dup_pairs,
+        "ngram_dup_pairs": ngram_dup_pairs,
+        "containment_docs": containment_docs,
+        "cosine_dup_pairs": cosine_dup_pairs,
+        "knn_topk": knn_topk,
+        "ann_recall": ann_recall,
+        "bm25_topk_docs": bm25_topk_docs,
+        "fts_index_topk": fts_index_topk,
+        "fts_upsert_topk": fts_upsert_topk,
+        "search_end_to_end": search_end_to_end,
+        "hybrid_search_topk": hybrid_search_topk,
+        "ask_prompt_facts": ask_prompt_facts,
+        "search_snippets": search_snippets,
+        "stratified_sample_docs": stratified_sample_docs,
+        "pii_scrub_docs": pii_scrub_docs,
+        "decontam_overlap": decontam_overlap,
+        "repetition_docs": repetition_docs,
+        "html_decode_docs": html_decode_docs,
+        "sessionized_events": sessionized_events,
+        "asof_purchase_attribution": asof_purchase_attribution,
+        "range_join_clicks": range_join_clicks,
+        # --- tail: long-stable driver-green entries (rotate back in r6) ---
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_revenue_by_nation": q5_revenue_by_nation,
+        "tag_filter_and_or": tag_filter_and_or,
+        "mongo_query_filter": mongo_query_filter,
+        "resume_anti_join": resume_anti_join,
+        "purge_keepset": purge_keepset,
+        "latest_event_per_user": latest_event_per_user,
+        "rerank_events": rerank_events,
+        "paginate_customers": paginate_customers,
+        "citations_for_matches": citations_for_matches,
+        "record_ids": record_ids,
+        "record_scaffold": record_scaffold,
+        "sha256_hashes": sha256_hashes,
+        "index_name_normalize": index_name_normalize,
+        "dedup_exact_docs": dedup_exact_docs,
+        "stopword_hits": stopword_hits,
+        "text_quality_counts": text_quality_counts,
+        "token_counts": token_counts,
+        "fingerprints": fingerprints,
+        "media_span_stats": media_span_stats,
+        "lineage_triples_docs": lineage_triples_docs,
+        "events_hourly": events_hourly,
+        "top3_orders_per_customer": top3_orders_per_customer,
+        "union_distinct_customers": union_distinct_customers,
+        "connected_components_star": connected_components_star,
+        "salted_supplier_counts": salted_supplier_counts,
+        "time_rollup_events": time_rollup_events,
     }
 
 
@@ -2546,6 +2570,22 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
         "adamic_adar_parts": _REPEAT_GRAPH_CTE
         + """
             , deg AS (SELECT src AS w, COUNT(*) AS deg_w FROM adj GROUP BY src)
+            , thru AS (SELECT a.src AS w, a.dst AS u, d.deg_w
+                       FROM adj a JOIN deg d ON d.w = a.src)
+            , pairs AS (
+                SELECT l.u AS u, r.u AS v, COUNT(*) AS n_common,
+                       SUM(1.0 / ln(CAST(l.deg_w AS DOUBLE))) AS score
+                FROM thru l JOIN thru r ON l.w = r.w AND l.u < r.u
+                GROUP BY l.u, r.u)
+            SELECT p.u, p.v, p.n_common, round(p.score, 6) AS score
+            FROM pairs p
+            WHERE NOT EXISTS (SELECT 1 FROM und e
+                              WHERE e.src = p.u AND e.dst = p.v)
+        """,
+        "adamic_adar_capped": _REPEAT_GRAPH_CTE
+        + """
+            , deg AS (SELECT src AS w, COUNT(*) AS deg_w FROM adj
+                      GROUP BY src HAVING COUNT(*) <= 4)
             , thru AS (SELECT a.src AS w, a.dst AS u, d.deg_w
                        FROM adj a JOIN deg d ON d.w = a.src)
             , pairs AS (

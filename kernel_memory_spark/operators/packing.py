@@ -100,17 +100,83 @@ def shard_by_budget(
     ).drop("cum_before")
 
 
+class _FirstFitBins:
+    """Leftmost bin whose remaining capacity fits the item, in O(log b)
+    per item via a max-capacity segment tree descended left-first.
+
+    Placement is IDENTICAL to a linear first-fit scan over bins in
+    creation order (the classic FFD inner loop): the tree's leftmost
+    descent finds the lowest-indexed leaf with capacity >= tok, which is
+    exactly the bin the linear scan would pick. Leaves past the last real
+    bin hold capacity 0 and can only be selected for tok == 0, where bin 0
+    (capacity >= 0 always) wins the descent first — same as the scan."""
+
+    __slots__ = ("budget", "cap", "tree", "size")
+
+    def __init__(self, budget: int):
+        self.budget = budget
+        self.size = 1
+        self.tree = [0, 0]  # 1-indexed max-tree; leaves at [size, 2*size)
+        self.cap: list[int] = []  # remaining capacity per bin, index = bin
+
+    def _set_leaf(self, b: int, value: int) -> None:
+        i = self.size + b
+        self.tree[i] = value
+        i //= 2
+        while i:
+            self.tree[i] = max(self.tree[2 * i], self.tree[2 * i + 1])
+            i //= 2
+
+    def _grow(self) -> None:
+        old = self.size
+        self.size = old * 2
+        tree = [0] * (2 * self.size)
+        tree[self.size : self.size + old] = self.tree[old : 2 * old]
+        for i in range(self.size - 1, 0, -1):
+            tree[i] = max(tree[2 * i], tree[2 * i + 1])
+        self.tree = tree
+
+    def place(self, tok: int) -> int:
+        """Place an item of `tok` tokens; returns the 0-based bin index."""
+        if self.cap and self.tree[1] >= tok:
+            i = 1
+            while i < self.size:
+                i *= 2
+                if self.tree[i] < tok:
+                    i += 1
+            b = i - self.size
+        else:
+            b = len(self.cap)
+            if b >= self.size:
+                self._grow()
+            self.cap.append(self.budget)
+        self.cap[b] -= tok
+        self._set_leaf(b, self.cap[b])
+        return b
+
+
 def pack_first_fit(
     df: DataFrame,
     id_col: str,
     token_col: str,
     budget: int,
-    n_groups: int = 1024,
+    n_groups: Optional[int] = None,
+    docs_per_group: int = 100_000,
 ) -> DataFrame:
     """First-fit-decreasing bin packing -> (pack_id, <id_col>, <token_col>,
     oversize). pack_id = '<group>:<bin>'; group = crc32(id) % n_groups, so
     membership and results are layout-independent. Oversize documents
-    (tokens > budget) become singleton packs with oversize=true."""
+    (tokens > budget) become singleton packs with oversize=true.
+
+    Scale notes: `n_groups=None` sizes the group count from the data
+    (ceil(n / docs_per_group), floor 32) so a 10^10-doc corpus gets 10^5
+    groups of ~100k docs instead of 10^7-doc groups under a fixed
+    constant; the within-group inner loop uses a leftmost-fit segment
+    tree (O(n log b) per group, bit-identical placement to the linear
+    first-fit scan — see TestFirstFitPacking property test)."""
+    if n_groups is None:
+        n_rows = df.select(id_col).count()
+        n_groups = max(32, -(-n_rows // docs_per_group))
     schema = (
         f"pack_id string, {id_col} string, {token_col} long, "
         "oversize boolean"
@@ -123,7 +189,7 @@ def pack_first_fit(
             return pd.DataFrame(columns=cols)
         group = int(pdf["__grp"].iloc[0])
         pdf = pdf.sort_values([token_col, id_col], ascending=[False, True])
-        bins: list[int] = []  # remaining capacity per bin
+        bins = _FirstFitBins(budget)
         out_rows = []
         for _id, tok in zip(pdf[id_col], pdf[token_col]):
             tok = int(tok)
@@ -132,15 +198,7 @@ def pack_first_fit(
                     (f"{group}:oversize-{_id}", str(_id), tok, True)
                 )
                 continue
-            placed = None
-            for bi, cap in enumerate(bins):
-                if cap >= tok:
-                    placed = bi
-                    break
-            if placed is None:
-                bins.append(budget)
-                placed = len(bins) - 1
-            bins[placed] -= tok
+            placed = bins.place(tok)
             out_rows.append((f"{group}:{placed}", str(_id), tok, False))
         return pd.DataFrame(out_rows, columns=cols)
 

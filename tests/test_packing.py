@@ -106,6 +106,77 @@ class TestFirstFitPacking:
         )
         assert a == b
 
+    def test_tree_placement_identical_to_linear_scan(self):
+        """The O(log b) leftmost-fit segment tree places every item in
+        exactly the bin a linear first-fit scan would pick — the r5
+        speedup must not change packing output."""
+        import random
+
+        rng = random.Random(20260817)
+        for trial in range(40):
+            budget = rng.choice([16, 100, 1000])
+            toks = [rng.randint(0, budget) for _ in range(rng.randint(1, 400))]
+            toks.sort(reverse=True)  # FFD order, as the operator sorts
+            tree = PK._FirstFitBins(budget)
+            caps = []  # reference: linear scan over remaining capacities
+            for t in toks:
+                ref = next(
+                    (i for i, c in enumerate(caps) if c >= t), None
+                )
+                if ref is None:
+                    caps.append(budget)
+                    ref = len(caps) - 1
+                caps[ref] -= t
+                got = tree.place(t)
+                assert got == ref, (trial, t, caps)
+            assert caps == tree.cap
+
+    def test_spark_output_matches_driver_reference(self, spark):
+        """End-to-end: pack_first_fit output equals a driver-side linear
+        first-fit reference with the same grouping + FFD order."""
+        import zlib
+
+        toks = [(i * 31 + 9) % 130 + 1 for i in range(300)]
+        budget, n_groups = 100, 4
+        out = {
+            (r.pack_id, r.doc_id)
+            for r in PK.pack_first_fit(
+                _docs(spark, toks), "doc_id", "n_tokens", budget, n_groups
+            ).collect()
+        }
+        groups = {}
+        for i, t in enumerate(toks):
+            g = zlib.crc32(str(i).encode()) % n_groups
+            groups.setdefault(g, []).append((t, str(i)))
+        expect = set()
+        for g, items in groups.items():
+            items.sort(key=lambda x: (-x[0], x[1]))
+            caps = []
+            for t, _id in items:
+                if t > budget:
+                    expect.add((f"{g}:oversize-{_id}", _id))
+                    continue
+                b = next((i for i, c in enumerate(caps) if c >= t), None)
+                if b is None:
+                    caps.append(budget)
+                    b = len(caps) - 1
+                caps[b] -= t
+                expect.add((f"{g}:{b}", _id))
+        assert out == expect
+
+    def test_auto_group_sizing(self, spark):
+        """n_groups=None sizes groups from the data: small input -> floor
+        of 32 groups; docs_per_group honored."""
+        df = _docs(spark, [10] * 50)
+        out = PK.pack_first_fit(df, "doc_id", "n_tokens", 100)
+        assert out.count() == 50  # every doc packed once
+        df2 = _docs(spark, [10] * 64)
+        out2 = PK.pack_first_fit(
+            df2, "doc_id", "n_tokens", 100, docs_per_group=2
+        )
+        n_grp = len({r.pack_id.split(":")[0] for r in out2.collect()})
+        assert n_grp > 8  # 64/2 = 32 target groups, most non-empty
+
     def test_ffd_is_reasonably_tight(self, spark):
         """120 docs of 50 tokens, budget 100 -> FFD within one group packs
         pairs: exactly 60 packs, zero waste."""

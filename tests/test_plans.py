@@ -59,6 +59,7 @@ PURE_JVM = [
     "quantized_embeddings",
     "boilerplate_ngrams_docs",
     "adamic_adar_parts",
+    "adamic_adar_capped",
     "lpa_communities_parts",
     "kcore_parts",
     "host_graph_docs",
