@@ -425,6 +425,41 @@ def ann_recall(spark, sf):
     return SIM.lsh_recall_report(emb, dim=64, n_planes=6, k=10, n_queries=10)
 
 
+def ann_quantized_topk(spark, sf):
+    """Quantized ANN end-to-end: persisted LSH index storing int8
+    (q, scale) instead of float vectors (4x smaller at rest, 4x less
+    probe shuffle), multiprobe query dequantizing ONLY the probed
+    buckets' candidates, exact cosine rank on the reconstruction. The
+    oracle replays the identical md5 +/-1 hyperplanes, the bit-exact
+    int8 quantization, and the q*scale reconstruction in SQL, so a hash
+    match pins the full store-quantized/search-dequantized composition
+    (SqliteVectorIndex search semantics at 1/4 the bytes)."""
+    import tempfile
+
+    from kernel_memory_spark.operators import similarity as SIM
+    from kernel_memory_spark.sources.tables import TableCatalog
+
+    emb = load_table(spark, sf, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding").first()[0]
+    ]
+    cat = TableCatalog(tempfile.mkdtemp(prefix="kms_annq_"))
+    SIM.build_lsh_index(
+        spark, cat, emb.filter(F.col("vec_id") != 0),
+        dim=64, n_planes=6, quantize=True,
+    )
+    out = SIM.query_lsh_index(
+        spark, cat, qv, dim=64, k=1 << 20, n_planes=6, probe_radius=1,
+    )
+    return (
+        out.select("vec_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 def stopword_hits(spark, sf):
     docs = load_table(spark, sf, "documents")
     sw = F.array(*[F.lit(w) for w in STOPSET])
@@ -1053,6 +1088,37 @@ def sssp_parts(spark, sf):
     )
 
 
+def hits_parts(spark, sf):
+    """HITS hubs/authorities (Kleinberg 1999), 3 iterations, over the
+    DIRECTED small-id -> large-id orientation of the co-purchase graph —
+    the second classic KG importance ranking next to PageRank; the
+    L2-normalized half-steps are mirrored exactly by the unrolled oracle
+    CTE chain."""
+    from kernel_memory_spark.operators import graph as GR
+
+    out = GR.hits(_copurchase_edges(spark, sf), iterations=3)
+    return out.select(
+        F.col("node").alias("part"),
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def clustering_coeff_parts(spark, sf):
+    """Local clustering coefficient per node (Watts-Strogatz) over the
+    co-purchase graph: 2T/(deg·(deg−1)) from the degree-ordered triangle
+    counts — separates tight entity clusters from hub spokes."""
+    from kernel_memory_spark.operators import graph as GR
+
+    out = GR.clustering_coefficient(_copurchase_edges(spark, sf))
+    return out.select(
+        F.col("node").alias("part"),
+        "deg",
+        "n_triangles",
+        F.round("lcc", 6).alias("lcc"),
+    )
+
+
 def kcore_parts(spark, sf):
     """3-round 3-core peel over the repeat co-purchase graph (fixed-round
     variant so the unrolled SQL mirror replays it; the to-convergence
@@ -1389,6 +1455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities_parts": lpa_communities_parts,
         "kcore_parts": kcore_parts,
         "sssp_parts": sssp_parts,
+        "hits_parts": hits_parts,
+        "clustering_coeff_parts": clustering_coeff_parts,
         "token_shards_docs": token_shards_docs,
         "temperature_mix_docs": temperature_mix_docs,
         "pmi_copurchase_edges": pmi_copurchase_edges,
@@ -1418,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs": cosine_dup_pairs,
         "knn_topk": knn_topk,
         "ann_recall": ann_recall,
+        "ann_quantized_topk": ann_quantized_topk,
         "bm25_topk_docs": bm25_topk_docs,
         "fts_index_topk": fts_index_topk,
         "fts_upsert_topk": fts_upsert_topk,
@@ -1514,6 +1583,43 @@ def _pagerank_sql(iterations: int = 3) -> str:
         )
     parts.append(
         f"SELECT node AS part, ROUND(rank, 6) AS rank FROM r{iterations}"
+    )
+    return "\n".join(parts)
+
+
+def _hits_sql(iterations: int = 3) -> str:
+    """Unrolled fixed-iteration HITS mirroring operators/graph.hits: the
+    directed edge set is the small-id -> large-id orientation (`und`),
+    h0 ≡ 1, and each half-step L2-normalizes via a scalar subquery —
+    the same aggregate Spark broadcasts back."""
+    parts = [
+        _GRAPH_CTE.rstrip(),
+        ", nodes AS (SELECT DISTINCT src AS node FROM adj)",
+        ", h0 AS (SELECT node, 1.0::DOUBLE AS s FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f""", a{i}f AS (
+  SELECT n.node, COALESCE(r.s, 0.0::DOUBLE) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(h.s) AS s
+    FROM und e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst) r
+  ON n.node = r.node)
+, a{i} AS (SELECT node,
+                  raw / (SELECT sqrt(SUM(raw * raw)) FROM a{i}f) AS s
+           FROM a{i}f)
+, h{i}f AS (
+  SELECT n.node, COALESCE(r.s, 0.0::DOUBLE) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, SUM(a.s) AS s
+    FROM und e JOIN a{i} a ON a.node = e.dst GROUP BY e.src) r
+  ON n.node = r.node)
+, h{i} AS (SELECT node,
+                  raw / (SELECT sqrt(SUM(raw * raw)) FROM h{i}f) AS s
+           FROM h{i}f)""")
+    parts.append(
+        f"""SELECT h.node AS part, round(h.s, 6) AS hub,
+       round(a.s, 6) AS authority
+FROM h{iterations} h JOIN a{iterations} a ON a.node = h.node"""
     )
     return "\n".join(parts)
 
@@ -2091,6 +2197,53 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
             FROM exact e JOIN approx a ON e.qid = a.qid AND e.vec_id = a.vec_id
             GROUP BY e.qid ORDER BY query_id
         """,
+        "ann_quantized_topk": """
+            WITH planes AS (
+                SELECT i, j,
+                       CASE WHEN (strpos('0123456789abcdef',
+                                  substr(md5('plane|' || i || '|' || j), 1, 1))
+                                  - 1) % 2 = 1
+                            THEN 1 ELSE -1 END AS w
+                FROM (SELECT unnest(range(6)) AS i),
+                     (SELECT unnest(range(64)) AS j)),
+            ex AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                          generate_subscripts(embedding, 1) - 1 AS j
+                   FROM embeddings),
+            dots AS (SELECT vec_id, i, sum(x * w) AS d
+                     FROM ex JOIN planes USING (j) GROUP BY vec_id, i),
+            buckets AS (SELECT vec_id,
+                               sum(CASE WHEN d > 0 THEN (1 << i) ELSE 0 END)
+                                   AS bucket
+                        FROM dots GROUP BY vec_id),
+            probes AS (
+                SELECT bucket FROM buckets WHERE vec_id = 0
+                UNION
+                SELECT xor(b.bucket, 1 << i)
+                FROM buckets b, (SELECT unnest(range(6)) AS i)
+                WHERE b.vec_id = 0),
+            deq AS (
+                SELECT e.vec_id,
+                       generate_subscripts(e.embedding, 1) AS k,
+                       CAST(round(unnest(e.embedding)::DOUBLE
+                            / (CAST(list_max(list_transform(e.embedding,
+                                                            x -> abs(x)))
+                                    AS DOUBLE) / 127.0)) AS INT)::DOUBLE
+                       * (CAST(list_max(list_transform(e.embedding,
+                                                       x -> abs(x)))
+                               AS DOUBLE) / 127.0) AS v
+                FROM embeddings e JOIN buckets b USING (vec_id)
+                WHERE e.vec_id <> 0
+                  AND b.bucket IN (SELECT bucket FROM probes)),
+            q0 AS (SELECT unnest(embedding)::DOUBLE AS xq,
+                          generate_subscripts(embedding, 1) AS k
+                   FROM embeddings WHERE vec_id = 0)
+            SELECT d.vec_id,
+                   round(sum(d.v * q0.xq)
+                         / (sqrt(sum(d.v * d.v)) * sqrt(sum(q0.xq * q0.xq))),
+                         4) AS score
+            FROM deq d JOIN q0 USING (k) GROUP BY d.vec_id
+            ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
         "fts_index_topk": """
             WITH toks AS (
                 SELECT doc_id AS doc,
@@ -2566,6 +2719,38 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                 UNION ALL SELECT v FROM tris
                 UNION ALL SELECT w FROM tris)
             SELECT part, COUNT(*) AS n_triangles FROM corners GROUP BY part
+        """,
+        "hits_parts": _hits_sql(3),
+        "clustering_coeff_parts": _GRAPH_CTE
+        + """
+            , deg AS (SELECT src AS node, COUNT(*) AS deg FROM adj GROUP BY src)
+            , oriented AS (
+                SELECT e.src AS u, e.dst AS v FROM adj e
+                JOIN deg da ON da.node = e.src
+                JOIN deg db ON db.node = e.dst
+                WHERE (da.deg < db.deg)
+                   OR (da.deg = db.deg AND e.src < e.dst))
+            , wedges AS (
+                SELECT e1.u AS u, e1.v AS v, e2.v AS w
+                FROM oriented e1 JOIN oriented e2
+                  ON e1.u = e2.u AND e1.v < e2.v)
+            , tris AS (
+                SELECT wg.u, wg.v, wg.w FROM wedges wg
+                WHERE EXISTS (SELECT 1 FROM und c
+                              WHERE c.src = wg.v AND c.dst = wg.w))
+            , corners AS (
+                SELECT u AS node FROM tris
+                UNION ALL SELECT v FROM tris
+                UNION ALL SELECT w FROM tris)
+            , tcount AS (SELECT node, COUNT(*) AS n_triangles
+                         FROM corners GROUP BY node)
+            SELECT d.node AS part, d.deg,
+                   COALESCE(t.n_triangles, 0) AS n_triangles,
+                   round(CASE WHEN d.deg >= 2
+                         THEN 2.0 * COALESCE(t.n_triangles, 0)
+                              / (d.deg * (d.deg - 1.0))
+                         ELSE 0.0 END, 6) AS lcc
+            FROM deg d LEFT JOIN tcount t ON t.node = d.node
         """,
         "adamic_adar_parts": _REPEAT_GRAPH_CTE
         + """

@@ -228,6 +228,31 @@ def upsert_cooccur_index(
     )
 
 
+def compact_cooccur_index(
+    spark, catalog, name: str, threshold: int = 8
+) -> list:
+    """Small-file + tombstone maintenance for the incremental index: each
+    upsert leaves <=2 manifest entries per touched bucket, and replace-mode
+    folds leave zero-count tombstone rows. Once a component table has
+    absorbed more than `threshold` merges since its last compaction (or
+    piled up appended entries past the same bound), run a MAJOR fold —
+    every bucket to one file, net-zero rows dropped while rewriting (safe:
+    a zero row contributes nothing to any later fold's sum, and
+    pmi_from_index never sees it anyway). The major pass is O(table) per
+    trigger, amortized over `threshold` upserts; the baskets sidecar only
+    needs the cheap multi-entry fold. Returns the tables compacted."""
+    done = []
+    for tname, zero_filter, fold_to in (
+        (f"{name}__pairs", F.col("n_pairs") != 0, 0),
+        (f"{name}__marg", F.col("n") != 0, 0),
+        (f"{name}__baskets", None, 1),
+    ):
+        if catalog.auto_compact(spark, tname, threshold, zero_filter,
+                                max_entries_per_bucket=fold_to):
+            done.append(tname)
+    return done
+
+
 def pmi_from_index(
     spark, catalog, name: str, min_pairs: int = 1
 ) -> DataFrame:

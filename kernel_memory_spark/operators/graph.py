@@ -184,6 +184,132 @@ def triangles_per_node(
     )
 
 
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node -> (node, deg, n_triangles,
+    lcc) over every node of the undirected graph: lcc(v) = 2·T(v) /
+    (deg(v)·(deg(v)−1)), 0.0 where deg < 2 (Watts & Strogatz 1998 — the
+    KG cohesion signal that separates tight entity clusters from hub
+    spokes).
+
+    Cost = triangles_per_node (degree-ordered wedge join, the
+    sum(min_deg^2) bound) + one degree aggregate + one left join keyed on
+    |V| — nothing here touches a quadratic relation, so the operator
+    scales exactly as triangle counting does."""
+    und = (
+        edges.select(src, dst)
+        .filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+    )
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    tri = triangles_per_node(und, src="a", dst="b")
+    out = deg.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            2.0
+            * F.coalesce("n_triangles", F.lit(0))
+            / (F.col("deg") * (F.col("deg") - F.lit(1.0))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+    return out
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over a DIRECTED graph ->
+    (node, hub, authority), L2-normalized each half-step.
+
+    a_t(v) = Σ_{(u,v)∈E} h_{t-1}(u), then a_t /= ‖a_t‖₂;
+    h_t(u) = Σ_{(u,v)∈E} a_t(v),   then h_t /= ‖h_t‖₂; h_0 ≡ 1.
+    Self-loops dropped, duplicate edges collapsed (unweighted).
+
+    Scale shape mirrors pagerank: the edge relation is cached once; each
+    half-step is ONE shuffle-join (scores ⋈ edges) + ONE map-combined
+    hash aggregate. Because the iteration is LINEAR, the per-step L2
+    normalization is deferred — a normalization scalar embedded per step
+    would copy the whole lineage into a nested broadcast subtree each
+    half-step and the plan would double per step. Instead the raw sums
+    iterate, a rescale lands on the localCheckpoint boundary (where the
+    frame is materialized anyway, keeping magnitudes ~1 so 10^7-degree
+    hubs can't overflow double range between checkpoints), and the final
+    vectors are unit-normalized once — the identical unit vectors, since
+    scalar factors commute through the iteration. Deterministic up to
+    float sum order — compare rounded (the oracle rounds to 6)."""
+    e = (
+        edges.select(src, dst)
+        .filter(F.col(src) != F.col(dst))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+        .cache()
+    )
+
+    def _half_step(scores: DataFrame, edge_from: str,
+                   edge_to: str) -> DataFrame:
+        """raw(x) = Σ over edges (from→to) of scores(other end)."""
+        raw = (
+            e.join(
+                scores.select(
+                    F.col("node").alias(edge_from), F.col("s").alias("s")
+                ),
+                edge_from,
+            )
+            .groupBy(F.col(edge_to).alias("node"))
+            .agg(F.sum("s").alias("s"))
+        )
+        return nodes.join(raw, "node", "left").select(
+            "node", F.coalesce("s", F.lit(0.0)).alias("s")
+        )
+
+    def _l2_normalize(scores: DataFrame) -> DataFrame:
+        norm = scores.agg(
+            F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n2")
+        )
+        return scores.crossJoin(F.broadcast(norm)).select(
+            "node", (F.col("s") / F.col("n2")).alias("s")
+        )
+
+    hub = nodes.select("node", F.lit(1.0).alias("s"))
+    auth = None
+    for i in range(iterations):
+        auth = _half_step(hub, src, dst)
+        hub = _half_step(auth, dst, src)
+        if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iterations:
+            hub = _l2_normalize(hub.localCheckpoint())
+    return (
+        _l2_normalize(hub)
+        .select("node", F.col("s").alias("hub"))
+        .join(
+            _l2_normalize(auth).select(
+                "node", F.col("s").alias("authority")
+            ),
+            "node",
+        )
+    )
+
+
 def k_hop(
     edges: DataFrame,
     sources: DataFrame,

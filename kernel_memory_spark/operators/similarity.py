@@ -320,6 +320,35 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
+def _quantize_index_rows(df: DataFrame, part_col: str, id_col: str,
+                         vec_col: str) -> DataFrame:
+    """Swap the float vector column of an index-assignment frame for its
+    int8 form (q: array<int>, scale: double) — functions/quant.py. The
+    bucket/centroid label was already computed on the float vector, so
+    quantization changes storage, not placement; the index table shrinks
+    ~4x and every probe shuffles ~4x fewer bytes. Pure column algebra."""
+    from kernel_memory_spark.functions import quant as Q
+
+    return df.select(
+        F.col(id_col), F.col(part_col),
+        Q.quantize_int8_expr(vec_col).alias("__qs"),
+    ).select(
+        id_col, part_col,
+        F.col("__qs.q").alias("q"), F.col("__qs.scale").alias("scale"),
+    )
+
+
+def _dequantize_candidates(cands: DataFrame, vec_col: str) -> DataFrame:
+    """Reconstruct the float vector for a (pruned) candidate set read from
+    a quantized index — the composition quant.py promises: int8 at rest
+    and on the wire, float math only on the k-bounded candidate buckets."""
+    from kernel_memory_spark.functions import quant as Q
+
+    if "q" not in cands.columns or vec_col in cands.columns:
+        return cands
+    return cands.withColumn(vec_col, Q.dequantize_expr("q", "scale"))
+
+
 def build_lsh_index(
     spark,
     catalog,
@@ -329,11 +358,16 @@ def build_lsh_index(
     table: str = "ann_lsh_index",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> int:
     """Write-once LSH bucket table, identity-partitioned by bucket (every
     manifest entry carries its bucket value, so probes prune at the
-    manifest — no file listing for untouched buckets)."""
+    manifest — no file listing for untouched buckets). quantize=True
+    stores int8 (q, scale) instead of the float vector — 4x smaller at
+    rest; query_lsh_index dequantizes only the probed buckets."""
     bucketed = lsh_bucket_ids(embeddings, dim, n_planes, id_col, vec_col)
+    if quantize:
+        bucketed = _quantize_index_rows(bucketed, "bucket", id_col, vec_col)
     return catalog.overwrite_partitioned(
         spark, table, bucketed, "bucket", 2 ** n_planes
     )
@@ -348,6 +382,7 @@ def upsert_lsh_index(
     table: str = "ann_lsh_index",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> int:
     """Incremental index maintenance: bucket ONLY the new batch (the
     Python/Arrow cost is O(batch)) and rewrite ONLY the touched bucket
@@ -356,8 +391,12 @@ def upsert_lsh_index(
     bucket is located by merge_partitioned's column-pruned (id, bucket)
     scan). Untouched buckets carry into the new snapshot by reference.
     This is the Iceberg MERGE INTO-on-identity-partitioned-table semantic;
-    round 3 shipped the O(index) full-overwrite version, now replaced."""
+    round 3 shipped the O(index) full-overwrite version, now replaced.
+    quantize must match how the table was built (schema-checked by the
+    merge: mixed float/int8 batches would fail the union)."""
     fresh = lsh_bucket_ids(new_embeddings, dim, n_planes, id_col, vec_col)
+    if quantize:
+        fresh = _quantize_index_rows(fresh, "bucket", id_col, vec_col)
     return catalog.merge_partitioned(
         spark, table, fresh, [id_col], "bucket", 2 ** n_planes
     )
@@ -404,6 +443,9 @@ def query_lsh_index(
     # unlabeled entries
     index = catalog.read_buckets(spark, table, probes)
     cands = index.filter(F.col("bucket").isin(probes))
+    # a quantized index (built with quantize=True) stores int8 + scale;
+    # reconstruction happens HERE, on the pruned candidate buckets only
+    cands = _dequantize_candidates(cands, vec_col)
     return brute_force_topk(cands, query_vector, k, id_col, vec_col)
 
 
@@ -415,9 +457,13 @@ def build_ivf_index(
     table: str = "ann_ivf_index",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> int:
-    """Write-once IVF assignment table, identity-partitioned by centroid."""
+    """Write-once IVF assignment table, identity-partitioned by centroid.
+    quantize=True stores int8 (q, scale) instead of the float vector."""
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    if quantize:
+        assigned = _quantize_index_rows(assigned, "centroid", id_col, vec_col)
     return catalog.overwrite_partitioned(
         spark, table, assigned, "centroid", len(centroids)
     )
@@ -431,12 +477,15 @@ def upsert_ivf_index(
     table: str = "ann_ivf_index",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> int:
     """Incremental IVF maintenance, mirroring upsert_lsh_index: assign
     centroids for the new batch only (UDF is O(batch)), then rewrite ONLY
     the centroid partitions receiving new rows or holding superseded ids
     (merge_partitioned). Untouched centroids carry by reference."""
     fresh = ivf_assign(new_embeddings, centroids, id_col, vec_col)
+    if quantize:
+        fresh = _quantize_index_rows(fresh, "centroid", id_col, vec_col)
     return catalog.merge_partitioned(
         spark, table, fresh, [id_col], "centroid", len(centroids)
     )
@@ -472,4 +521,5 @@ def query_ivf_index(
     order = [int(i) for i in np.argsort(-(cmat @ q))[:nprobe]]
     index = catalog.read_buckets(spark, table, order)
     cands = index.filter(F.col("centroid").isin(order))
+    cands = _dequantize_candidates(cands, vec_col)
     return brute_force_topk(cands, query_vector, k, id_col, vec_col)

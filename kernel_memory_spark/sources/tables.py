@@ -64,10 +64,19 @@ class TableCatalog:
             return json.load(f)
 
     def _commit(self, name: str, data_dirs: List[str],
-                bucketing: Optional[dict] = None) -> int:
+                bucketing: Optional[dict] = None, msc: int = 0) -> int:
         version = self.current_version(name) + 1
         os.makedirs(os.path.join(self._dir(name), "_manifests"), exist_ok=True)
         manifest = {"version": version, "data": data_dirs}
+        if msc:
+            # merges committed since the table was last compacted (or
+            # created). The auto_compact trigger reads this instead of
+            # counting files: a write-first merge folds every bucket it
+            # touches back to <=2 entries, so file counts alone never
+            # reveal accumulated maintenance debt (e.g. the co-occurrence
+            # index's zero-count tombstone ROWS, which grow with every
+            # replace-mode fold but never add a manifest entry).
+            manifest["msc"] = msc
         if bucketing:
             # Records (bucket_col, n_buckets) of the layout the bucket labels
             # were computed under. A later merge with a different modulus must
@@ -282,6 +291,7 @@ class TableCatalog:
         the new files) and write the survivors. A touched bucket then has ≤2
         entries (new + survivors) until its next merge compacts it."""
         bucketing = {"col": bucket_col, "n": n_buckets}
+        msc = self.merges_since_compact(name) + 1 if self.exists(name) else 0
         new_entries = self._write_bucketed(spark, name, df, bucket_col,
                                            n_buckets)
         if not self.exists(name):
@@ -313,7 +323,7 @@ class TableCatalog:
             out = out + self._write_bucketed(
                 spark, name, survivors, bucket_col, n_buckets
             )
-        return self._commit(name, out, bucketing=bucketing)
+        return self._commit(name, out, bucketing=bucketing, msc=msc)
 
     # -- identity-partitioned merge (persisted-index maintenance) -------------
     #
@@ -361,6 +371,7 @@ class TableCatalog:
         overwrite with hive partition_by, or hash bucketing) is migrated by
         one full rewrite, after which merges are incremental."""
         bucketing = {"col": part_col, "n": n_parts, "mode": "identity"}
+        msc = self.merges_since_compact(name) + 1 if self.exists(name) else 0
         new_entries = self._write_bucketed(
             spark, name, df, part_col, n_parts,
             expr=self._identity_expr(part_col),
@@ -418,7 +429,7 @@ class TableCatalog:
                 spark, name, survivors, part_col, n_parts,
                 expr=self._identity_expr(part_col),
             )
-        return self._commit(name, out, bucketing=bucketing)
+        return self._commit(name, out, bucketing=bucketing, msc=msc)
 
     def delete_keys_partitioned(self, spark: SparkSession, name: str,
                                 key_col: str, keys: List) -> int:
@@ -508,18 +519,28 @@ class TableCatalog:
         return self._commit(name, out, bucketing=recorded)
 
     def compact(self, spark: SparkSession, name: str,
-                max_entries_per_bucket: int = 1) -> int:
+                max_entries_per_bucket: int = 1,
+                row_filter=None) -> int:
         """Fold buckets that accumulated multiple manifest entries (the
         write-first merge leaves <=2 per touched bucket: new rows +
         survivors) back to one file each. Only over-threshold buckets are
         rewritten; single-entry buckets carry by reference. The Iceberg
-        analog is rewrite_data_files; run it off the ingest path."""
+        analog is rewrite_data_files; run it off the ingest path.
+
+        `row_filter` (a Column predicate) drops rows from the REWRITTEN
+        buckets — for purging rows whose presence is semantically a no-op
+        (e.g. the co-occurrence index's zero-count tombstones). Rows in
+        untouched buckets survive until their bucket's next compaction,
+        which is fine precisely because such rows are no-ops."""
         from collections import Counter
 
         recorded = self._manifest(name).get("bucketing")
         if not recorded:
             # unbucketed table: compaction = plain rewrite into one dir
-            return self.overwrite(self.read(spark, name), name)
+            df = self.read(spark, name)
+            if row_filter is not None:
+                df = df.filter(row_filter)
+            return self.overwrite(df, name)
         entries = self._entries(name)
         per_bucket = Counter(e["bucket"] for e in entries)
         crowded = {
@@ -527,6 +548,10 @@ class TableCatalog:
             if b is None or n > max_entries_per_bucket
         }
         if not crowded:
+            # nothing to rewrite, but reset the merge counter (manifest-only
+            # commit) so an msc-triggered caller doesn't re-fire every batch
+            if self._manifest(name).get("msc"):
+                return self._commit(name, entries, bucketing=recorded)
             return self.current_version(name)
         keep = [e for e in entries if e["bucket"] not in crowded]
         rewrite = [e for e in entries if e["bucket"] in crowded]
@@ -538,11 +563,66 @@ class TableCatalog:
             self._identity_expr(recorded["col"])
             if recorded.get("mode") == "identity" else None
         )
+        survivors = spark.read.parquet(*paths)
+        if row_filter is not None:
+            survivors = survivors.filter(row_filter)
         out = keep + self._write_bucketed(
-            spark, name, spark.read.parquet(*paths),
+            spark, name, survivors,
             recorded["col"], recorded["n"], expr=expr,
         )
         return self._commit(name, out, bucketing=recorded)
+
+    def max_entries_per_bucket(self, name: str) -> int:
+        """Largest manifest-entry count any single bucket has accumulated —
+        the small-file pressure signal for auto_compact (appends land as
+        unlabeled entries and pile up here; write-first merges self-fold to
+        <=2 per touched bucket, so merge debt is tracked by the msc counter
+        instead). Pure driver-side manifest read; no Spark job, no file I/O
+        beyond the manifest."""
+        from collections import Counter
+
+        entries = self._entries(name)
+        if not entries:
+            return 0
+        return max(Counter(e["bucket"] for e in entries).values())
+
+    def merges_since_compact(self, name: str) -> int:
+        """Merge commits since the table was last compacted (or created).
+        Free driver-side manifest read. This is the trigger signal for
+        maintenance debt that file counts can't see: each write-first merge
+        folds its touched buckets back to <=2 entries but may leave no-op
+        ROWS behind (the co-occurrence index's zero-count tombstones), and
+        re-splits survivors into ever-smaller files."""
+        if not self.exists(name):
+            return 0
+        return int(self._manifest(name).get("msc", 0))
+
+    def auto_compact(self, spark: SparkSession, name: str,
+                     threshold: int = 8, row_filter=None,
+                     max_entries_per_bucket: int = 1) -> bool:
+        """Compact `name` iff maintenance debt crossed `threshold`: more
+        than `threshold` merges since the last compaction, or some bucket
+        holding more than `threshold` manifest entries (append debt).
+        Returns whether a compaction ran. Both checks are free manifest
+        scans, so this can run after every micro-batch: the rewrite is paid
+        once per ~threshold merges, bounding tombstone rows, file count,
+        and amortized maintenance I/O. The Iceberg analog is a
+        rewrite_data_files trigger on small-file count.
+
+        `max_entries_per_bucket` selects minor vs major compaction: the
+        default 1 folds only multi-entry buckets (cheap, file-count
+        maintenance); 0 rewrites EVERY bucket — required when `row_filter`
+        must reach rows parked in single-entry buckets (tombstone purge).
+        A major pass is O(table) per trigger, so size `threshold` so it
+        amortizes (Iceberg's minor vs major rewrite_data_files split)."""
+        if not self.exists(name):
+            return False
+        if (self.merges_since_compact(name) <= threshold
+                and self.max_entries_per_bucket(name) <= threshold):
+            return False
+        self.compact(spark, name, row_filter=row_filter,
+                     max_entries_per_bucket=max_entries_per_bucket)
+        return True
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._dir(name), ignore_errors=True)

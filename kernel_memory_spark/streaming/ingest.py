@@ -165,7 +165,42 @@ def ingest_batch(
     # node); no extra job
     n_docs = int(obs.get["n_docs"])
     _commit_stream_ledger(catalog, execution_id, n_docs, wall_ms)
-    return {"n_docs": n_docs, "wall_ms": wall_ms}
+    compacted = (
+        _maybe_compact(spark, catalog, cfg)
+        if cfg.compact_threshold else []
+    )
+    return {"n_docs": n_docs, "wall_ms": wall_ms, "compacted": compacted}
+
+
+# the doc-scoped merge targets of ingest_batch — the tables whose bucket
+# file counts grow by one entry per touching micro-batch
+_STREAM_TABLES = (
+    "corpus", "doc_tags", "extracted", "partitions", "embeddings",
+    "records", "extractions", "triples_base",
+)
+
+
+def _maybe_compact(spark: SparkSession, catalog: TableCatalog,
+                   cfg: PipelineConfig) -> list:
+    """Off-hot-path table maintenance after a micro-batch commits: any
+    merged table that absorbed more than cfg.compact_threshold merges
+    since its last compaction — or whose most-crowded bucket exceeds that
+    many manifest entries (append debt) — is folded back to one file per
+    bucket, and the co-occurrence index additionally drops its zero-count
+    tombstones. The trigger check is a driver-side manifest scan — free —
+    so running it every batch is safe; the rewrite itself amortizes to
+    O(table/threshold) per batch. Returns the tables compacted."""
+    done = []
+    for name in _STREAM_TABLES:
+        if catalog.auto_compact(spark, name, cfg.compact_threshold):
+            done.append(name)
+    if cfg.cooccur_index:
+        from kernel_memory_spark.operators import cooccur as co
+
+        done += co.compact_cooccur_index(
+            spark, catalog, cfg.cooccur_index, cfg.compact_threshold
+        )
+    return done
 
 
 def _commit_stream_ledger(catalog: TableCatalog, execution_id: str,

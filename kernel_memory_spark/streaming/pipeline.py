@@ -68,6 +68,16 @@ class PipelineConfig:
     # co-mention edges become queryable from the persisted counts without
     # any corpus re-scan (pmi_from_index).
     cooccur_index: Optional[str] = None
+    # streaming only: after a micro-batch commits, compact any merged
+    # table that absorbed more than this many merges since its last
+    # compaction (or piled up appended manifest entries past the same
+    # bound): fold multi-entry buckets to one file each and purge
+    # co-occurrence zero-count tombstones while rewriting. The check is a
+    # free manifest scan per table; the rewrite is paid once per
+    # ~threshold merges, so file count AND tombstone rows stay bounded
+    # across unbounded micro-batches. None disables (callers that schedule
+    # table maintenance externally, Iceberg-style).
+    compact_threshold: Optional[int] = 8
 
 
 class Pipeline:

@@ -511,3 +511,106 @@ class TestShortestPaths:
             for r in GR.shortest_paths(e, srcs, 50, weight="w").collect()
         }
         assert got == {1: 0.0, 2: 1.0, 3: 2.0}
+
+
+def _ref_hits(edges, iterations):
+    """Driver-side reference HITS with the same half-step L2
+    normalization order as the operator (auth from h_{t-1}, hub from the
+    NORMALIZED a_t; h_0 = 1)."""
+    import math
+
+    nodes = sorted({u for e in edges for u in e})
+    h = {v: 1.0 for v in nodes}
+    a = {}
+    for _ in range(iterations):
+        a = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            a[v] += h[u]
+        n2 = math.sqrt(sum(x * x for x in a.values()))
+        a = {v: x / n2 for v, x in a.items()}
+        h = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            h[u] += a[v]
+        n2 = math.sqrt(sum(x * x for x in h.values()))
+        h = {v: x / n2 for v, x in h.items()}
+    return h, a
+
+
+class TestHits:
+    def test_star_hub_and_authority(self, spark):
+        """One center pointing at 3 leaves: the center is the only hub,
+        leaves are the only (equal) authorities."""
+        e = _edges(spark, [(0, 1), (0, 2), (0, 3)])
+        got = {r.node: (r.hub, r.authority)
+               for r in GR.hits(e, iterations=3).collect()}
+        assert got[0][0] == pytest.approx(1.0, abs=1e-12)
+        assert got[0][1] == pytest.approx(0.0, abs=1e-12)
+        for leaf in (1, 2, 3):
+            assert got[leaf][0] == pytest.approx(0.0, abs=1e-12)
+            assert got[leaf][1] == pytest.approx(
+                1.0 / (3 ** 0.5), abs=1e-12
+            )
+
+    def test_matches_reference(self, spark):
+        pairs = [(1, 2), (2, 3), (1, 3), (4, 1), (4, 3), (2, 4)]
+        got = {r.node: (r.hub, r.authority)
+               for r in GR.hits(_edges(spark, pairs),
+                                iterations=4).collect()}
+        h, a = _ref_hits(pairs, 4)
+        assert set(got) == set(h)
+        for v in h:
+            assert got[v][0] == pytest.approx(h[v], abs=1e-12), v
+            assert got[v][1] == pytest.approx(a[v], abs=1e-12), v
+
+    def test_layout_invariant_and_dupes_ignored(self, spark):
+        pairs = [(i, (i * 5 + 2) % 13) for i in range(13)] + [
+            (i, (i + 3) % 13) for i in range(13)
+        ]
+        pairs = [p for p in pairs if p[0] != p[1]]
+        e = _edges(spark, pairs + pairs[:5])  # duplicate edges collapse
+        a = {r.node: (r.hub, r.authority)
+             for r in GR.hits(e, iterations=5).collect()}
+        b = {r.node: (r.hub, r.authority)
+             for r in GR.hits(
+                 _edges(spark, pairs).repartition(7), iterations=5
+             ).collect()}
+        for v in a:
+            assert a[v][0] == pytest.approx(b[v][0], abs=1e-12)
+            assert a[v][1] == pytest.approx(b[v][1], abs=1e-12)
+
+
+class TestClusteringCoefficient:
+    def test_triangle_with_tail(self, spark):
+        """Triangle 1-2-3 plus tail 3-4: lcc(1)=lcc(2)=1, lcc(3)=1/3
+        (one closed of three possible pairs), lcc(4)=0 (deg 1)."""
+        e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+        got = {r.node: (r.deg, r.n_triangles, r.lcc)
+               for r in GR.clustering_coefficient(e).collect()}
+        assert got[1] == (2, 1, pytest.approx(1.0))
+        assert got[2] == (2, 1, pytest.approx(1.0))
+        assert got[3] == (3, 1, pytest.approx(1.0 / 3))
+        assert got[4] == (1, 0, pytest.approx(0.0))
+
+    def test_k4_all_one(self, spark):
+        e = _edges(
+            spark,
+            [(a, b) for a in range(4) for b in range(4) if a < b],
+        )
+        got = {r.node: r.lcc
+               for r in GR.clustering_coefficient(e).collect()}
+        assert got == {
+            v: pytest.approx(1.0) for v in range(4)
+        }
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        e = _edges(
+            spark,
+            [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (1, 2)],
+        )
+        got = {r.node: (r.deg, r.n_triangles, r.lcc)
+               for r in GR.clustering_coefficient(e).collect()}
+        assert got == {
+            1: (2, 1, pytest.approx(1.0)),
+            2: (2, 1, pytest.approx(1.0)),
+            3: (2, 1, pytest.approx(1.0)),
+        }

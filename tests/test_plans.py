@@ -66,6 +66,11 @@ PURE_JVM = [
     "containment_docs",
     "pmi_index_edges",
     "sssp_parts",
+    # probe path of the int8-quantized LSH index: dequantize is column
+    # algebra, so the query plan must stay Python-free end to end
+    "ann_quantized_topk",
+    "hits_parts",
+    "clustering_coeff_parts",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
@@ -98,6 +103,8 @@ SCALAR_CROSS = {
     "hybrid_search_topk",
     "ask_prompt_facts",
     "temperature_mix_docs",
+    # HITS L2 norms: 1-row aggregate broadcast back per normalize
+    "hits_parts",
 }
 
 

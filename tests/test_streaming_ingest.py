@@ -284,3 +284,105 @@ class TestStreamingCooccurIndex:
             assert inc[k][0] == ref[k][0], k
             assert inc[k][1] == pytest.approx(ref[k][1], abs=1e-12), k
         assert len(ref) > 0
+
+
+class TestAutoCompaction:
+    def test_bucket_file_count_bounded_across_batches(
+        self, spark, tmp_path
+    ):
+        """N micro-batches with the default auto-compaction policy: the
+        merges-since-compact counter must stay bounded by the threshold
+        (each crossing triggers a compaction that resets it), no table
+        bucket may exceed max(2, threshold) manifest entries after any
+        batch, data stays correct, and the PMI index still matches a
+        one-shot rebuild (tombstones from re-deliveries purged along the
+        way are semantically invisible)."""
+        from kernel_memory_spark.operators import cooccur as CO
+        from kernel_memory_spark.operators import triples as tri
+
+        full = synth_full(spark, 10).select("doc_id", "spans", "tags")
+        full = full.localCheckpoint()
+        cat = TableCatalog(str(tmp_path / "cat"))
+        cfg = PipelineConfig(
+            records_buckets=4, compact_threshold=3,
+            cooccur_index="comention",
+        )
+        ids = sorted(r.doc_id for r in full.select("doc_id").collect())
+        # 14 single-doc batches: every doc once, the first four re-delivered
+        deliveries = ids + ids[:4]
+        compacted_ever = []
+        for i, did in enumerate(deliveries):
+            out = si.ingest_batch(
+                spark, cat,
+                full.filter(F.col("doc_id") == did), cfg, f"e-{i}",
+            )
+            compacted_ever += out["compacted"]
+            watched = list(si._STREAM_TABLES) + [
+                "comention" + p for p in ("__pairs", "__marg", "__baskets")
+            ]
+            for name in watched:
+                if not cat.exists(name):
+                    continue
+                # a write-first merge folds its touched buckets to <=2
+                # entries; compaction keeps the rest bounded too
+                assert (
+                    cat.max_entries_per_bucket(name)
+                    <= max(2, cfg.compact_threshold)
+                ), (name, i)
+                # the debt counter resets on every compaction, so it can
+                # never run past threshold+1 (the batch that trips it)
+                assert (
+                    cat.merges_since_compact(name)
+                    <= cfg.compact_threshold + 1
+                ), (name, i)
+        # 14 merges per table with threshold 3 must have tripped the
+        # policy several times
+        assert compacted_ever
+        # correctness after maintenance: re-delivery replaced, not duped
+        assert cat.read(spark, "corpus").count() == 10
+        mentions = tri.mentions_from_extractions(
+            cat.read(spark, "extractions")
+        ).select("doc_id", "norm")
+        ref = {
+            (r.src, r.dst): r.n_pairs
+            for r in CO.pmi_edges(mentions, "doc_id", "norm").collect()
+        }
+        inc = {
+            (r.src, r.dst): r.n_pairs
+            for r in CO.pmi_from_index(spark, cat, "comention").collect()
+        }
+        assert inc == ref and len(ref) > 0
+
+    def test_tombstones_purged_on_compaction(self, spark, tmp_path):
+        """Replace-mode re-deliveries leave zero-count rows in the pairs
+        table; a compaction triggered past the threshold drops them from
+        the rewritten buckets."""
+        from kernel_memory_spark.operators import cooccur as CO
+
+        cat = TableCatalog(str(tmp_path / "cat"))
+        rows = [("b1", "x"), ("b1", "y"), ("b2", "x"), ("b2", "z")]
+        df = spark.createDataFrame(rows, "bk string, it string")
+        CO.upsert_cooccur_index(
+            spark, cat, "ix", df, "bk", "it", n_buckets=2, replace=True
+        )
+        # re-deliver basket b1 with DIFFERENT items: (x,y) pair -> 0
+        df2 = spark.createDataFrame([("b1", "x"), ("b1", "z")],
+                                    "bk string, it string")
+        for i in range(4):  # pile up entries past any threshold
+            CO.upsert_cooccur_index(
+                spark, cat, "ix", df2, "bk", "it", n_buckets=2,
+                replace=True,
+            )
+        pairs_before = cat.read(spark, "ix__pairs")
+        assert pairs_before.filter(F.col("n_pairs") == 0).count() > 0
+        done = CO.compact_cooccur_index(spark, cat, "ix", threshold=1)
+        assert "ix__pairs" in done
+        after = cat.read(spark, "ix__pairs")
+        assert after.filter(F.col("n_pairs") == 0).count() == 0
+        # surviving counts unchanged
+        want = {("x", "z"): 2}  # b1 and b2 both hold (x,z) now
+        got = {
+            (r.src, r.dst): r.n_pairs
+            for r in after.filter(F.col("n_pairs") > 0).collect()
+        }
+        assert got == want
