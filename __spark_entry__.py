@@ -1439,6 +1439,16 @@ def boilerplate_ngrams_docs(spark, sf):
     return CL.boilerplate_ngrams(docs, n=5, min_df=3)
 
 
+def line_dedup_docs(spark, sf):
+    """C4-style cross-document line dedup (Raffel et al. 2020 §2.2 at
+    line granularity): every distinct non-blank line survives only at
+    its first (doc_id, pos) occurrence corpus-wide."""
+    from kernel_memory_spark.operators import cleaning as CL
+
+    docs = load_table(spark, sf, "documents")
+    return CL.line_dedup(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -1475,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_docs": lm_quality_docs,
         "quantized_embeddings": quantized_embeddings,
         "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
+        "line_dedup_docs": line_dedup_docs,
         "facts_token_budget": facts_token_budget,
         "summarize_docs": summarize_docs,
         "kg_triples_sf": kg_triples_sf,  # rows-only (pandas-UDF chunker)
@@ -3157,6 +3168,32 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                      unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i))
             SELECT gram, COUNT(*) AS df
             FROM dgrams GROUP BY gram HAVING COUNT(*) >= 3
+        """,
+        "line_dedup_docs": """
+            WITH split AS (
+                SELECT doc_id, string_split(text, chr(10)) AS l
+                FROM documents),
+            exploded AS (
+                SELECT doc_id,
+                       CAST(i AS INT) - 1 AS pos,
+                       l[CAST(i AS INT)] AS line
+                FROM split, unnest(range(1, len(l) + 1)) AS t(i)),
+            flagged AS (
+                SELECT doc_id, pos, line,
+                       CASE WHEN trim(line) <> '' THEN
+                            row_number() OVER (
+                                PARTITION BY line ORDER BY doc_id, pos) = 1
+                       ELSE TRUE END AS keep
+                FROM exploded)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY pos), '')
+                       AS text_clean,
+                   CAST(sum(CASE WHEN keep AND trim(line) <> ''
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+                   CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_lines_dropped
+            FROM flagged GROUP BY doc_id
         """,
         # kg_triples_sf: intentionally no oracle (pandas-UDF chunker inside;
         # driver records the rows-only check; full fidelity is gated by the

@@ -19,6 +19,9 @@ dedup (operators/dedup.py) and quality scoring (operators/textstats.py):
   quality rules (Rae et al. 2021, table A1): duplicate-line fraction,
   duplicate-line character fraction, top-bigram character fraction.
   explode + two bounded aggregations per doc.
+- `line_dedup` — C4's cross-document span dedup at line granularity
+  (keep the first occurrence corpus-wide, drop the rest), the removal
+  TRANSFORM that complements boilerplate_ngrams' detection.
 """
 
 from __future__ import annotations
@@ -157,4 +160,60 @@ def boilerplate_ngrams(
         doc_grams.groupBy("gram")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= min_df)
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style cross-document line deduplication (Raffel et al. 2020
+    §2.2: 'we discarded all but one of any three-sentence span occurring
+    more than once', applied here at line granularity): every distinct
+    non-blank line is kept only at its FIRST occurrence — the smallest
+    (doc, position) in the corpus — and removed from every later
+    document; blank lines are structural and always survive. Returns
+    (id_col, text_clean, n_lines_kept, n_lines_dropped); a document with
+    no cross-corpus duplicate lines reconstructs byte-identically.
+
+    Scale shape: one posexplode, ONE hash-partitioned window keyed by
+    line text (partition size = occurrences of one line — bounded, and
+    the blank-line mega-partition never reaches the window because
+    blanks are split off first), one re-aggregation per document. No
+    global windows, no self-joins, no Python anywhere."""
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    )
+    is_content = F.length(F.trim(F.col("line"))) > 0
+    content = lines.filter(is_content).withColumn(
+        "keep",
+        F.row_number().over(
+            Window.partitionBy("line").orderBy(id_col, "pos")
+        )
+        == 1,
+    )
+    blanks = lines.filter(~is_content).withColumn("keep", F.lit(True))
+    all_lines = content.unionByName(blanks)
+    return all_lines.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.sum(
+            F.when(F.col("keep") & (F.length(F.trim("line")) > 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_lines_kept"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long").alias("n_lines_dropped"),
     )

@@ -61,6 +61,43 @@ class TestRepetitionStats:
         total = dup_chars + len("unique line one") + len("unique line two")
         assert row.dup_line_char_frac == pytest.approx(dup_chars / total)
 
+    def test_line_dedup_cross_doc(self, spark):
+        df = spark.createDataFrame(
+            [("a", "shared header\nalpha body\n\nshared footer"),
+             ("b", "shared header\nbeta body\nshared footer"),
+             ("c", "gamma only")],
+            "doc_id string, text string",
+        )
+        got = {r.doc_id: r for r in CL.line_dedup(df).collect()}
+        # doc a is first (doc_id asc) -> reconstructs byte-identically
+        assert got["a"].text_clean == "shared header\nalpha body\n\nshared footer"
+        assert got["a"].n_lines_dropped == 0
+        assert got["a"].n_lines_kept == 3  # blank line not counted as kept
+        # doc b loses both shared lines, keeps its own
+        assert got["b"].text_clean == "beta body"
+        assert got["b"].n_lines_dropped == 2
+        assert got["b"].n_lines_kept == 1
+        assert got["c"].text_clean == "gamma only"
+
+    def test_line_dedup_within_doc_and_blanks(self, spark):
+        # duplicate INSIDE one doc: later position dropped; blanks survive
+        df = spark.createDataFrame(
+            [("d", "x\n\nx\ny")], "doc_id string, text string"
+        )
+        row = CL.line_dedup(df).first()
+        assert row.text_clean == "x\n\ny"
+        assert row.n_lines_kept == 2
+        assert row.n_lines_dropped == 1
+
+    def test_line_dedup_all_dropped(self, spark):
+        df = spark.createDataFrame(
+            [("a", "only line"), ("b", "only line")],
+            "doc_id string, text string",
+        )
+        got = {r.doc_id: r.text_clean for r in CL.line_dedup(df).collect()}
+        assert got["a"] == "only line"
+        assert got["b"] == ""  # every line dropped -> empty, doc preserved
+
     def test_top_bigram_fraction(self, spark):
         # 'spark rocks' bigram dominates
         df = spark.createDataFrame(

@@ -71,6 +71,7 @@ PURE_JVM = [
     "ann_quantized_topk",
     "hits_parts",
     "clustering_coeff_parts",
+    "line_dedup_docs",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
