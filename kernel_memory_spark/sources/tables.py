@@ -232,19 +232,39 @@ class TableCatalog:
         the data files, so the stored schema is unchanged. `expr` overrides
         the bucket expression (identity layout for partition-valued
         columns)."""
+        from pyspark.sql import functions as F
+
+        from kernel_memory_spark.functions.spark_hash import bucket_preimages
+
         d = self._new_data_dir(name)
         bucket_expr = (
             expr if expr is not None
             else self._bucket_expr(bucket_col, n_buckets)
         )
+        # One shuffle of the incremental batch so each bucket writes as one
+        # file instead of tasks x buckets small files (the ledger's footer
+        # walk and the next merge's read both scale with file count; at
+        # 100TB n_buckets is sized so a bucket ~= an executor write).
+        #
+        # Partition placement goes through a PREIMAGE column rather than the
+        # bucket id itself: repartition(n, "__bucket") hashes n distinct
+        # values into n partitions, which leaves ~1/e of the write tasks
+        # EMPTY and stacks several whole buckets on the most-collided task
+        # (the write's makespan). preimages[b] is chosen so Spark's own
+        # shuffle hash places bucket b in partition b exactly — one
+        # balanced wave, still one file per bucket. Buckets outside [0, n)
+        # (identity layouts with sparse values) fall back to hashing the
+        # raw id; NULL-keyed rows ride along unchanged.
+        inv = df.sparkSession.createDataFrame(
+            [(b, c) for b, c in enumerate(bucket_preimages(n_buckets))],
+            "__bucket int, __pkey int",
+        )
         (
             df.withColumn("__bucket", bucket_expr)
-            # one shuffle of the incremental batch so each bucket writes as
-            # one file instead of tasks x buckets small files (the ledger's
-            # footer walk and the next merge's read both scale with file
-            # count; at 100TB n_buckets is sized so a bucket ~= an executor
-            # write)
-            .repartition(n_buckets, "__bucket")
+            .join(F.broadcast(inv), "__bucket", "left")
+            .withColumn("__pkey", F.coalesce("__pkey", "__bucket"))
+            .repartition(n_buckets, "__pkey")
+            .drop("__pkey")
             .write.mode("overwrite").partitionBy("__bucket").parquet(d)
         )
         entries = []
