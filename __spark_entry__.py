@@ -1439,6 +1439,28 @@ def boilerplate_ngrams_docs(spark, sf):
     return CL.boilerplate_ngrams(docs, n=5, min_df=3)
 
 
+def random_walks_parts(spark, sf):
+    """Deterministic hash-seeded random walks over the co-purchase graph
+    (walks_per_node=2, length=3, neighbor_cap=8) — the DeepWalk/node2vec
+    corpus generator, with the 100TB hub guard (static md5-ranked
+    neighbor subsample) engaged and cross-engine-pinned."""
+    from kernel_memory_spark.operators import graph as GR
+    from kernel_memory_spark.operators import kg_train as KT
+
+    adj = GR.symmetrize(_copurchase_edges(spark, sf))
+    w = KT.random_walks(adj, walks_per_node=2, length=3, neighbor_cap=8)
+    return w.select("walk_id", "start", "path")
+
+
+def kg_negative_samples(spark, sf):
+    """Filtered corrupted-tail negatives (Bordes et al. 2013) over the
+    document lineage triples — the KG-embedding training-pair generator
+    (k=2 hash-drawn tails per positive, true-triple collisions dropped)."""
+    from kernel_memory_spark.operators import kg_train as KT
+
+    return KT.negative_samples(lineage_triples_docs(spark, sf), k=2)
+
+
 def line_dedup_docs(spark, sf):
     """C4-style cross-document line dedup (Raffel et al. 2020 §2.2 at
     line granularity): every distinct non-blank line survives only at
@@ -1486,6 +1508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_embeddings": quantized_embeddings,
         "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
         "line_dedup_docs": line_dedup_docs,
+        "random_walks_parts": random_walks_parts,
+        "kg_negative_samples": kg_negative_samples,
         "facts_token_budget": facts_token_budget,
         "summarize_docs": summarize_docs,
         "kg_triples_sf": kg_triples_sf,  # rows-only (pandas-UDF chunker)
@@ -3168,6 +3192,100 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                      unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i))
             SELECT gram, COUNT(*) AS df
             FROM dgrams GROUP BY gram HAVING COUNT(*) >= 3
+        """,
+        "random_walks_parts": """
+            WITH pairs AS (
+                SELECT DISTINCT
+                       least(a.l_partkey, b.l_partkey) AS src,
+                       greatest(a.l_partkey, b.l_partkey) AS dst
+                FROM lineitem a JOIN lineitem b
+                     ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey <> b.l_partkey),
+            adj0 AS (
+                SELECT src, dst FROM pairs
+                UNION ALL SELECT dst, src FROM pairs),
+            adj AS (
+                SELECT src, dst FROM (
+                    SELECT src, dst,
+                           row_number() OVER (
+                               PARTITION BY src
+                               ORDER BY md5('walk:' || CAST(src AS VARCHAR)
+                                            || ':' || CAST(dst AS VARCHAR)),
+                                        dst) AS rn
+                    FROM adj0)
+                WHERE rn <= 8),
+            f0 AS (
+                SELECT CAST(node AS VARCHAR) || '#' || CAST(i AS VARCHAR)
+                           AS walk_id,
+                       node AS start, node AS cur,
+                       CAST(node AS VARCHAR) AS path
+                FROM (SELECT DISTINCT src AS node FROM adj),
+                     unnest(range(2)) AS t(i)),
+            s1 AS (
+                SELECT f.walk_id, f.start, f.path, a.dst AS nxt,
+                       md5('walk:' || f.walk_id || ':1:'
+                           || CAST(a.dst AS VARCHAR)) AS sc
+                FROM f0 f JOIN adj a ON a.src = f.cur),
+            f1 AS (
+                SELECT walk_id, start,
+                       arg_min(nxt, sc) AS cur,
+                       path || '->' || CAST(arg_min(nxt, sc) AS VARCHAR)
+                           AS path
+                FROM s1 GROUP BY walk_id, start, path),
+            s2 AS (
+                SELECT f.walk_id, f.start, f.path, a.dst AS nxt,
+                       md5('walk:' || f.walk_id || ':2:'
+                           || CAST(a.dst AS VARCHAR)) AS sc
+                FROM f1 f JOIN adj a ON a.src = f.cur),
+            f2 AS (
+                SELECT walk_id, start,
+                       arg_min(nxt, sc) AS cur,
+                       path || '->' || CAST(arg_min(nxt, sc) AS VARCHAR)
+                           AS path
+                FROM s2 GROUP BY walk_id, start, path),
+            s3 AS (
+                SELECT f.walk_id, f.start, f.path, a.dst AS nxt,
+                       md5('walk:' || f.walk_id || ':3:'
+                           || CAST(a.dst AS VARCHAR)) AS sc
+                FROM f2 f JOIN adj a ON a.src = f.cur),
+            f3 AS (
+                SELECT walk_id, start,
+                       path || '->' || CAST(arg_min(nxt, sc) AS VARCHAR)
+                           AS path
+                FROM s3 GROUP BY walk_id, start, path)
+            SELECT walk_id, start, path FROM f3
+        """,
+        "kg_negative_samples": """
+            WITH t AS (
+                SELECT printf('doc-%09d', doc_id) AS subj, 'lang' AS pred,
+                       lang AS obj FROM documents
+                UNION ALL
+                SELECT printf('doc-%09d', doc_id), 'source', source
+                FROM documents
+                UNION ALL
+                SELECT printf('doc-%09d', doc_id), 'n_chars',
+                       CAST(n_chars AS VARCHAR) FROM documents),
+            pool AS (
+                SELECT __ent,
+                       row_number() OVER (ORDER BY __ent) - 1 AS idx
+                FROM (SELECT DISTINCT obj AS __ent FROM t)),
+            nn AS (SELECT COUNT(*) AS n FROM pool),
+            cand AS (
+                SELECT subj, pred, obj, CAST(i AS INT) AS neg_ix,
+                       ('0x' || substr(md5('neg|' || subj || '|' || pred
+                                           || '|' || obj || '|'
+                                           || CAST(i AS VARCHAR)), 1, 8)
+                       )::BIGINT % nn.n AS idx
+                FROM t, unnest(range(2)) AS u(i), nn),
+            j AS (
+                SELECT c.subj, c.pred, c.neg_ix, p.__ent AS obj_neg
+                FROM cand c JOIN pool p USING (idx))
+            SELECT subj, pred, neg_ix, obj_neg
+            FROM j
+            WHERE NOT EXISTS (
+                SELECT 1 FROM t
+                WHERE t.subj = j.subj AND t.pred = j.pred
+                      AND t.obj = j.obj_neg)
         """,
         "line_dedup_docs": """
             WITH split AS (

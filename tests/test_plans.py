@@ -72,6 +72,8 @@ PURE_JVM = [
     "hits_parts",
     "clustering_coeff_parts",
     "line_dedup_docs",
+    "random_walks_parts",
+    "kg_negative_samples",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
