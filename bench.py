@@ -31,6 +31,36 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def host_probe() -> dict:
+    """~1s host-health probe recorded in every artifact.
+
+    The sandbox host is shared and exhibits EPISODIC stalls invisible to
+    loadavg/steal/PSI (measured 2026-08-17: a single 200MB numpy copy took
+    ~40s during one window, 0.01 GB/s, then 19 GB/s minutes later with
+    identical zero loadavg). Recording a cache-resident CPU-rate probe and a
+    warm memory-bandwidth probe before and after the timed region makes a
+    stall-contaminated artifact self-documenting instead of silently slow.
+    """
+    import numpy as np
+
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 0.5:
+        sum(i * i for i in range(10000))
+        n += 1
+    cpu_rate = n / (time.time() - t0)
+    a = np.arange(50_000_000, dtype=np.uint8)
+    b = a.copy()
+    t0 = time.time()
+    m = 0
+    while time.time() - t0 < 0.5:
+        np.copyto(b, a)
+        m += 1
+    membw = m * 0.1 / (time.time() - t0)
+    return {"cpu_loops_per_sec": round(cpu_rate, 0),
+            "membw_gbps": round(membw, 2)}
+
+
 def sf_value(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -123,6 +153,18 @@ def default_mode() -> None:
     # co-tenant burst is visible in the artifact instead of silently
     # inflating the numbers (observed 2.7x swings run-to-run; PERF.md)
     load_before = round(os.getloadavg()[0], 2)
+    probe_before = host_probe()
+    # JIT/codegen/Arrow warmup OUTSIDE the timed region, mirroring the
+    # pinned --scaling protocol (which has always run a warmup pipeline
+    # before its timed runs). Prior to round 5 default mode had no warmup,
+    # so the first timed query absorbed whole-stage-codegen + parquet
+    # footer + noop-sink + Python-worker spinup (~3-6s of fixed JVM cost
+    # unrelated to any operator). DISCLOSED METHOD CHANGE (round 5):
+    # cross-round comparisons of q1/total vs BENCH_r01-r04 must account
+    # for this; PERF.md and BENCH/BASELINE.md carry the note.
+    warm = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    warm.groupBy("l_returnflag").count().write.format("noop").mode(
+        "overwrite").save()
     t_start = time.time()
     queries = run_queries(spark, SF_DIR)
     pipe = run_pipeline(spark, bench_docs(sf))
@@ -138,6 +180,8 @@ def default_mode() -> None:
         "pipeline": pipe,
         "load_1m_before": load_before,
         "load_1m_after": round(os.getloadavg()[0], 2),
+        "host_probe_before": probe_before,
+        "host_probe_after": host_probe(),
     }))
     spark.stop()
 
