@@ -1129,6 +1129,89 @@ def kcore_parts(spark, sf):
     return out.select(F.col("node").alias("part"))
 
 
+def pagerank_warm_parts(spark, sf):
+    """Incremental PageRank: 3 cold iterations, then 3 MORE warm-started
+    from that snapshot — the refresh path after a graph delta. Because
+    the sync update is a pure function of the previous vector, the result
+    must equal a 6-iteration cold run exactly, and the oracle IS the
+    6-iteration unrolled CTE: the driver hash-pins warm == cold."""
+    from kernel_memory_spark.operators import graph as GR
+
+    adj = GR.symmetrize(_copurchase_edges(spark, sf))
+    snapshot = GR.pagerank(adj, iterations=3, damping=0.85)
+    pr = GR.pagerank(adj, iterations=3, damping=0.85, init=snapshot)
+    return pr.select(
+        F.col("node").alias("part"), F.round("rank", 6).alias("rank")
+    )
+
+
+def transitive_closure_parts(spark, sf):
+    """Bounded transitive closure by iterative doubling (2 rounds = all
+    directed paths of <= 4 hops) over the small-id -> large-id oriented
+    repeat co-purchase DAG — deep reachability in log-many self-joins
+    (the complement of khop_parts' frontier BFS)."""
+    from kernel_memory_spark.operators import graph as GR
+
+    out = GR.transitive_closure(
+        _repeat_copurchase_edges(spark, sf), doubling_rounds=2
+    )
+    return out.select("src", "dst")
+
+
+def community_rollup_parts(spark, sf):
+    """Graph summarization: LPA communities (3 rounds) collapsed to
+    supernodes with between/within edge counts — the KG compression step
+    before coarse-grained reasoning or visualization."""
+    from kernel_memory_spark.operators import graph as GR
+
+    out = GR.community_rollup(
+        _repeat_copurchase_edges(spark, sf), iterations=3
+    )
+    return out.select(
+        "c_src", "c_dst", "n_edges",
+        F.col("n_intra").cast("long").alias("n_intra"),
+    )
+
+
+def scd2_orders(spark, sf):
+    """SCD2 versioning of each customer's order stream (valid_from /
+    valid_to / is_current from one keyed window) — the temporal-KG fact
+    history the reference's last-write-wins upsert discards."""
+    from kernel_memory_spark.operators import temporal as TP
+
+    o = load_table(spark, sf, "orders")
+    v = TP.scd2_versions(
+        o, ["o_custkey"], "o_orderdate", tiebreak_cols=["o_orderkey"]
+    )
+    return v.select(
+        "o_custkey", "o_orderkey", "o_orderstatus",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+def orders_asof_snapshot(spark, sf):
+    """Point-in-time KG snapshot: each customer's active order version as
+    of 1995-06-17 (pure predicate over the SCD2 table — pushes down to
+    row-group pruning when stored time-partitioned)."""
+    from kernel_memory_spark.operators import temporal as TP
+
+    o = load_table(spark, sf, "orders")
+    v = TP.scd2_versions(
+        o, ["o_custkey"], "o_orderdate", tiebreak_cols=["o_orderkey"]
+    )
+    snap = TP.as_of(v, "1995-06-17", ts_type="date")
+    return snap.select("o_custkey", "o_orderkey", "o_orderstatus")
+
+
+def predicate_stats_docs(spark, sf):
+    """KG schema discovery: per-predicate functionality / inverse
+    functionality (PARIS statistics) over the document lineage triples —
+    which predicates are key-like and safe to merge entities on."""
+    from kernel_memory_spark.operators import kgschema as KS
+
+    return KS.predicate_stats(lineage_triples_docs(spark, sf))
+
+
 def token_shards_docs(spark, sf):
     """Contiguous token-budget export shards: exclusive global running
     token sum (range-partitioned two-phase cumsum, no single-task window)
@@ -1486,6 +1569,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar_capped": adamic_adar_capped,
         "lpa_communities_parts": lpa_communities_parts,
         "kcore_parts": kcore_parts,
+        # --- round-5 additions (driver-checked immediately) ---
+        "pagerank_warm_parts": pagerank_warm_parts,
+        "transitive_closure_parts": transitive_closure_parts,
+        "community_rollup_parts": community_rollup_parts,
+        "scd2_orders": scd2_orders,
+        "orders_asof_snapshot": orders_asof_snapshot,
+        "predicate_stats_docs": predicate_stats_docs,
         "sssp_parts": sssp_parts,
         "hits_parts": hits_parts,
         "clustering_coeff_parts": clustering_coeff_parts,
@@ -2732,6 +2822,100 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
             FROM documents
         """,
         "pagerank_copurchase": _pagerank_sql(3),
+        # warm-start parity: 3 warm iterations from a 3-iteration snapshot
+        # must equal a 6-iteration cold run (pure-function sync update)
+        "pagerank_warm_parts": _pagerank_sql(6),
+        "transitive_closure_parts": _REPEAT_GRAPH_CTE
+        + """
+            , r1 AS (SELECT src, dst FROM und
+                     UNION
+                     SELECT a.src, b.dst FROM und a
+                     JOIN und b ON a.dst = b.src)
+            , r2 AS (SELECT src, dst FROM r1
+                     UNION
+                     SELECT a.src, b.dst FROM r1 a
+                     JOIN r1 b ON a.dst = b.src)
+            SELECT DISTINCT src, dst FROM r2
+        """,
+        "community_rollup_parts": _REPEAT_GRAPH_CTE
+        + """
+            , l0 AS (SELECT DISTINCT src AS node, src AS label FROM adj)
+            , c1 AS (SELECT a.src AS node, l.label, COUNT(*) AS votes
+                     FROM adj a JOIN l0 l ON l.node = a.dst
+                     GROUP BY a.src, l.label)
+            , l1 AS (SELECT node, label FROM (
+                       SELECT node, label, row_number() OVER (
+                         PARTITION BY node ORDER BY votes DESC, label ASC
+                       ) AS rn FROM c1) WHERE rn = 1)
+            , c2 AS (SELECT a.src AS node, l.label, COUNT(*) AS votes
+                     FROM adj a JOIN l1 l ON l.node = a.dst
+                     GROUP BY a.src, l.label)
+            , l2 AS (SELECT node, label FROM (
+                       SELECT node, label, row_number() OVER (
+                         PARTITION BY node ORDER BY votes DESC, label ASC
+                       ) AS rn FROM c2) WHERE rn = 1)
+            , c3 AS (SELECT a.src AS node, l.label, COUNT(*) AS votes
+                     FROM adj a JOIN l2 l ON l.node = a.dst
+                     GROUP BY a.src, l.label)
+            , l3 AS (SELECT node, label FROM (
+                       SELECT node, label, row_number() OVER (
+                         PARTITION BY node ORDER BY votes DESC, label ASC
+                       ) AS rn FROM c3) WHERE rn = 1)
+            SELECT least(ls.label, ld.label) AS c_src,
+                   greatest(ls.label, ld.label) AS c_dst,
+                   COUNT(*) AS n_edges,
+                   CAST(SUM(CASE WHEN ls.label = ld.label
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_intra
+            FROM und e
+            JOIN l3 ls ON ls.node = e.src
+            JOIN l3 ld ON ld.node = e.dst
+            GROUP BY 1, 2
+        """,
+        "scd2_orders": """
+            SELECT o_custkey, o_orderkey, o_orderstatus,
+                   o_orderdate AS valid_from,
+                   lead(o_orderdate) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ) AS valid_to,
+                   (lead(o_orderdate) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ) IS NULL) AS is_current
+            FROM orders
+        """,
+        "orders_asof_snapshot": """
+            WITH v AS (
+              SELECT o_custkey, o_orderkey, o_orderstatus,
+                     o_orderdate AS valid_from,
+                     lead(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ) AS valid_to
+              FROM orders)
+            SELECT o_custkey, o_orderkey, o_orderstatus FROM v
+            WHERE valid_from <= DATE '1995-06-17'
+              AND (valid_to IS NULL OR valid_to > DATE '1995-06-17')
+        """,
+        "predicate_stats_docs": """
+            WITH t AS (
+              SELECT printf('doc-%09d', doc_id) AS subj, 'lang' AS pred,
+                     lang AS obj FROM documents
+              UNION ALL
+              SELECT printf('doc-%09d', doc_id), 'source', source
+              FROM documents
+              UNION ALL
+              SELECT printf('doc-%09d', doc_id), 'n_chars',
+                     CAST(n_chars AS VARCHAR) FROM documents)
+            SELECT pred, COUNT(*) AS n_triples,
+                   COUNT(DISTINCT subj) AS n_subj,
+                   COUNT(DISTINCT obj) AS n_obj,
+                   round(COUNT(DISTINCT subj) / COUNT(*), 6)
+                     AS functionality,
+                   round(COUNT(DISTINCT obj) / COUNT(*), 6)
+                     AS inv_functionality
+            FROM t GROUP BY pred
+        """,
         "triangle_counts_parts": _GRAPH_CTE
         + """
             , deg AS (SELECT src AS node, COUNT(*) AS deg FROM adj GROUP BY src)

@@ -64,6 +64,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: Optional[str] = None,
+    init: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank -> (node, rank).
 
@@ -76,7 +77,16 @@ def pagerank(
     Deterministic given the edge set: the only float reduction is a hash
     aggregate whose addition order varies, so compare ranks rounded (the
     oracle rounds to 6); N reaches the driver as a single scalar, ranks
-    never do."""
+    never do.
+
+    `init` warm-starts the iteration from a previous run's (node, rank)
+    output instead of the uniform 1/N vector — the incremental-refresh
+    path: after a graph delta, resume from yesterday's ranks and converge
+    in a fraction of the iterations. Because the sync update is a pure
+    function of the previous vector, warm-starting k iterations from a
+    k-iteration cold run is EXACTLY a 2k-iteration cold run (pinned by
+    the pagerank_warm_parts oracle and test_graph warm-start parity).
+    Nodes absent from `init` (new since the snapshot) start at 1/N."""
     e = edges.select(src, dst, *( [weight] if weight else [] ))
     nodes = (
         e.select(F.col(src).alias("node"))
@@ -99,7 +109,14 @@ def pagerank(
     )
     nodes = nodes.cache()
     teleport = (1.0 - damping) / n
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    if init is not None:
+        ranks = nodes.join(
+            init.select("node", F.col("rank").alias("__r0")), "node", "left"
+        ).select(
+            "node", F.coalesce("__r0", F.lit(1.0 / n)).alias("rank")
+        )
+    else:
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
         contribs = (
             contrib_e.join(
@@ -701,3 +718,81 @@ def shortest_paths(
         if frontier.isEmpty():
             break
     return dist
+
+
+def transitive_closure(
+    edges: DataFrame,
+    doubling_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded transitive closure by iterative doubling -> distinct
+    (src, dst) pairs connected by a directed path of <= 2^rounds hops.
+
+    Path doubling (reach_{t+1} = reach_t UNION reach_t JOIN reach_t)
+    covers hop budget 2^t in t rounds, vs t rounds for frontier BFS
+    (k_hop) — the right shape when the needed depth is large (ontology
+    subsumption chains, supply/lineage DAGs): closure to depth 4096 is
+    12 self-joins, not 4096. The cost is that intermediate relations
+    carry full reachability pairs, so use k_hop for shallow
+    neighborhoods and this for deep/unbounded reachability on sparse
+    DAGs. Distinct after every round bounds the relation by the final
+    closure size; localCheckpoint truncates the exponential lineage.
+    Self-pairs are excluded (irreflexive closure)."""
+    reach = (
+        edges.select(src, dst).filter(F.col(src) != F.col(dst)).distinct()
+    )
+    for _ in range(doubling_rounds):
+        hop = reach.alias("a").join(
+            reach.alias("b"), F.col("a." + dst) == F.col("b." + src)
+        ).select(
+            F.col("a." + src).alias(src), F.col("b." + dst).alias(dst)
+        ).filter(F.col(src) != F.col(dst))
+        reach = reach.unionByName(hop).distinct().localCheckpoint()
+    return reach
+
+
+def community_rollup(
+    edges: DataFrame,
+    labels: Optional[DataFrame] = None,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Graph summarization: collapse communities into supernodes ->
+    (c_src, c_dst, n_edges, n_intra) where c_src <= c_dst are community
+    labels (label_propagation's, unless a (node, label) mapping is
+    given) and n_edges counts the distinct underlying undirected edges
+    between/inside them.
+
+    The standard KG compression step before visualization or
+    coarse-grained reasoning: a 10^10-edge graph becomes a
+    |communities|^2-bounded summary via two hash-joins (edge ⋈ label on
+    each endpoint) and one aggregate — no iteration beyond the label
+    pass itself. Undirected edges are canonicalized (least, greatest)
+    first so each edge is counted once."""
+    und = (
+        edges.select(src, dst)
+        .filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        )
+        .distinct()
+    )
+    if labels is None:
+        labels = label_propagation(edges, iterations, src=src, dst=dst)
+    lab = labels.select("node", "label")
+    return (
+        und.join(lab.withColumnsRenamed({"node": "u", "label": "lu"}), "u")
+        .join(lab.withColumnsRenamed({"node": "v", "label": "lv"}), "v")
+        .select(
+            F.least("lu", "lv").alias("c_src"),
+            F.greatest("lu", "lv").alias("c_dst"),
+            (F.col("lu") == F.col("lv")).cast("int").alias("__intra"),
+        )
+        .groupBy("c_src", "c_dst")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.sum("__intra").alias("n_intra"),
+        )
+    )

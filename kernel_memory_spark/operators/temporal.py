@@ -1,0 +1,74 @@
+"""Temporal KG: SCD2 versioning of fact streams and as-of snapshots.
+
+The reference stores one current value per memory record and overwrites on
+re-upsert (SqlServerMemory/SimpleVectorDb upsert semantics — last write
+wins, history discarded). A KG built from a 100 TB event firehose needs the
+opposite: keep every version, answer "what did the graph say at time T".
+This module derives the standard slowly-changing-dimension-type-2 form
+(valid_from / valid_to / is_current) from an append-only fact stream with
+ONE node-partitioned window — no global sort, no self-join — and serves
+point-in-time snapshots as a pure filter on top.
+
+Scale notes: the only shuffle is the hash partition on the entity key for
+the window; at 10^10 facts that is one exchange, and the window itself is
+a per-partition sort on (ts, tiebreak) — Spark's windowed lead() never
+materializes more than a partition. as_of() is a predicate, so at read
+time it pushes down to parquet row-group pruning on valid_from when the
+version table is stored sorted/partitioned by time.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_versions(
+    facts: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Optional[Sequence[str]] = None,
+    change_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Append-only facts -> SCD2 version rows.
+
+    Adds `valid_from` (the fact's own timestamp), `valid_to` (the NEXT
+    version's timestamp for the same key, null while current) and
+    `is_current`. Ordering within a key is (ts, *tiebreak) — pass a unique
+    tiebreak (an id column) so same-timestamp facts version
+    deterministically.
+
+    If `change_cols` is given, consecutive rows whose change_cols are all
+    equal are collapsed first (run-length compression of no-op re-upserts,
+    the usual 90%+ of a feed): a row is kept iff it differs from its
+    predecessor, via lag() over the same window — still one shuffle.
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    df = facts
+    if change_cols:
+        changed = F.lit(False)
+        for c in change_cols:
+            prev = F.lag(c).over(w)
+            changed = changed | prev.isNull() | (
+                ~F.col(c).eqNullSafe(prev)
+            )
+        df = df.withColumn("__chg", changed).filter("__chg").drop("__chg")
+    out = df.withColumn("valid_from", F.col(ts_col)).withColumn(
+        "valid_to", F.lead(ts_col).over(w)
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def as_of(versions: DataFrame, ts, ts_type: str = "timestamp") -> DataFrame:
+    """Point-in-time snapshot of an SCD2 table: the version valid at `ts`
+    for every key that existed then. Pure predicate — pushes down."""
+    t = F.lit(ts).cast(ts_type)
+    return versions.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )

@@ -614,3 +614,135 @@ class TestClusteringCoefficient:
             2: (2, 1, pytest.approx(1.0)),
             3: (2, 1, pytest.approx(1.0)),
         }
+
+
+class TestWarmStartPageRank:
+    def test_warm_equals_cold(self, spark):
+        """3 warm iterations from a 3-iteration snapshot == 6 cold
+        iterations (the sync update is a pure function of the previous
+        vector), so incremental refresh loses nothing."""
+        pairs = [(1, 2), (2, 3), (1, 3), (4, 1), (3, 4)]
+        e = _edges(spark, pairs)
+        snap = GR.pagerank(e, iterations=3)
+        warm = {
+            r.node: r.rank
+            for r in GR.pagerank(e, iterations=3, init=snap).collect()
+        }
+        cold = {
+            r.node: r.rank for r in GR.pagerank(e, iterations=6).collect()
+        }
+        assert set(warm) == set(cold)
+        for v in cold:
+            assert warm[v] == pytest.approx(cold[v], abs=1e-12)
+
+    def test_new_nodes_default_to_uniform(self, spark):
+        """Nodes absent from the init snapshot start at 1/N: warm-starting
+        the grown graph from the old snapshot equals cold-starting it when
+        the snapshot itself is uniform."""
+        old = GR.pagerank(_edges(spark, [(1, 2), (2, 1)]), iterations=0)
+        grown = _edges(spark, [(1, 2), (2, 1), (2, 3), (3, 1)])
+        # old snapshot is uniform 1/2; new graph N=3 -> init differs for
+        # nodes 1,2 (0.5 vs 1/3) so ONE iteration already diverges from
+        # cold; this asserts node 3 was seeded (no null poisoning).
+        got = {
+            r.node: r.rank
+            for r in GR.pagerank(grown, iterations=1, init=old).collect()
+        }
+        assert set(got) == {1, 2, 3}
+        assert all(v == v and v > 0 for v in got.values())  # no NaN/null
+
+
+def _ref_closure(pairs, max_hops):
+    """Driver-side bounded reachability reference (BFS per source)."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    nodes = set()
+    for u, v in pairs:
+        adj[u].append(v)
+        nodes.update((u, v))
+    out = set()
+    for s in nodes:
+        seen = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if seen[u] == max_hops:
+                continue
+            for v in adj[u]:
+                if v not in seen:
+                    seen[v] = seen[u] + 1
+                    q.append(v)
+        out.update((s, t) for t in seen if t != s)
+    return out
+
+
+class TestTransitiveClosure:
+    def test_chain_doubling(self, spark):
+        """A 9-node chain: 2 doubling rounds reach exactly <= 4 hops."""
+        pairs = [(i, i + 1) for i in range(1, 9)]
+        got = {
+            (r.src, r.dst)
+            for r in GR.transitive_closure(
+                _edges(spark, pairs), doubling_rounds=2
+            ).collect()
+        }
+        assert got == _ref_closure(pairs, max_hops=4)
+
+    def test_dag_matches_reference(self, spark):
+        pairs = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (2, 6)]
+        got = {
+            (r.src, r.dst)
+            for r in GR.transitive_closure(
+                _edges(spark, pairs), doubling_rounds=3
+            ).collect()
+        }
+        assert got == _ref_closure(pairs, max_hops=8)
+
+    def test_cycle_is_irreflexive(self, spark):
+        """On a cycle the closure contains all ordered pairs but never a
+        self-pair."""
+        pairs = [(1, 2), (2, 3), (3, 1)]
+        got = {
+            (r.src, r.dst)
+            for r in GR.transitive_closure(
+                _edges(spark, pairs), doubling_rounds=3
+            ).collect()
+        }
+        assert got == {(u, v) for u in (1, 2, 3) for v in (1, 2, 3) if u != v}
+
+
+class TestCommunityRollup:
+    def test_two_cliques_with_bridge(self, spark):
+        """Two triangles joined by one bridge edge: LPA labels each
+        triangle with its min node id; the rollup has two intra
+        supernodes (3 edges each) and one inter edge."""
+        k1 = [(1, 2), (2, 3), (1, 3)]
+        k2 = [(4, 5), (5, 6), (4, 6)]
+        bridge = [(3, 4)]
+        out = {
+            (r.c_src, r.c_dst): (r.n_edges, r.n_intra)
+            for r in GR.community_rollup(
+                _edges(spark, k1 + k2 + bridge), iterations=3
+            ).collect()
+        }
+        intra = {k: v for k, v in out.items() if k[0] == k[1]}
+        inter = {k: v for k, v in out.items() if k[0] != k[1]}
+        assert sum(v[0] for v in intra.values()) + sum(
+            v[0] for v in inter.values()
+        ) == 7  # every undirected edge counted exactly once
+        assert all(v[0] == v[1] for v in intra.values())  # intra flagged
+        assert all(v[1] == 0 for v in inter.values())
+
+    def test_explicit_labels(self, spark):
+        """Caller-supplied (node, label) mapping bypasses LPA."""
+        labels = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 20)], "node long, label long"
+        )
+        out = {
+            (r.c_src, r.c_dst): r.n_edges
+            for r in GR.community_rollup(
+                _edges(spark, [(1, 2), (2, 3), (1, 3)]), labels=labels
+            ).collect()
+        }
+        assert out == {(10, 10): 1, (10, 20): 2}

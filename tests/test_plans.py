@@ -74,6 +74,12 @@ PURE_JVM = [
     "line_dedup_docs",
     "random_walks_parts",
     "kg_negative_samples",
+    "pagerank_warm_parts",
+    "transitive_closure_parts",
+    "community_rollup_parts",
+    "scd2_orders",
+    "orders_asof_snapshot",
+    "predicate_stats_docs",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must

@@ -1,0 +1,129 @@
+"""SCD2 versioning + as-of snapshots (operators/temporal.py) and
+predicate profiling (operators/kgschema.py) on hand-built facts."""
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kernel_memory_spark.operators import kgschema as KS
+from kernel_memory_spark.operators import temporal as TP
+
+
+def _facts(spark, rows):
+    return spark.createDataFrame(
+        rows, "k string, ts timestamp, val string, id long"
+    )
+
+
+TS = datetime.datetime
+
+
+class TestScd2:
+    def test_chain_and_current(self, spark):
+        rows = [
+            ("a", TS(2024, 1, 1), "x", 1),
+            ("a", TS(2024, 2, 1), "y", 2),
+            ("a", TS(2024, 3, 1), "z", 3),
+            ("b", TS(2024, 1, 15), "q", 4),
+        ]
+        v = {
+            r.id: (r.valid_from, r.valid_to, r.is_current)
+            for r in TP.scd2_versions(
+                _facts(spark, rows), ["k"], "ts", tiebreak_cols=["id"]
+            ).collect()
+        }
+        assert v[1] == (TS(2024, 1, 1), TS(2024, 2, 1), False)
+        assert v[2] == (TS(2024, 2, 1), TS(2024, 3, 1), False)
+        assert v[3] == (TS(2024, 3, 1), None, True)
+        assert v[4] == (TS(2024, 1, 15), None, True)
+
+    def test_same_ts_tiebreak_deterministic(self, spark):
+        rows = [
+            ("a", TS(2024, 1, 1), "x", 2),
+            ("a", TS(2024, 1, 1), "y", 1),
+        ]
+        v = {
+            r.id: r.is_current
+            for r in TP.scd2_versions(
+                _facts(spark, rows), ["k"], "ts", tiebreak_cols=["id"]
+            ).collect()
+        }
+        assert v == {1: False, 2: True}
+
+    def test_change_cols_collapse_noop_reupserts(self, spark):
+        """Runs of identical values collapse; versions step only on
+        actual change."""
+        rows = [
+            ("a", TS(2024, 1, 1), "x", 1),
+            ("a", TS(2024, 2, 1), "x", 2),  # no-op re-upsert, dropped
+            ("a", TS(2024, 3, 1), "y", 3),
+            ("a", TS(2024, 4, 1), "y", 4),  # no-op, dropped
+        ]
+        out = TP.scd2_versions(
+            _facts(spark, rows), ["k"], "ts",
+            tiebreak_cols=["id"], change_cols=["val"],
+        ).collect()
+        assert sorted(r.id for r in out) == [1, 3]
+        v = {r.id: (r.valid_to, r.is_current) for r in out}
+        assert v[1] == (TS(2024, 3, 1), False)
+        assert v[3] == (None, True)
+
+    def test_as_of_snapshot(self, spark):
+        rows = [
+            ("a", TS(2024, 1, 1), "x", 1),
+            ("a", TS(2024, 3, 1), "y", 2),
+            ("b", TS(2024, 2, 10), "q", 3),
+        ]
+        v = TP.scd2_versions(
+            _facts(spark, rows), ["k"], "ts", tiebreak_cols=["id"]
+        )
+        snap = {
+            r.k: r.val
+            for r in TP.as_of(v, TS(2024, 2, 15)).collect()
+        }
+        assert snap == {"a": "x", "b": "q"}
+        # boundary: valid_from inclusive, valid_to exclusive
+        at_change = {
+            r.k: r.val
+            for r in TP.as_of(v, TS(2024, 3, 1)).collect()
+        }
+        assert at_change["a"] == "y"
+        # before anything existed for a key
+        early = {r.k for r in TP.as_of(v, TS(2024, 1, 20)).collect()}
+        assert early == {"a"}
+
+
+class TestPredicateStats:
+    def test_functionality(self, spark):
+        triples = spark.createDataFrame(
+            [
+                ("s1", "name", "Alice"),
+                ("s2", "name", "Bob"),
+                ("s1", "knows", "s2"),
+                ("s1", "knows", "s3"),
+                ("s2", "knows", "s3"),
+            ],
+            "subj string, pred string, obj string",
+        )
+        out = {r.pred: r for r in KS.predicate_stats(triples).collect()}
+        assert out["name"].n_triples == 2
+        assert out["name"].functionality == pytest.approx(1.0)
+        assert out["name"].inv_functionality == pytest.approx(1.0)
+        assert out["knows"].n_triples == 3
+        assert out["knows"].n_subj == 2
+        assert out["knows"].n_obj == 2
+        assert out["knows"].functionality == pytest.approx(
+            round(2 / 3, 6)
+        )
+
+    def test_approx_mode_runs(self, spark):
+        triples = spark.createDataFrame(
+            [("s%d" % i, "p", "o%d" % (i % 3)) for i in range(50)],
+            "subj string, pred string, obj string",
+        )
+        row = KS.predicate_stats(triples, approx=True).collect()[0]
+        assert row.n_triples == 50
+        # HLL is exact at this cardinality
+        assert row.n_obj == 3
