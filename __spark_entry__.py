@@ -1212,6 +1212,57 @@ def predicate_stats_docs(spark, sf):
     return KS.predicate_stats(lineage_triples_docs(spark, sf))
 
 
+def type_hierarchy_parts(spark, sf):
+    """Instance-based type-hierarchy inference (statistical schema
+    induction): entity=part, types = {p_type, p_brand, p_type/p_brand
+    composite}; strict containment recovers the composite -> type and
+    composite -> brand subsumption DAG from instances alone."""
+    from kernel_memory_spark.operators import kgschema as KS
+
+    p = load_table(spark, sf, "part")
+    assign = (
+        p.select(F.col("p_partkey").alias("entity"),
+                 F.col("p_type").alias("type"))
+        .unionByName(
+            p.select(F.col("p_partkey").alias("entity"),
+                     F.col("p_brand").alias("type"))
+        )
+        .unionByName(
+            p.select(
+                F.col("p_partkey").alias("entity"),
+                F.concat_ws("/", "p_type", "p_brand").alias("type"),
+            )
+        )
+    )
+    return KS.type_subsumption(assign, tolerance=0.0)
+
+
+def truth_discovery_orders(spark, sf):
+    """Majority-vote conflict resolution: each customer's orders assert a
+    (possibly different) status; resolve one winner per customer with
+    deterministic tie-break and report how contested the fact was."""
+    from kernel_memory_spark.operators import kgschema as KS
+
+    o = load_table(spark, sf, "orders")
+    t = o.select(
+        F.col("o_custkey").alias("subj"),
+        F.lit("status").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+    )
+    return KS.resolve_conflicts(t)
+
+
+def property_table_docs(spark, sf):
+    """RDF property-table pivot: the lineage triples flattened to one row
+    per document with a column per predicate (one conditional hash agg —
+    no per-predicate joins, no pivot metadata scan)."""
+    from kernel_memory_spark.operators import kgschema as KS
+
+    return KS.property_table(
+        lineage_triples_docs(spark, sf), ["lang", "source", "n_chars"]
+    )
+
+
 def token_shards_docs(spark, sf):
     """Contiguous token-budget export shards: exclusive global running
     token sum (range-partitioned two-phase cumsum, no single-task window)
@@ -1576,6 +1627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_orders": scd2_orders,
         "orders_asof_snapshot": orders_asof_snapshot,
         "predicate_stats_docs": predicate_stats_docs,
+        "type_hierarchy_parts": type_hierarchy_parts,
+        "truth_discovery_orders": truth_discovery_orders,
+        "property_table_docs": property_table_docs,
         "sssp_parts": sssp_parts,
         "hits_parts": hits_parts,
         "clustering_coeff_parts": clustering_coeff_parts,
@@ -2896,6 +2950,58 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
             SELECT o_custkey, o_orderkey, o_orderstatus FROM v
             WHERE valid_from <= DATE '1995-06-17'
               AND (valid_to IS NULL OR valid_to > DATE '1995-06-17')
+        """,
+        "type_hierarchy_parts": """
+            WITH a AS (
+              SELECT p_partkey AS e, p_type AS t FROM part
+              UNION
+              SELECT p_partkey, p_brand FROM part
+              UNION
+              SELECT p_partkey, p_type || '/' || p_brand FROM part
+            ), counts AS (
+              SELECT t, COUNT(*) AS n FROM a GROUP BY t
+            ), pairs AS (
+              SELECT x.t AS ta, y.t AS tb, COUNT(*) AS n_common
+              FROM a x JOIN a y ON x.e = y.e AND x.t <> y.t
+              GROUP BY x.t, y.t)
+            SELECT ta AS sub_type, tb AS super_type,
+                   ca.n AS n_sub, cb.n AS n_super, n_common,
+                   round(n_common / ca.n, 6) AS containment
+            FROM pairs
+            JOIN counts ca ON ca.t = pairs.ta
+            JOIN counts cb ON cb.t = pairs.tb
+            WHERE n_common >= 1.0 * ca.n
+              AND (ca.n < cb.n OR (ca.n = cb.n AND ta < tb))
+        """,
+        "truth_discovery_orders": """
+            WITH votes AS (
+              SELECT o_custkey AS subj, 'status' AS pred,
+                     o_orderstatus AS obj, COUNT(*) AS n_votes
+              FROM orders GROUP BY 1, 2, 3)
+            SELECT subj, pred, obj, n_votes, n_alternatives FROM (
+              SELECT subj, pred, obj, n_votes,
+                     COUNT(*) OVER (PARTITION BY subj, pred)
+                       AS n_alternatives,
+                     row_number() OVER (
+                       PARTITION BY subj, pred
+                       ORDER BY n_votes DESC, obj ASC) AS rn
+              FROM votes) WHERE rn = 1
+        """,
+        "property_table_docs": """
+            WITH t AS (
+              SELECT printf('doc-%09d', doc_id) AS subj, 'lang' AS pred,
+                     lang AS obj FROM documents
+              UNION ALL
+              SELECT printf('doc-%09d', doc_id), 'source', source
+              FROM documents
+              UNION ALL
+              SELECT printf('doc-%09d', doc_id), 'n_chars',
+                     CAST(n_chars AS VARCHAR) FROM documents)
+            SELECT subj,
+                   MIN(CASE WHEN pred = 'lang' THEN obj END) AS lang,
+                   MIN(CASE WHEN pred = 'source' THEN obj END) AS source,
+                   MIN(CASE WHEN pred = 'n_chars' THEN obj END) AS n_chars
+            FROM t GROUP BY subj
         """,
         "predicate_stats_docs": """
             WITH t AS (

@@ -62,3 +62,138 @@ def predicate_stats(
             ),
         )
     )
+
+
+def type_subsumption(
+    assignments: DataFrame,
+    entity: str = "entity",
+    type_col: str = "type",
+    min_support: int = 1,
+    tolerance: float = 0.0,
+    max_types_per_entity: int = 64,
+) -> DataFrame:
+    """Instance-based type-hierarchy inference -> (sub_type, super_type,
+    n_sub, n_super, n_common, containment): sub ⊑ super whenever
+    containment = |inst(sub) ∩ inst(super)| / |inst(sub)| >= 1 - tolerance
+    (and the pair is not symmetric-equal, resolved by (count, name) order).
+
+    The standard subsumption-mining construction (Völker & Niepert 2011,
+    statistical schema induction): no declared ontology, the hierarchy is
+    read off instance containment. One self-join on the entity key
+    produces co-assignment pairs; everything else is hash aggregates.
+
+    Scale guards: entities carrying more than `max_types_per_entity`
+    types are dropped BEFORE the pair join (a tag-spam entity with 10^4
+    types contributes 10^8 pairs — same hub-cap pattern as dedup/linking),
+    and types below `min_support` instances are pruned before pairing.
+    """
+    a = assignments.select(
+        F.col(entity).alias("e"), F.col(type_col).alias("t")
+    ).distinct()
+    # hub cap: bounded multiset of types per entity
+    per_e = a.groupBy("e").agg(F.count("*").alias("__nt"))
+    a = a.join(
+        per_e.filter(F.col("__nt") <= max_types_per_entity).select("e"),
+        "e",
+    )
+    counts = a.groupBy("t").agg(F.count("*").alias("n")).filter(
+        F.col("n") >= min_support
+    )
+    a = a.join(counts.select("t"), "t")
+    pairs = (
+        a.select(F.col("e"), F.col("t").alias("ta"))
+        .join(a.select("e", F.col("t").alias("tb")), "e")
+        .filter(F.col("ta") != F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        pairs.join(
+            counts.select(F.col("t").alias("ta"), F.col("n").alias("n_sub")),
+            "ta",
+        )
+        .join(
+            counts.select(
+                F.col("t").alias("tb"), F.col("n").alias("n_super")
+            ),
+            "tb",
+        )
+        .filter(
+            F.col("n_common") >= (1.0 - tolerance) * F.col("n_sub")
+        )
+        # orient: strictly smaller class is the subtype; equal-extent
+        # pairs orient by name so exactly one direction survives
+        .filter(
+            (F.col("n_sub") < F.col("n_super"))
+            | (
+                (F.col("n_sub") == F.col("n_super"))
+                & (F.col("ta") < F.col("tb"))
+            )
+        )
+    )
+    return out.select(
+        F.col("ta").alias("sub_type"),
+        F.col("tb").alias("super_type"),
+        "n_sub",
+        "n_super",
+        "n_common",
+        F.round(F.col("n_common") / F.col("n_sub"), 6).alias("containment"),
+    )
+
+
+def resolve_conflicts(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Truth discovery for functional predicates -> one (subj, pred)
+    winner per group: majority vote over asserted objects, ties broken by
+    smallest object (deterministic). Returns (subj, pred, obj, n_votes,
+    n_alternatives) where n_alternatives counts DISTINCT competing values
+    (1 = no conflict existed).
+
+    The baseline resolution step when multiple sources assert different
+    values for the same fact (majority voting is the standard strawman
+    every truth-discovery paper starts from — Dong & Srivastava 2013).
+    One hash aggregate + one keyed window; scale-safe at any subject
+    cardinality because the window partitions on (subj, pred)."""
+    from pyspark.sql import Window
+
+    votes = triples.groupBy(subj, pred, obj).agg(
+        F.count("*").alias("n_votes")
+    )
+    w = Window.partitionBy(subj, pred)
+    pick = Window.partitionBy(subj, pred).orderBy(
+        F.desc("n_votes"), F.asc(obj)
+    )
+    return (
+        votes.withColumn("n_alternatives", F.count("*").over(w))
+        .withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(subj, pred, obj, "n_votes", "n_alternatives")
+    )
+
+
+def property_table(
+    triples: DataFrame,
+    predicates: list,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Pivot a triple relation into the classic RDF property-table layout
+    -> (subj, <one column per predicate>), taking the MIN object when a
+    predicate is multi-valued (deterministic; resolve_conflicts first for
+    vote semantics).
+
+    The property table is the standard physical design for wide KG reads
+    (Wilkinson 2006; every triple store's 'flatten' step): one conditional
+    hash aggregate, no join per predicate, no pivot-API metadata scan —
+    the predicate list is explicit because at 100 TB you never want a
+    distinct-scan of `pred` just to name columns."""
+    aggs = [
+        F.min(F.when(F.col(pred) == p, F.col(obj))).alias(p)
+        for p in predicates
+    ]
+    return triples.groupBy(F.col(subj).alias("subj")).agg(*aggs)

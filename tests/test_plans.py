@@ -80,6 +80,9 @@ PURE_JVM = [
     "scd2_orders",
     "orders_asof_snapshot",
     "predicate_stats_docs",
+    "type_hierarchy_parts",
+    "truth_discovery_orders",
+    "property_table_docs",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
