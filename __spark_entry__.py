@@ -1212,6 +1212,54 @@ def predicate_stats_docs(spark, sf):
     return KS.predicate_stats(lineage_triples_docs(spark, sf))
 
 
+def bgp_match_docs(spark, sf):
+    """SPARQL-style basic-graph-pattern query over the lineage triples:
+    { ?d lang 'en' . ?d source ?src . ?d n_chars ?n } compiled into
+    filtered scans + equi-joins (join order / broadcast left to Catalyst
+    + AQE) — the conjunctive query primitive of a triple-modelled KG."""
+    from kernel_memory_spark.plans.bgp import bgp_match
+
+    t = lineage_triples_docs(spark, sf)
+    return bgp_match(
+        t,
+        [
+            ("?d", "lang", "en"),
+            ("?d", "source", "?src"),
+            ("?d", "n_chars", "?n"),
+        ],
+    )
+
+
+def meta_block_docs(spark, sf):
+    """Meta-blocking ER candidates over 5-word shingle blocks: block
+    purging at 50 docs, CBS weight >= 2, node-centric top-3 pruning —
+    the comparison-matrix reducer for dirty KG merges (the planted
+    near-dups surface with shingle weights 50-90; unrelated docs share
+    almost no capped shingle)."""
+    from kernel_memory_spark.operators import blocking as BL
+
+    docs = load_table(spark, sf, "documents")
+    ws = F.split(F.lower(F.trim("text")), r"\s+")
+    # sequence(1, 0) yields a DESCENDING [1, 0] in Spark, so short docs
+    # need the explicit empty-array branch
+    shingles = F.expr(
+        "CASE WHEN size(__ws) >= 5 THEN"
+        " transform(sequence(1, size(__ws) - 4),"
+        " i -> array_join(slice(__ws, i, 5), ' '))"
+        " ELSE array() END"
+    )
+    assign = (
+        docs.withColumn("__ws", ws)
+        .select(
+            F.col("doc_id").alias("entity"),
+            F.explode(shingles).alias("block"),
+        )
+    )
+    return BL.meta_block(
+        assign, max_block_size=50, min_common_blocks=2, top_k=3
+    )
+
+
 def type_hierarchy_parts(spark, sf):
     """Instance-based type-hierarchy inference (statistical schema
     induction): entity=part, types = {p_type, p_brand, p_type/p_brand
@@ -1630,6 +1678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_hierarchy_parts": type_hierarchy_parts,
         "truth_discovery_orders": truth_discovery_orders,
         "property_table_docs": property_table_docs,
+        "bgp_match_docs": bgp_match_docs,
+        "meta_block_docs": meta_block_docs,
         "sssp_parts": sssp_parts,
         "hits_parts": hits_parts,
         "clustering_coeff_parts": clustering_coeff_parts,
@@ -2950,6 +3000,52 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
             SELECT o_custkey, o_orderkey, o_orderstatus FROM v
             WHERE valid_from <= DATE '1995-06-17'
               AND (valid_to IS NULL OR valid_to > DATE '1995-06-17')
+        """,
+        "bgp_match_docs": """
+            WITH t AS (
+              SELECT printf('doc-%09d', doc_id) AS subj, 'lang' AS pred,
+                     lang AS obj FROM documents
+              UNION ALL
+              SELECT printf('doc-%09d', doc_id), 'source', source
+              FROM documents
+              UNION ALL
+              SELECT printf('doc-%09d', doc_id), 'n_chars',
+                     CAST(n_chars AS VARCHAR) FROM documents)
+            SELECT DISTINCT a.subj AS d, b.obj AS src, c.obj AS n
+            FROM t a
+            JOIN t b ON b.subj = a.subj
+            JOIN t c ON c.subj = a.subj
+            WHERE a.pred = 'lang' AND a.obj = 'en'
+              AND b.pred = 'source' AND c.pred = 'n_chars'
+        """,
+        "meta_block_docs": """
+            WITH w AS (
+              SELECT doc_id AS e,
+                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents),
+            a AS (
+              SELECT DISTINCT e,
+                     array_to_string(ws[i:i+4], ' ') AS blk
+              FROM w, unnest(range(1, greatest(len(ws) - 3, 1)))
+                       AS t(i)),
+            sizes AS (SELECT blk, COUNT(*) AS n FROM a GROUP BY blk),
+            kept AS (
+              SELECT a.e, a.blk FROM a
+              JOIN sizes s ON s.blk = a.blk AND s.n <= 50),
+            pairs AS (
+              SELECT x.e AS a, y.e AS b, COUNT(*) AS n_common_blocks
+              FROM kept x JOIN kept y ON x.blk = y.blk AND x.e < y.e
+              GROUP BY x.e, y.e
+              HAVING COUNT(*) >= 2),
+            ranked AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY a
+                       ORDER BY n_common_blocks DESC, b ASC) AS ra,
+                     row_number() OVER (PARTITION BY b
+                       ORDER BY n_common_blocks DESC, a ASC) AS rb
+              FROM pairs)
+            SELECT a, b, n_common_blocks FROM ranked
+            WHERE ra <= 3 OR rb <= 3
         """,
         "type_hierarchy_parts": """
             WITH a AS (

@@ -83,6 +83,8 @@ PURE_JVM = [
     "type_hierarchy_parts",
     "truth_discovery_orders",
     "property_table_docs",
+    "bgp_match_docs",
+    "meta_block_docs",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
