@@ -5,6 +5,8 @@ directory and print one JSON line of per-query walls.
 Usage:
     python scripts/bench_graph_sf.py /root/testdata/sf0.1
     python scripts/bench_graph_sf.py /dev/shm/sf1.0
+    python scripts/bench_graph_sf.py /dev/shm/sf1.0 scd2_orders bgp_match_docs
+    (extra args override the default graph-family query list)
 
 Same protocol as bench.py: local[$SPARK_GRAFT_CPUS] (default 32), walls
 measured around a .count() that forces full execution, loadavg recorded
@@ -39,6 +41,7 @@ QUERIES = [
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    queries = sys.argv[2:] or QUERIES
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
         master=f"local[{cpus}]", shuffle_partitions=max(32, cpus)
@@ -46,7 +49,7 @@ def main() -> None:
     qmap = entry.queries()
     load_before = os.getloadavg()[0]
     walls, rows = {}, {}
-    for name in QUERIES:
+    for name in queries:
         t0 = time.monotonic()
         rows[name] = qmap[name](spark, sf_dir).count()
         walls[name] = round(time.monotonic() - t0, 2)
