@@ -1203,6 +1203,39 @@ def orders_asof_snapshot(spark, sf):
     return snap.select("o_custkey", "o_orderkey", "o_orderstatus")
 
 
+def scd2_upsert_orders(spark, sf):
+    """Incremental SCD2 merge: version the pre-1996 orders, then fold the
+    1996+ batch in with scd2_apply (touched keys re-windowed, untouched
+    pass through one anti-join). The oracle is the FULL-recompute SQL —
+    the driver hash-pins incremental == from-scratch."""
+    from kernel_memory_spark.operators import temporal as TP
+
+    o = load_table(spark, sf, "orders")
+    cut = F.col("o_orderdate") < F.lit("1996-01-01").cast("date")
+    initial = TP.scd2_versions(
+        o.filter(cut), ["o_custkey"], "o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+    )
+    merged = TP.scd2_apply(
+        initial, o.filter(~cut), ["o_custkey"], "o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+    )
+    return merged.select(
+        "o_custkey", "o_orderkey", "o_orderstatus",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+def funnel_events(spark, sf):
+    """Ordered view -> click -> purchase funnel per user: earliest step-i
+    time strictly after step i-1; N conditional min-aggregates on the
+    user key, no windows, no per-user sort."""
+    from kernel_memory_spark.operators import sessions as SN
+
+    e = load_table(spark, sf, "events")
+    return SN.funnel(e, ["view", "click", "purchase"])
+
+
 def predicate_stats_docs(spark, sf):
     """KG schema discovery: per-predicate functionality / inverse
     functionality (PARIS statistics) over the document lineage triples —
@@ -1675,6 +1708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_orders": scd2_orders,
         "orders_asof_snapshot": orders_asof_snapshot,
         "predicate_stats_docs": predicate_stats_docs,
+        "scd2_upsert_orders": scd2_upsert_orders,
+        "funnel_events": funnel_events,
         "type_hierarchy_parts": type_hierarchy_parts,
         "truth_discovery_orders": truth_discovery_orders,
         "property_table_docs": property_table_docs,
@@ -3000,6 +3035,43 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
             SELECT o_custkey, o_orderkey, o_orderstatus FROM v
             WHERE valid_from <= DATE '1995-06-17'
               AND (valid_to IS NULL OR valid_to > DATE '1995-06-17')
+        """,
+        # incremental == full recompute: scd2_apply's oracle IS the
+        # from-scratch versioning SQL
+        "scd2_upsert_orders": """
+            SELECT o_custkey, o_orderkey, o_orderstatus,
+                   o_orderdate AS valid_from,
+                   lead(o_orderdate) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ) AS valid_to,
+                   (lead(o_orderdate) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ) IS NULL) AS is_current
+            FROM orders
+        """,
+        "funnel_events": """
+            WITH s1 AS (
+              SELECT user_id, MIN(ts) AS t_1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+              SELECT e.user_id, MIN(e.ts) AS t_2 FROM events e
+              JOIN s1 ON s1.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t_1
+              GROUP BY e.user_id),
+            s3 AS (
+              SELECT e.user_id, MIN(e.ts) AS t_3 FROM events e
+              JOIN s2 ON s2.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t_2
+              GROUP BY e.user_id)
+            SELECT s1.user_id, t_1, t_2, t_3,
+                   (1 + CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END)
+                       AS steps_completed
+            FROM s1
+            LEFT JOIN s2 ON s2.user_id = s1.user_id
+            LEFT JOIN s3 ON s3.user_id = s1.user_id
         """,
         "bgp_match_docs": """
             WITH t AS (

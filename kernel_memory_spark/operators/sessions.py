@@ -71,3 +71,50 @@ def session_stats(
             "duration_sec"
         ),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel completion per user -> (user, t_1..t_N,
+    steps_completed): t_i is the EARLIEST occurrence of step i strictly
+    AFTER t_{i-1} (the standard product-analytics funnel — a user who
+    fires B before ever firing A has not completed A->B).
+
+    Shape: one conditional min-aggregate per step, each keyed on the
+    user column — N hash aggregates and N-1 user-keyed joins, no window,
+    no explode, no per-user sort. Each aggregate is map-side combined,
+    so hot users cost one partial per partition; at 10^10 events the
+    plan is N sequential shuffles of |users| rows each (and the join key
+    never changes, so a real cluster re-uses the partitioning across
+    stages)."""
+    ts = F.col(ts_col)
+    out = None
+    prev_t = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == F.lit(step)
+        if prev_t is None:
+            cur = events.filter(cond).groupBy(user_col).agg(
+                F.min(ts).alias(f"t_{i}")
+            )
+        else:
+            cur = (
+                events.join(
+                    out.select(user_col, F.col(prev_t).alias("__p")),
+                    user_col,
+                )
+                .filter(cond & (ts > F.col("__p")))
+                .groupBy(user_col)
+                .agg(F.min(ts).alias(f"t_{i}"))
+            )
+        out = out.join(cur, user_col, "left") if out is not None else cur
+        prev_t = f"t_{i}"
+    completed = sum(
+        F.col(f"t_{i}").isNotNull().cast("int")
+        for i in range(1, len(steps) + 1)
+    )
+    return out.withColumn("steps_completed", completed)

@@ -72,3 +72,44 @@ def as_of(versions: DataFrame, ts, ts_type: str = "timestamp") -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     )
+
+
+def scd2_apply(
+    versions: DataFrame,
+    new_facts: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Optional[Sequence[str]] = None,
+    change_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Incrementally fold a new fact batch into an existing SCD2 table.
+
+    Only keys PRESENT IN THE BATCH are re-versioned: their historical fact
+    rows are reconstructed from the version table (an SCD2 row carries the
+    original fact columns; valid_from/valid_to/is_current are derived),
+    unioned with the batch, and re-windowed; untouched keys pass through
+    by reference via one anti-join. Late-arriving facts are therefore
+    handled exactly — a fact older than the current head splices into the
+    middle of its key's chain and the downstream validity intervals
+    shift, which pure append-only fast paths get wrong.
+
+    Cost is O(facts of touched keys), not O(table): the same
+    touched-partition contract as the FTS/PMI/ANN incremental index
+    maintenance (sources/tables.py merge_partitioned). The result is
+    bit-identical to scd2_versions(all facts) — pinned by the
+    scd2_upsert_orders driver oracle (which IS the full-recompute SQL)
+    and the parity pytest."""
+    derived = {"valid_from", "valid_to", "is_current"}
+    fact_cols = [c for c in versions.columns if c not in derived]
+    touched = new_facts.select(*key_cols).distinct()
+    untouched = versions.join(touched, list(key_cols), "left_anti")
+    redo = (
+        versions.join(touched, list(key_cols), "semi")
+        .select(*fact_cols)
+        .unionByName(new_facts.select(*fact_cols))
+    )
+    redone = scd2_versions(
+        redo, key_cols, ts_col,
+        tiebreak_cols=tiebreak_cols, change_cols=change_cols,
+    )
+    return untouched.unionByName(redone)

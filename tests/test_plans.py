@@ -85,6 +85,8 @@ PURE_JVM = [
     "property_table_docs",
     "bgp_match_docs",
     "meta_block_docs",
+    "scd2_upsert_orders",
+    "funnel_events",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must

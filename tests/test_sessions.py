@@ -49,3 +49,56 @@ class TestSessionize:
             ).collect()
         }
         assert stats == {"1#1": (2, 600), "1#2": (1, 0)}
+
+
+class TestFunnel:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+
+    def test_ordered_completion(self, spark):
+        import datetime as dt
+
+        T = dt.datetime
+        from kernel_memory_spark.operators.sessions import funnel
+
+        rows = [
+            # u1 completes in order
+            (1, T(2024, 1, 1, 10), "view"),
+            (1, T(2024, 1, 1, 11), "click"),
+            (1, T(2024, 1, 1, 12), "purchase"),
+            # u2 clicks BEFORE viewing: click must not count
+            (2, T(2024, 1, 1, 9), "click"),
+            (2, T(2024, 1, 1, 10), "view"),
+            # u3 views only
+            (3, T(2024, 1, 1, 8), "view"),
+            # u4 never views -> absent entirely
+            (4, T(2024, 1, 1, 8), "purchase"),
+        ]
+        out = {
+            r.user_id: (r.t_1, r.t_2, r.t_3, r.steps_completed)
+            for r in funnel(
+                self._events(spark, rows), ["view", "click", "purchase"]
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert out[1][3] == 3
+        assert out[2] == (T(2024, 1, 1, 10), None, None, 1)
+        assert out[3][3] == 1
+
+    def test_earliest_qualifying_step_time(self, spark):
+        import datetime as dt
+
+        T = dt.datetime
+        from kernel_memory_spark.operators.sessions import funnel
+
+        rows = [
+            (1, T(2024, 1, 1, 10), "view"),
+            (1, T(2024, 1, 1, 11), "click"),
+            (1, T(2024, 1, 1, 12), "click"),  # later click ignored
+        ]
+        row = funnel(
+            self._events(spark, rows), ["view", "click"]
+        ).collect()[0]
+        assert row.t_2 == T(2024, 1, 1, 11)

@@ -127,3 +127,71 @@ class TestPredicateStats:
         assert row.n_triples == 50
         # HLL is exact at this cardinality
         assert row.n_obj == 3
+
+
+class TestScd2Apply:
+    def _all(self, spark, rows):
+        return _facts(spark, rows)
+
+    def test_parity_with_full_recompute(self, spark):
+        initial_rows = [
+            ("a", TS(2024, 1, 1), "x", 1),
+            ("a", TS(2024, 2, 1), "y", 2),
+            ("b", TS(2024, 1, 5), "q", 3),
+        ]
+        batch_rows = [
+            ("a", TS(2024, 3, 1), "z", 4),
+            ("c", TS(2024, 2, 2), "w", 5),
+        ]
+        initial = TP.scd2_versions(
+            self._all(spark, initial_rows), ["k"], "ts",
+            tiebreak_cols=["id"],
+        )
+        merged = TP.scd2_apply(
+            initial, self._all(spark, batch_rows), ["k"], "ts",
+            tiebreak_cols=["id"],
+        )
+        full = TP.scd2_versions(
+            self._all(spark, initial_rows + batch_rows), ["k"], "ts",
+            tiebreak_cols=["id"],
+        )
+        key = lambda r: (r.k, r.id)
+        got = sorted(merged.collect(), key=key)
+        want = sorted(full.collect(), key=key)
+        assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+    def test_late_arrival_splices_chain(self, spark):
+        """A fact OLDER than the key's head re-threads the validity
+        chain — the case append-only fast paths corrupt."""
+        initial = TP.scd2_versions(
+            self._all(spark, [
+                ("a", TS(2024, 1, 1), "x", 1),
+                ("a", TS(2024, 3, 1), "z", 3),
+            ]),
+            ["k"], "ts", tiebreak_cols=["id"],
+        )
+        merged = TP.scd2_apply(
+            initial,
+            self._all(spark, [("a", TS(2024, 2, 1), "y", 2)]),
+            ["k"], "ts", tiebreak_cols=["id"],
+        )
+        v = {
+            r.id: (r.valid_from, r.valid_to, r.is_current)
+            for r in merged.collect()
+        }
+        assert v[1] == (TS(2024, 1, 1), TS(2024, 2, 1), False)
+        assert v[2] == (TS(2024, 2, 1), TS(2024, 3, 1), False)
+        assert v[3] == (TS(2024, 3, 1), None, True)
+
+    def test_untouched_keys_pass_through(self, spark):
+        initial = TP.scd2_versions(
+            self._all(spark, [("b", TS(2024, 1, 1), "q", 1)]),
+            ["k"], "ts", tiebreak_cols=["id"],
+        )
+        merged = TP.scd2_apply(
+            initial,
+            self._all(spark, [("a", TS(2024, 1, 2), "x", 2)]),
+            ["k"], "ts", tiebreak_cols=["id"],
+        )
+        v = {r.k: r.is_current for r in merged.collect()}
+        assert v == {"a": True, "b": True}
