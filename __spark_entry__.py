@@ -1271,6 +1271,13 @@ def meta_block_docs(spark, sf):
     almost no capped shingle)."""
     from kernel_memory_spark.operators import blocking as BL
 
+    return BL.meta_block(
+        _shingle_assign(spark, sf),
+        max_block_size=50, min_common_blocks=2, top_k=3,
+    )
+
+
+def _shingle_assign(spark, sf):
     docs = load_table(spark, sf, "documents")
     ws = F.split(F.lower(F.trim("text")), r"\s+")
     # sequence(1, 0) yields a DESCENDING [1, 0] in Spark, so short docs
@@ -1281,16 +1288,28 @@ def meta_block_docs(spark, sf):
         " i -> array_join(slice(__ws, i, 5), ' '))"
         " ELSE array() END"
     )
-    assign = (
-        docs.withColumn("__ws", ws)
-        .select(
-            F.col("doc_id").alias("entity"),
-            F.explode(shingles).alias("block"),
-        )
+    return docs.withColumn("__ws", ws).select(
+        F.col("doc_id").alias("entity"),
+        F.explode(shingles).alias("block"),
     )
-    return BL.meta_block(
+
+
+def blocking_quality_docs(spark, sf):
+    """Blocking evaluation: the pruned meta-blocking candidate set scored
+    against a high-recall weighted truth set (shingle weight >= 20, cap
+    500) — pairs completeness (recall of the comparison set) and
+    reduction ratio (fraction of the quadratic matrix avoided)."""
+    from kernel_memory_spark.operators import blocking as BL
+
+    assign = _shingle_assign(spark, sf)
+    cand = BL.meta_block(
         assign, max_block_size=50, min_common_blocks=2, top_k=3
     )
+    truth = BL.meta_block(
+        assign, max_block_size=500, min_common_blocks=20
+    )
+    docs = load_table(spark, sf, "documents")
+    return BL.blocking_quality(cand, truth, docs)
 
 
 def type_hierarchy_parts(spark, sf):
@@ -1715,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_table_docs": property_table_docs,
         "bgp_match_docs": bgp_match_docs,
         "meta_block_docs": meta_block_docs,
+        "blocking_quality_docs": blocking_quality_docs,
         "sssp_parts": sssp_parts,
         "hits_parts": hits_parts,
         "clustering_coeff_parts": clustering_coeff_parts,
@@ -3118,6 +3138,55 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
               FROM pairs)
             SELECT a, b, n_common_blocks FROM ranked
             WHERE ra <= 3 OR rb <= 3
+        """,
+        "blocking_quality_docs": """
+            WITH w AS (
+              SELECT doc_id AS e,
+                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents),
+            asg AS (
+              SELECT DISTINCT e,
+                     array_to_string(ws[i:i+4], ' ') AS blk
+              FROM w, unnest(range(1, greatest(len(ws) - 3, 1)))
+                       AS t(i)),
+            sizes AS (SELECT blk, COUNT(*) AS n FROM asg GROUP BY blk),
+            kept AS (
+              SELECT asg.e, asg.blk FROM asg
+              JOIN sizes s ON s.blk = asg.blk AND s.n <= 50),
+            pairs AS (
+              SELECT x.e AS a, y.e AS b, COUNT(*) AS w
+              FROM kept x JOIN kept y ON x.blk = y.blk AND x.e < y.e
+              GROUP BY x.e, y.e HAVING COUNT(*) >= 2),
+            cand AS (
+              SELECT a, b FROM (
+                SELECT a, b,
+                       row_number() OVER (PARTITION BY a
+                         ORDER BY w DESC, b ASC) AS ra,
+                       row_number() OVER (PARTITION BY b
+                         ORDER BY w DESC, a ASC) AS rb
+                FROM pairs) WHERE ra <= 3 OR rb <= 3),
+            kept5 AS (
+              SELECT asg.e, asg.blk FROM asg
+              JOIN sizes s ON s.blk = asg.blk AND s.n <= 500),
+            truth AS (
+              SELECT x.e AS a, y.e AS b
+              FROM kept5 x JOIN kept5 y ON x.blk = y.blk AND x.e < y.e
+              GROUP BY x.e, y.e HAVING COUNT(*) >= 20),
+            m AS (
+              SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+                     (SELECT COUNT(*) FROM truth) AS n_true,
+                     (SELECT COUNT(*) FROM truth t
+                      WHERE EXISTS (SELECT 1 FROM cand c
+                                    WHERE c.a = t.a AND c.b = t.b))
+                       AS n_covered,
+                     (SELECT COUNT(*) FROM documents) AS nn)
+            SELECT n_candidates, n_true, n_covered,
+                   round(CASE WHEN n_true > 0
+                         THEN n_covered / n_true ELSE 1.0 END, 6)
+                     AS pairs_completeness,
+                   round(1.0 - n_candidates / (nn * (nn - 1) / 2.0), 6)
+                     AS reduction_ratio
+            FROM m
         """,
         "type_hierarchy_parts": """
             WITH a AS (

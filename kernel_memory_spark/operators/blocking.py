@@ -75,3 +75,55 @@ def meta_block(
         .filter((F.col("__ra") <= top_k) | (F.col("__rb") <= top_k))
         .select("a", "b", "n_common_blocks")
     )
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    truth: DataFrame,
+    entities: DataFrame,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Standard blocking evaluation -> ONE row (n_candidates, n_true,
+    n_covered, pairs_completeness, reduction_ratio).
+
+    pairs_completeness = |candidates ∩ truth| / |truth| (recall of the
+    comparison set); reduction_ratio = 1 - |candidates| / C(n, 2) (how
+    much of the quadratic matrix was avoided) — the two axes every
+    blocking paper reports (Christen 2012). Both inputs are canonical
+    a < b pair sets; `entities` is the entity relation whose count sets
+    the denominator.
+
+    Plan: three 1-row aggregates (candidate count, truth count + covered
+    count via a semi-join, entity count) cross-joined into the metrics
+    row — the crosses are broadcast nested loops against single-row
+    relations, never a shuffle."""
+    cand = candidates.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    tr = truth.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_true = tr.agg(F.count("*").alias("n_true"))
+    n_cov = tr.join(cand, ["a", "b"], "semi").agg(
+        F.count("*").alias("n_covered")
+    )
+    n_ent = entities.agg(F.count("*").alias("__n"))
+    return (
+        n_cand.crossJoin(n_true)
+        .crossJoin(n_cov)
+        .crossJoin(n_ent)
+        .select(
+            "n_candidates",
+            "n_true",
+            "n_covered",
+            F.round(
+                F.when(F.col("n_true") > 0,
+                       F.col("n_covered") / F.col("n_true"))
+                .otherwise(F.lit(1.0)), 6
+            ).alias("pairs_completeness"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_candidates")
+                / (F.col("__n") * (F.col("__n") - 1) / 2.0),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )

@@ -144,3 +144,35 @@ class TestMetaBlock:
         rows = [(1, "x"), (1, "x"), (2, "x")]
         out = BL.meta_block(_assign(spark, rows)).collect()
         assert {(r.a, r.b, r.n_common_blocks) for r in out} == {(1, 2, 1)}
+
+
+class TestBlockingQuality:
+    def test_metrics(self, spark):
+        pairs = lambda rows: spark.createDataFrame(rows, "a long, b long")
+        ents = spark.createDataFrame([(i,) for i in range(5)], "e long")
+        cand = pairs([(1, 2), (3, 4), (1, 3)])
+        truth = pairs([(1, 2), (3, 4), (2, 3), (4, 5)])
+        row = __import__(
+            "kernel_memory_spark.operators.blocking", fromlist=["x"]
+        ).blocking_quality(cand, truth, ents).collect()[0]
+        assert (row.n_candidates, row.n_true, row.n_covered) == (3, 4, 2)
+        assert row.pairs_completeness == 0.5
+        assert row.reduction_ratio == 0.7  # 1 - 3/10
+
+    def test_empty_truth_gives_completeness_one(self, spark):
+        pairs = lambda rows, s="a long, b long": spark.createDataFrame(
+            rows, s
+        )
+        import pyspark.sql.types as T
+
+        empty = spark.createDataFrame(
+            [], T.StructType([
+                T.StructField("a", T.LongType()),
+                T.StructField("b", T.LongType()),
+            ])
+        )
+        ents = spark.createDataFrame([(i,) for i in range(3)], "e long")
+        row = __import__(
+            "kernel_memory_spark.operators.blocking", fromlist=["x"]
+        ).blocking_quality(pairs([(1, 2)]), empty, ents).collect()[0]
+        assert row.pairs_completeness == 1.0

@@ -85,6 +85,7 @@ PURE_JVM = [
     "property_table_docs",
     "bgp_match_docs",
     "meta_block_docs",
+    "blocking_quality_docs",
     "scd2_upsert_orders",
     "funnel_events",
 ]
@@ -121,6 +122,8 @@ SCALAR_CROSS = {
     "temperature_mix_docs",
     # HITS L2 norms: 1-row aggregate broadcast back per normalize
     "hits_parts",
+    # blocking metrics: three 1-row aggregates crossed into one row
+    "blocking_quality_docs",
 }
 
 
