@@ -1048,6 +1048,19 @@ def adamic_adar_capped(spark, sf):
     )
 
 
+def neighbor_jaccard_parts(spark, sf):
+    """Jaccard-coefficient link prediction over the repeat co-purchase
+    graph — set-overlap missing-edge candidates, the adamic_adar sibling
+    (numerator from the same wedge join, denominator from full endpoint
+    degrees)."""
+    from kernel_memory_spark.operators import graph as GR
+
+    out = GR.neighbor_jaccard(_repeat_copurchase_edges(spark, sf))
+    return out.select(
+        "u", "v", "n_common", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def lpa_communities_parts(spark, sf):
     """Deterministic synchronous label-propagation communities (3 rounds,
     min-label tie-break) over the repeat co-purchase graph."""
@@ -1310,6 +1323,22 @@ def blocking_quality_docs(spark, sf):
     )
     docs = load_table(spark, sf, "documents")
     return BL.blocking_quality(cand, truth, docs)
+
+
+def er_match_scores_docs(spark, sf):
+    """Record-linkage comparison stage: meta-blocked candidate doc pairs
+    scored with token-jaccard + capped-prefix levenshtein + length-ratio
+    features, combined Fellegi-Sunter-style into match/possible/non_match
+    tiers."""
+    from kernel_memory_spark.operators import blocking as BL
+    from kernel_memory_spark.operators import matching as MT
+
+    cand = BL.meta_block(
+        _shingle_assign(spark, sf),
+        max_block_size=50, min_common_blocks=2, top_k=3,
+    )
+    docs = load_table(spark, sf, "documents")
+    return MT.match_scores(cand, docs)
 
 
 def type_hierarchy_parts(spark, sf):
@@ -1717,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts_parts": triangle_counts_parts,
         "khop_parts": khop_parts,
         "adamic_adar_parts": adamic_adar_parts,
+        "neighbor_jaccard_parts": neighbor_jaccard_parts,
         "adamic_adar_capped": adamic_adar_capped,
         "lpa_communities_parts": lpa_communities_parts,
         "kcore_parts": kcore_parts,
@@ -1735,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_match_docs": bgp_match_docs,
         "meta_block_docs": meta_block_docs,
         "blocking_quality_docs": blocking_quality_docs,
+        "er_match_scores_docs": er_match_scores_docs,
         "sssp_parts": sssp_parts,
         "hits_parts": hits_parts,
         "clustering_coeff_parts": clustering_coeff_parts,
@@ -3139,6 +3170,68 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
             SELECT a, b, n_common_blocks FROM ranked
             WHERE ra <= 3 OR rb <= 3
         """,
+        "er_match_scores_docs": """
+            WITH w AS (
+              SELECT doc_id AS e,
+                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents),
+            asg AS (
+              SELECT DISTINCT e,
+                     array_to_string(ws[i:i+4], ' ') AS blk
+              FROM w, unnest(range(1, greatest(len(ws) - 3, 1)))
+                       AS t(i)),
+            sizes AS (SELECT blk, COUNT(*) AS n FROM asg GROUP BY blk),
+            kept AS (
+              SELECT asg.e, asg.blk FROM asg
+              JOIN sizes s ON s.blk = asg.blk AND s.n <= 50),
+            prs AS (
+              SELECT x.e AS a, y.e AS b, COUNT(*) AS wgt
+              FROM kept x JOIN kept y ON x.blk = y.blk AND x.e < y.e
+              GROUP BY x.e, y.e HAVING COUNT(*) >= 2),
+            cand AS (
+              SELECT a, b FROM (
+                SELECT a, b,
+                       row_number() OVER (PARTITION BY a
+                         ORDER BY wgt DESC, b ASC) AS ra,
+                       row_number() OVER (PARTITION BY b
+                         ORDER BY wgt DESC, a ASC) AS rb
+                FROM prs) WHERE ra <= 3 OR rb <= 3),
+            rec AS (
+              SELECT doc_id AS k, lower(trim(text)) AS t FROM documents),
+            feat AS (
+              SELECT c.a, c.b,
+                     list_distinct(string_split_regex(ra.t, '\\s+')) AS wa,
+                     list_distinct(string_split_regex(rb.t, '\\s+')) AS wb,
+                     substr(ra.t, 1, 80) AS pa,
+                     substr(rb.t, 1, 80) AS pb,
+                     length(ra.t) AS la, length(rb.t) AS lb
+              FROM cand c
+              JOIN rec ra ON ra.k = c.a
+              JOIN rec rb ON rb.k = c.b),
+            fx AS (
+              SELECT a, b,
+                     len(list_filter(wa, x -> list_contains(wb, x)))
+                       / greatest(len(wa) + len(wb)
+                           - len(list_filter(wa, x -> list_contains(wb, x))),
+                           1) AS jac,
+                     1.0 - levenshtein(pa, pb)
+                       / greatest(length(pa), length(pb), 1) AS lev,
+                     least(la, lb) / greatest(la, lb, 1) AS lenr
+              FROM feat),
+            sc AS (
+              SELECT a, b,
+                     round(jac, 6) AS token_jaccard,
+                     round(lev, 6) AS lev_sim,
+                     round(lenr, 6) AS len_ratio,
+                     round(0.5 * jac + 0.3 * lev + 0.2 * lenr, 6)
+                       AS score
+              FROM fx)
+            SELECT a, b, token_jaccard, lev_sim, len_ratio, score,
+                   CASE WHEN score >= 0.75 THEN 'match'
+                        WHEN score >= 0.45 THEN 'possible'
+                        ELSE 'non_match' END AS tier
+            FROM sc
+        """,
         "blocking_quality_docs": """
             WITH w AS (
               SELECT doc_id AS e,
@@ -3326,6 +3419,24 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                 GROUP BY l.u, r.u)
             SELECT p.u, p.v, p.n_common, round(p.score, 6) AS score
             FROM pairs p
+            WHERE NOT EXISTS (SELECT 1 FROM und e
+                              WHERE e.src = p.u AND e.dst = p.v)
+        """,
+        "neighbor_jaccard_parts": _REPEAT_GRAPH_CTE
+        + """
+            , deg AS (SELECT src AS w, COUNT(*) AS deg_w FROM adj GROUP BY src)
+            , thru AS (SELECT src AS w, dst AS u FROM adj)
+            , pairs AS (
+                SELECT l.u AS u, r.u AS v, COUNT(*) AS n_common
+                FROM thru l JOIN thru r ON l.w = r.w AND l.u < r.u
+                GROUP BY l.u, r.u)
+            SELECT p.u, p.v, p.n_common,
+                   round(p.n_common
+                         / (du.deg_w + dv.deg_w - p.n_common), 6)
+                     AS jaccard
+            FROM pairs p
+            JOIN deg du ON du.w = p.u
+            JOIN deg dv ON dv.w = p.v
             WHERE NOT EXISTS (SELECT 1 FROM und e
                               WHERE e.src = p.u AND e.dst = p.v)
         """,

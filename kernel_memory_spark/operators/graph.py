@@ -541,6 +541,76 @@ def adamic_adar(
     )
 
 
+def neighbor_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: Optional[int] = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Jaccard-coefficient link prediction -> (u, v, n_common, jaccard)
+    for NON-adjacent pairs, u < v: |N(u) ∩ N(v)| / |N(u) ∪ N(v)| (Liben-
+    Nowell & Kleinberg 2003) — the set-overlap sibling of adamic_adar,
+    preferred when raw neighborhood overlap (not inverse-frequency
+    evidence) is the linkage signal, e.g. alias candidates sharing most
+    of their KG context.
+
+    Same wedge enumeration as adamic_adar (adj self-join on the shared
+    witness, work bounded by sum(deg^2) over witnesses; `max_degree`
+    caps witness fan-out on power-law graphs — the NUMERATOR becomes an
+    under-count approximation, stated, while the denominator keeps full
+    degrees so capped scores never exceed exact ones). Existing edges
+    removed with one anti-join; `min_common` prunes single-witness pairs
+    before the degree join-back."""
+    und = (
+        edges.select(src, dst)
+        .filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+    )
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("w")).agg(
+        F.count("*").alias("deg_w")
+    )
+    wit = deg if max_degree is None else deg.filter(
+        F.col("deg_w") <= max_degree
+    )
+    thru = adj.select(F.col("a").alias("w"), F.col("b").alias("u")).join(
+        wit.select("w"), "w"
+    )
+    pairs = (
+        thru.alias("l")
+        .join(thru.alias("r"), F.col("l.w") == F.col("r.w"))
+        .filter(F.col("l.u") < F.col("r.u"))
+        .groupBy(F.col("l.u").alias("u"), F.col("r.u").alias("v"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    # full (uncapped) degrees of the endpoints set the union size
+    pairs = (
+        pairs.join(deg.select(F.col("w").alias("u"),
+                              F.col("deg_w").alias("__du")), "u")
+        .join(deg.select(F.col("w").alias("v"),
+                         F.col("deg_w").alias("__dv")), "v")
+        .select(
+            "u", "v", "n_common",
+            (
+                F.col("n_common")
+                / (F.col("__du") + F.col("__dv") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return pairs.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     iterations: int = 3,

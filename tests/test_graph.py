@@ -250,6 +250,81 @@ def _ref_adamic_adar(pairs, max_degree=None, min_common=1):
     return out
 
 
+def _ref_neighbor_jaccard(pairs, max_degree=None, min_common=1):
+    """Driver-side reference: capped-numerator / full-degree-denominator
+    Jaccard, mirroring graph.neighbor_jaccard's documented semantics."""
+    from collections import defaultdict
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nbrs = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    out = {}
+    nodes = sorted(nbrs)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (u, v) in und:
+                continue
+            common = [
+                w
+                for w in nbrs[u] & nbrs[v]
+                if max_degree is None or len(nbrs[w]) <= max_degree
+            ]
+            if len(common) >= min_common and common:
+                out[(u, v)] = (
+                    len(common),
+                    len(common)
+                    / (len(nbrs[u]) + len(nbrs[v]) - len(common)),
+                )
+    return out
+
+
+class TestNeighborJaccard:
+    def test_square(self, spark):
+        """Square 1-2-3-4-1: non-edges (1,3),(2,4) share both neighbors
+        -> jaccard 2 / (2 + 2 - 2) = 1.0."""
+        e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+        got = {
+            (r.u, r.v): (r.n_common, r.jaccard)
+            for r in GR.neighbor_jaccard(e).collect()
+        }
+        assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+    def test_matches_reference(self, spark):
+        pairs = [(i, (i * 5 + 2) % 23) for i in range(23)] + [
+            (i, (i + 7) % 23) for i in range(23)
+        ] + [(0, i) for i in range(1, 9)]
+        pairs = [p for p in pairs if p[0] != p[1]]
+        e = _edges(spark, pairs)
+        got = {
+            (r.u, r.v): (r.n_common, r.jaccard)
+            for r in GR.neighbor_jaccard(e).collect()
+        }
+        ref = _ref_neighbor_jaccard(pairs)
+        assert set(got) == set(ref)
+        for k, (nc, sc) in ref.items():
+            assert got[k][0] == nc, k
+            assert got[k][1] == pytest.approx(sc, abs=1e-12), k
+
+    def test_capped_numerator_full_denominator(self, spark):
+        """Star 0-{1..5} + edge 1-2, cap 4: hub 0 (deg 5) stops
+        witnessing, so (3,4) vanishes; (3,5)'s neighbor sets still size 1
+        each. Capped jaccard never exceeds the exact value."""
+        pairs = [(0, i) for i in range(1, 6)] + [(1, 2)]
+        e = _edges(spark, pairs)
+        got = {
+            (r.u, r.v): (r.n_common, r.jaccard)
+            for r in GR.neighbor_jaccard(e, max_degree=4).collect()
+        }
+        ref = _ref_neighbor_jaccard(pairs, max_degree=4)
+        assert set(got) == set(ref)
+        assert (3, 4) not in got
+        exact = _ref_neighbor_jaccard(pairs)
+        for k in got:
+            assert got[k][1] <= exact[k][1] + 1e-12
+
+
 class TestAdamicAdar:
     def test_square_plus_diagonal(self, spark):
         """Square 1-2-3-4-1: the two non-edges (1,3) and (2,4) each have

@@ -60,6 +60,7 @@ PURE_JVM = [
     "boilerplate_ngrams_docs",
     "adamic_adar_parts",
     "adamic_adar_capped",
+    "neighbor_jaccard_parts",
     "lpa_communities_parts",
     "kcore_parts",
     "host_graph_docs",
@@ -86,6 +87,7 @@ PURE_JVM = [
     "bgp_match_docs",
     "meta_block_docs",
     "blocking_quality_docs",
+    "er_match_scores_docs",
     "scd2_upsert_orders",
     "funnel_events",
 ]
