@@ -1693,6 +1693,29 @@ def quantized_embeddings(spark, sf):
     )
 
 
+def embedding_gram(spark, sf):
+    """Distributed Gram matrix X^T X of the embedding corpus (the
+    d^2-cells-not-rows aggregation PCA/whitening start from): per-
+    partition float64 numpy partials, summed by cell."""
+    from kernel_memory_spark.operators import pca as P
+
+    emb = load_table(spark, sf, "embeddings")
+    g = P.gram_matrix(emb, "embedding", dim=64)
+    return g.select("i", "j", F.round("value", 6).alias("value"))
+
+
+def pca_project_embeddings(spark, sf):
+    """PCA projection of the embedding corpus to k=8 (centered; fit =
+    one Gram pass + one mean aggregate, project = broadcast matmul).
+    Eigendecomposition is not SQL-expressible — rows-only driver check;
+    numerical invariants are pinned in tests/test_pca.py."""
+    from kernel_memory_spark.operators import pca as P
+
+    emb = load_table(spark, sf, "embeddings")
+    out = P.pca_project(emb, "embedding", k=8)
+    return out.select("vec_id", "pca")
+
+
 def boilerplate_ngrams_docs(spark, sf):
     """Cross-document boilerplate 5-grams (df >= 3): the repeated spans
     that survive per-doc dedup but poison training data."""
@@ -1786,6 +1809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph_docs": host_graph_docs,
         "lm_quality_docs": lm_quality_docs,
         "quantized_embeddings": quantized_embeddings,
+        "embedding_gram": embedding_gram,
+        "pca_project_embeddings": pca_project_embeddings,
         "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
         "line_dedup_docs": line_dedup_docs,
         "random_walks_parts": random_walks_parts,
@@ -3800,6 +3825,16 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                    round(avg(l.logp), 6) AS avg_logp
             FROM toks t JOIN lm l USING (term)
             GROUP BY t.id
+        """,
+        "embedding_gram": """
+            SELECT i, j,
+                   round(SUM(CAST(embedding[i+1] AS DOUBLE)
+                             * CAST(embedding[j+1] AS DOUBLE)), 6)
+                     AS value
+            FROM embeddings,
+                 unnest(range(0, 64)) t1(i),
+                 unnest(range(0, 64)) t2(j)
+            GROUP BY i, j
         """,
         "quantized_embeddings": """
             SELECT vec_id,
