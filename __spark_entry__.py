@@ -873,6 +873,58 @@ def stratified_sample_docs(spark, sf):
     return got.select("doc_id", "lang").orderBy("doc_id")
 
 
+def weighted_sample_docs(spark, sf):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis exponential race): 5 docs per language, selection
+    probability proportional to n_chars — the importance-sampling step
+    of a training mix."""
+    from kernel_memory_spark.operators import sampling as SMP
+
+    docs = load_table(spark, sf, "documents")
+    got = SMP.weighted_sample(
+        docs, "doc_id", "n_chars", k=5, strata_col="lang"
+    )
+    return got.select("doc_id", "lang", "n_chars")
+
+
+def _docs_triples_with_mentions(spark, sf):
+    """Lineage triples + (doc, mentions, word>=6 chars) value triples —
+    a triple set with varying per-subject cardinality for shape checks."""
+    docs = load_table(spark, sf, "documents")
+    doc = F.format_string("doc-%09d", F.col("doc_id").cast("long"))
+    words = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.trim("text")), r"\s+"),
+            lambda w: F.length(w) >= 6,
+        )
+    )
+    mentions = docs.select(
+        doc.alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.explode(words).alias("obj"),
+    )
+    return lineage_triples_docs(spark, sf).unionByName(mentions)
+
+
+def shacl_violations_docs(spark, sf):
+    """SHACL-core shape validation over the document triples: mentions
+    cardinality 1..4 (absence counts — SHACL minCount), lang restricted
+    to ^(en|de|es)$, n_chars exactly-one and <= 3 digits; output is the
+    per-(subj, pred) violation report the pipeline would gate a snapshot
+    publish on."""
+    from kernel_memory_spark.operators import kgschema as KS
+
+    return KS.validate_shapes(
+        _docs_triples_with_mentions(spark, sf),
+        [
+            {"pred": "mentions", "min_count": 1, "max_count": 4},
+            {"pred": "n_chars", "min_count": 1, "max_count": 1,
+             "pattern": "^[0-9]{1,3}$"},
+            {"pred": "lang", "pattern": "^(en|de|es)$"},
+        ],
+    )
+
+
 ASK_QUESTION = "what do these records say"
 ASK_MAX_PROMPT_TOKENS = 1500
 ASK_ANSWER_TOKENS = 300
@@ -1835,6 +1887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ask_prompt_facts": ask_prompt_facts,
         "search_snippets": search_snippets,
         "stratified_sample_docs": stratified_sample_docs,
+        "weighted_sample_docs": weighted_sample_docs,
+        "shacl_violations_docs": shacl_violations_docs,
         "pii_scrub_docs": pii_scrub_docs,
         "decontam_overlap": decontam_overlap,
         "repetition_docs": repetition_docs,
@@ -2880,6 +2934,74 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                                 WHEN 'de' THEN 250000
                                 ELSE 100000 END
             ORDER BY doc_id
+        """,
+        "weighted_sample_docs": """
+            WITH h AS (
+                SELECT doc_id, lang, n_chars,
+                       ((('0x' || substr(md5('wsample|'
+                             || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 1000000) + 0.5) / 1000000.0 AS u
+                FROM documents),
+            r AS (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY -ln(u) / greatest(
+                                    CAST(n_chars AS DOUBLE), 1e-9) ASC,
+                                  doc_id ASC) AS rn
+                FROM h)
+            SELECT doc_id, lang, n_chars FROM r WHERE rn <= 5
+        """,
+        "shacl_violations_docs": """
+            WITH tr AS (
+              SELECT printf('doc-%09d', doc_id) AS subj, 'lang' AS pred,
+                     lang AS obj FROM documents
+              UNION ALL
+              SELECT printf('doc-%09d', doc_id), 'source', source
+              FROM documents
+              UNION ALL
+              SELECT printf('doc-%09d', doc_id), 'n_chars',
+                     CAST(n_chars AS VARCHAR) FROM documents
+              UNION ALL
+              SELECT printf('doc-%09d', doc_id), 'mentions', w
+              FROM documents,
+                   unnest(list_distinct(list_filter(
+                     string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> length(x) >= 6))) AS t(w)),
+            counts AS (
+              SELECT subj, pred, COUNT(*) AS c FROM tr
+              WHERE pred IN ('mentions', 'n_chars')
+              GROUP BY subj, pred),
+            subs AS (SELECT DISTINCT subj FROM tr),
+            card AS (
+              SELECT s.subj, p.pred, coalesce(c.c, 0) AS observed
+              FROM subs s
+              CROSS JOIN (VALUES ('mentions'), ('n_chars')) p(pred)
+              LEFT JOIN counts c
+                ON c.subj = s.subj AND c.pred = p.pred),
+            minv AS (
+              SELECT subj, pred, 'min_count' AS violation, observed
+              FROM card
+              WHERE (pred = 'mentions' AND observed < 1)
+                 OR (pred = 'n_chars' AND observed < 1)),
+            maxv AS (
+              SELECT subj, pred, 'max_count' AS violation, observed
+              FROM card
+              WHERE (pred = 'mentions' AND observed > 4)
+                 OR (pred = 'n_chars' AND observed > 1)),
+            pat AS (
+              SELECT subj, pred, 'pattern' AS violation,
+                     COUNT(*) AS observed
+              FROM tr
+              WHERE (pred = 'n_chars'
+                     AND NOT regexp_matches(obj, '^[0-9]{1,3}$'))
+                 OR (pred = 'lang'
+                     AND NOT regexp_matches(obj, '^(en|de|es)$'))
+              GROUP BY subj, pred)
+            SELECT subj, pred, violation, CAST(observed AS BIGINT)
+                     AS observed
+            FROM (SELECT * FROM minv UNION ALL SELECT * FROM maxv
+                  UNION ALL SELECT * FROM pat)
         """,
         "hybrid_search_topk": """
             WITH ids AS (

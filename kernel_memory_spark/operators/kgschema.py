@@ -197,3 +197,119 @@ def property_table(
         for p in predicates
     ]
     return triples.groupBy(F.col(subj).alias("subj")).agg(*aggs)
+
+
+def validate_shapes(
+    triples: DataFrame,
+    shapes: list,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """SHACL-style shape validation -> violation report (subj, pred,
+    violation, observed): the QA gate a KG-construction pipeline runs
+    before publishing a snapshot (W3C SHACL's sh:minCount / sh:maxCount /
+    sh:pattern core, over the property shapes that matter for tabular
+    triples).
+
+    `shapes` is a list of dicts {"pred": str, "min_count": int|None,
+    "max_count": int|None, "pattern": str|None}. Cardinality is per
+    focus node over ALL distinct subjects (SHACL semantics: a subject
+    with zero values violates min_count — absence is checked, not just
+    excess), pattern applies per value triple and is reported aggregated
+    per (subj, pred) with the offending-value count.
+
+    Scale shape: ONE (subj, pred) hash aggregate for cardinality, the
+    subjects x shaped-preds expansion is an in-row array explode of a
+    literal list (|shapes| is tiny — no join, no shuffle), pattern
+    checks are row-local rlike filters that push to the scan. Violations
+    out: 'min_count' | 'max_count' | 'pattern'."""
+    card = [
+        (s["pred"], s.get("min_count"), s.get("max_count"))
+        for s in shapes
+        if s.get("min_count") is not None
+        or s.get("max_count") is not None
+    ]
+    out = None
+    if card:
+        counts = (
+            triples.filter(
+                F.col(pred).isin([c[0] for c in card])
+            )
+            .groupBy(
+                F.col(subj).alias("subj"), F.col(pred).alias("pred")
+            )
+            .agg(F.count("*").alias("observed"))
+        )
+        expanded = (
+            triples.select(F.col(subj).alias("subj"))
+            .distinct()
+            .select(
+                "subj",
+                F.explode(
+                    F.array(*[F.lit(c[0]) for c in card])
+                ).alias("pred"),
+            )
+            .join(counts, ["subj", "pred"], "left")
+            .withColumn("observed", F.coalesce("observed", F.lit(0)))
+        )
+        mins = F.create_map(
+            *[
+                x
+                for c in card
+                if c[1] is not None
+                for x in (F.lit(c[0]), F.lit(c[1]))
+            ]
+        ) if any(c[1] is not None for c in card) else None
+        maxs = F.create_map(
+            *[
+                x
+                for c in card
+                if c[2] is not None
+                for x in (F.lit(c[0]), F.lit(c[2]))
+            ]
+        ) if any(c[2] is not None for c in card) else None
+        parts = []
+        if mins is not None:
+            parts.append(
+                expanded.filter(
+                    F.col("observed") < mins[F.col("pred")]
+                ).select(
+                    "subj", "pred",
+                    F.lit("min_count").alias("violation"),
+                    F.col("observed").cast("long").alias("observed"),
+                )
+            )
+        if maxs is not None:
+            parts.append(
+                expanded.filter(
+                    F.col("observed") > maxs[F.col("pred")]
+                ).select(
+                    "subj", "pred",
+                    F.lit("max_count").alias("violation"),
+                    F.col("observed").cast("long").alias("observed"),
+                )
+            )
+        for p in parts:
+            out = p if out is None else out.unionByName(p)
+    for s in shapes:
+        pat = s.get("pattern")
+        if pat is None:
+            continue
+        bad = (
+            triples.filter(
+                (F.col(pred) == s["pred"]) & ~F.col(obj).rlike(pat)
+            )
+            .groupBy(
+                F.col(subj).alias("subj"), F.col(pred).alias("pred")
+            )
+            .agg(F.count("*").cast("long").alias("observed"))
+            .select(
+                "subj", "pred",
+                F.lit("pattern").alias("violation"), "observed",
+            )
+        )
+        out = bad if out is None else out.unionByName(bad)
+    if out is None:
+        raise ValueError("shapes define no checks")
+    return out

@@ -12,7 +12,7 @@ key, so a document can never leak across splits even as the corpus grows.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -159,3 +159,42 @@ def split(
         out.append(df.filter((pos >= int(lo * _M)) & (pos < hi_i)))
         lo = hi
     return tuple(out)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: Optional[str] = None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k rows per
+    stratum (whole frame if `strata_col` is None): Efraimidis-Spirakis
+    (2006) exponential race — each row draws u from its key hash and
+    competes with key -ln(u)/w; the k smallest win, giving exactly the
+    weighted-without-replacement distribution. The importance-sampling
+    step of a training-data mix (sample long/high-quality docs more,
+    but never twice).
+
+    u = (hash_pos + 0.5) / 1e6 (never 0, so ln is finite); weights are
+    clamped to >= 1e-9 so zero/negative weights behave as epsilon, not
+    NaN. Deterministic, layout-independent, replayable in SQL.
+
+    Scale: one keyed window per stratum (per-partition top-k heaps via
+    rank pre-cut; with strata this never global-sorts) — for huge k on
+    an UNstratified table prefer a strata split first."""
+    u = (_hash_pos(key_col, salt) + F.lit(0.5)) / F.lit(float(_M))
+    race = -F.log(u) / F.greatest(
+        F.col(weight_col).cast("double"), F.lit(1e-9)
+    )
+    part = [strata_col] if strata_col is not None else []
+    w = Window.partitionBy(*part).orderBy(
+        F.asc("__race"), F.asc(key_col)
+    )
+    return (
+        df.withColumn("__race", race)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__race", "__rn")
+    )

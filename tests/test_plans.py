@@ -34,6 +34,8 @@ PURE_JVM = [
     "sessionized_events",
     "time_rollup_events",
     "stratified_sample_docs",
+    "weighted_sample_docs",
+    "shacl_violations_docs",
     "asof_purchase_attribution",
     "range_join_clicks",
     "salted_supplier_counts",
