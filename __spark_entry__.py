@@ -925,6 +925,64 @@ def shacl_violations_docs(spark, sf):
     )
 
 
+def retention_cohorts_events(spark, sf):
+    """Weekly cohort retention triangle over the event log: users
+    bucketed by first-activity week, re-counted in each later active
+    week — one distinct-reduce + two hash aggs, no windows."""
+    from kernel_memory_spark.operators import sessions as SS
+
+    ev = load_table(spark, sf, "events")
+    out = SS.retention_cohorts(ev, "user_id", "ts", grain="week")
+    # week-grain labels read as dates (and match DuckDB's date_trunc type)
+    return out.select(
+        F.col("cohort").cast("date").alias("cohort"),
+        F.col("period").cast("date").alias("period"),
+        "n_active", "n_cohort", "retention",
+    )
+
+
+def orders_snapshot_diff(spark, sf):
+    """CDC between two table snapshots: old = orders, new = orders with
+    keys %97 removed, totalprice bumped on keys %89, and %101 clones
+    re-keyed as inserts — classified added/removed/changed with the
+    differing columns listed, via ONE full-outer key join (changed_cols
+    sorted array; unchanged rows dropped before leaving the join)."""
+    from kernel_memory_spark.operators import diff as DF_
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 89 == 0,
+                F.round(F.col("o_totalprice") + F.lit(1.0), 2),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(1000000000)
+            )
+        )
+    )
+    out = DF_.table_diff(o, new, ["o_orderkey"])
+    return out.select(
+        "o_orderkey", "change",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+    )
+
+
+def entity_fact_rank_docs(spark, sf):
+    """Entity summarization: top-3 most informative facts per document
+    subject by self-information ln(N/df) over the (pred, obj) fact
+    distribution — rare mentions outrank corpus-wide lang/source tags."""
+    from kernel_memory_spark.operators import kgschema as KS
+
+    return KS.rank_facts(_docs_triples_with_mentions(spark, sf), k=3)
+
+
 ASK_QUESTION = "what do these records say"
 ASK_MAX_PROMPT_TOKENS = 1500
 ASK_ANSWER_TOKENS = 300
@@ -1841,6 +1899,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_block_docs": meta_block_docs,
         "blocking_quality_docs": blocking_quality_docs,
         "er_match_scores_docs": er_match_scores_docs,
+        "weighted_sample_docs": weighted_sample_docs,
+        "shacl_violations_docs": shacl_violations_docs,
+        "retention_cohorts_events": retention_cohorts_events,
+        "orders_snapshot_diff": orders_snapshot_diff,
+        "entity_fact_rank_docs": entity_fact_rank_docs,
         "sssp_parts": sssp_parts,
         "hits_parts": hits_parts,
         "clustering_coeff_parts": clustering_coeff_parts,
@@ -1887,8 +1950,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ask_prompt_facts": ask_prompt_facts,
         "search_snippets": search_snippets,
         "stratified_sample_docs": stratified_sample_docs,
-        "weighted_sample_docs": weighted_sample_docs,
-        "shacl_violations_docs": shacl_violations_docs,
         "pii_scrub_docs": pii_scrub_docs,
         "decontam_overlap": decontam_overlap,
         "repetition_docs": repetition_docs,
@@ -2934,6 +2995,97 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                                 WHEN 'de' THEN 250000
                                 ELSE 100000 END
             ORDER BY doc_id
+        """,
+        "retention_cohorts_events": """
+            WITH up AS (
+              SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p
+              FROM events),
+            first AS (SELECT u, min(p) AS cohort FROM up GROUP BY u),
+            sizes AS (SELECT cohort, COUNT(*) AS n_cohort FROM first
+                      GROUP BY cohort),
+            act AS (
+              SELECT f.cohort, up.p AS period, COUNT(*) AS n_active
+              FROM up JOIN first f ON f.u = up.u
+              GROUP BY f.cohort, up.p)
+            SELECT a.cohort, a.period, a.n_active, s.n_cohort,
+                   round(a.n_active / s.n_cohort, 6) AS retention
+            FROM act a JOIN sizes s ON s.cohort = a.cohort
+        """,
+        "orders_snapshot_diff": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+              FROM orders),
+            n AS (
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_orderkey % 89 = 0
+                          THEN round(o_totalprice + 1.0, 2)
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderstatus
+              FROM o WHERE o_orderkey % 97 <> 0
+              UNION ALL
+              SELECT o_orderkey + 1000000000, o_custkey, o_totalprice,
+                     o_orderstatus
+              FROM o WHERE o_orderkey % 101 = 0),
+            j AS (
+              SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                     o.o_orderkey IS NOT NULL AS in_old,
+                     n.o_orderkey IS NOT NULL AS in_new,
+                     list_filter([
+                       CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                            THEN 'o_custkey' END,
+                       CASE WHEN o.o_orderstatus
+                                 IS DISTINCT FROM n.o_orderstatus
+                            THEN 'o_orderstatus' END,
+                       CASE WHEN o.o_totalprice
+                                 IS DISTINCT FROM n.o_totalprice
+                            THEN 'o_totalprice' END],
+                       x -> x IS NOT NULL) AS cc
+              FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+            SELECT o_orderkey,
+                   CASE WHEN NOT in_old THEN 'added'
+                        WHEN NOT in_new THEN 'removed'
+                        ELSE 'changed' END AS change,
+                   CASE WHEN in_old AND in_new
+                        THEN array_to_string(cc, ',')
+                        ELSE '' END AS changed_cols
+            FROM j
+            WHERE NOT in_old OR NOT in_new OR len(cc) > 0
+        """,
+        "entity_fact_rank_docs": """
+            WITH tr0 AS (
+              SELECT printf('doc-%09d', doc_id) AS subj, 'lang' AS pred,
+                     lang AS obj FROM documents
+              UNION ALL
+              SELECT printf('doc-%09d', doc_id), 'source', source
+              FROM documents
+              UNION ALL
+              SELECT printf('doc-%09d', doc_id), 'n_chars',
+                     CAST(n_chars AS VARCHAR) FROM documents
+              UNION ALL
+              SELECT printf('doc-%09d', doc_id), 'mentions', w
+              FROM documents,
+                   unnest(list_distinct(list_filter(
+                     string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> length(x) >= 6))) AS t(w)),
+            tr AS (SELECT DISTINCT subj, pred, obj FROM tr0),
+            dfreq AS (
+              SELECT pred, obj, COUNT(DISTINCT subj) AS df
+              FROM tr GROUP BY pred, obj),
+            nn AS (SELECT COUNT(DISTINCT subj) AS n FROM tr),
+            scored AS (
+              SELECT t.subj, t.pred, t.obj, d.df,
+                     ln(CAST(nn.n AS DOUBLE) / d.df) AS score
+              FROM tr t
+              JOIN dfreq d ON d.pred = t.pred AND d.obj = t.obj
+              CROSS JOIN nn),
+            ranked AS (
+              SELECT subj, pred, obj, df, score,
+                     row_number() OVER (
+                       PARTITION BY subj
+                       ORDER BY score DESC, pred ASC, obj ASC) AS rank
+              FROM scored)
+            SELECT subj, pred, obj, df, round(score, 6) AS score, rank
+            FROM ranked WHERE rank <= 3
         """,
         "weighted_sample_docs": """
             WITH h AS (

@@ -313,3 +313,55 @@ def validate_shapes(
     if out is None:
         raise ValueError("shapes define no checks")
     return out
+
+
+def rank_facts(
+    triples: DataFrame,
+    k: int = 3,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Entity summarization -> the k most INFORMATIVE facts per subject
+    (subj, pred, obj, df, score, rank): score = ln(N / df(pred, obj)),
+    the self-information of the fact under the corpus fact distribution
+    (RELIN/LinkSUM's informativeness term) — 'lang=en' (shared by half
+    the corpus) ranks below a rare mention. The "show me this entity"
+    card over a materialized KG.
+
+    Scale shape: one (pred, obj) hash agg for document frequencies
+    (distinct subjects per fact value), a 1-row N aggregate broadcast
+    back (scalar cross), one join keyed on the fact value, one keyed
+    window for top-k. Hot fact values ((pred,obj) shared by millions of
+    subjects) are exactly the LOW-scoring ones, so skew and relevance
+    point the same way."""
+    from pyspark.sql import Window
+
+    t = triples.select(
+        F.col(subj).alias("subj"),
+        F.col(pred).alias("pred"),
+        F.col(obj).alias("obj"),
+    ).distinct()
+    dfreq = t.groupBy("pred", "obj").agg(
+        F.countDistinct("subj").alias("df")
+    )
+    n = t.agg(F.countDistinct("subj").alias("__n"))
+    scored = (
+        t.join(dfreq, ["pred", "obj"])
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.log(F.col("__n").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("subj").orderBy(
+        F.desc("score"), F.asc("pred"), F.asc("obj")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "subj", "pred", "obj", "df",
+            F.round("score", 6).alias("score"), "rank",
+        )
+    )

@@ -118,3 +118,46 @@ def funnel(
         for i in range(1, len(steps) + 1)
     )
     return out.withColumn("steps_completed", completed)
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    grain: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle -> (cohort, period, n_active,
+    n_cohort, retention): users grouped by their first-activity period,
+    counted back in every later period they reappear — the engagement
+    health readout over any interleaved event log.
+
+    Scale shape: ONE (user, period) distinct-reduce, one min-aggregate
+    for the cohort assignment, one keyed join back (users x periods is
+    tiny relative to events — the join input is already collapsed), two
+    hash aggs. No window, no per-user sort, nothing quadratic.
+    `retention` is n_active / n_cohort rounded to 6 places."""
+    up = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.date_trunc(grain, F.col(ts_col)).alias("p"),
+        )
+        .distinct()
+    )
+    first = up.groupBy("u").agg(F.min("p").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count("*").alias("n_cohort")
+    )
+    active = (
+        up.join(first, "u")
+        .groupBy("cohort", F.col("p").alias("period"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    return active.join(sizes, "cohort").select(
+        "cohort",
+        "period",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias(
+            "retention"
+        ),
+    )

@@ -36,6 +36,9 @@ PURE_JVM = [
     "stratified_sample_docs",
     "weighted_sample_docs",
     "shacl_violations_docs",
+    "retention_cohorts_events",
+    "orders_snapshot_diff",
+    "entity_fact_rank_docs",
     "asof_purchase_attribution",
     "range_join_clicks",
     "salted_supplier_counts",
@@ -128,6 +131,8 @@ SCALAR_CROSS = {
     "hits_parts",
     # blocking metrics: three 1-row aggregates crossed into one row
     "blocking_quality_docs",
+    # fact informativeness: 1-row N aggregate broadcast into the score
+    "entity_fact_rank_docs",
 }
 
 
