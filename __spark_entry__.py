@@ -925,6 +925,52 @@ def shacl_violations_docs(spark, sf):
     )
 
 
+def rule_closure_orders(spark, sf):
+    """Datalog-style ontology closure (semi-naive, early-exit): base
+    facts order->customer->nation->region, rules for relation
+    composition (order in_nation, anything in_region) and predicate
+    inverse (nation has_member) — fixpoint reached in 2 rounds, third
+    round derives nothing and exits."""
+    from kernel_memory_spark.plans import rules as RL
+
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    base = (
+        orders.select(
+            F.format_string("o-%d", "o_orderkey").alias("subj"),
+            F.lit("by_customer").alias("pred"),
+            F.format_string("c-%d", "o_custkey").alias("obj"),
+        )
+        .unionByName(
+            customer.select(
+                F.format_string("c-%d", "c_custkey").alias("subj"),
+                F.lit("in_nation").alias("pred"),
+                F.format_string("n-%d", "c_nationkey").alias("obj"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                F.format_string("n-%d", "n_nationkey").alias("subj"),
+                F.lit("in_region").alias("pred"),
+                F.format_string("r-%d", "n_regionkey").alias("obj"),
+            )
+        )
+    )
+    return RL.infer(
+        base,
+        [
+            ([("?o", "by_customer", "?c"), ("?c", "in_nation", "?n")],
+             ("?o", "in_nation", "?n")),
+            ([("?x", "in_nation", "?n"), ("?n", "in_region", "?r")],
+             ("?x", "in_region", "?r")),
+            ([("?c", "in_nation", "?n")],
+             ("?n", "has_member", "?c")),
+        ],
+        max_rounds=3,
+    )
+
+
 def retention_cohorts_events(spark, sf):
     """Weekly cohort retention triangle over the event log: users
     bucketed by first-activity week, re-counted in each later active
@@ -1902,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": weighted_sample_docs,
         "shacl_violations_docs": shacl_violations_docs,
         "retention_cohorts_events": retention_cohorts_events,
+        "rule_closure_orders": rule_closure_orders,
         "orders_snapshot_diff": orders_snapshot_diff,
         "entity_fact_rank_docs": entity_fact_rank_docs,
         "sssp_parts": sssp_parts,
@@ -2995,6 +3042,33 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                                 WHEN 'de' THEN 250000
                                 ELSE 100000 END
             ORDER BY doc_id
+        """,
+        "rule_closure_orders": """
+            WITH bycust AS (
+              SELECT printf('o-%d', o_orderkey) AS s,
+                     printf('c-%d', o_custkey) AS o FROM orders),
+            cnat AS (
+              SELECT printf('c-%d', c_custkey) AS s,
+                     printf('n-%d', c_nationkey) AS o FROM customer),
+            nreg AS (
+              SELECT printf('n-%d', n_nationkey) AS s,
+                     printf('r-%d', n_regionkey) AS o FROM nation),
+            onat AS (  -- rule 1: order in_nation (round 1)
+              SELECT DISTINCT b.s, c.o FROM bycust b
+              JOIN cnat c ON c.s = b.o),
+            inat AS (SELECT s, o FROM cnat UNION SELECT s, o FROM onat),
+            ireg AS (  -- rule 2 over every in_nation fact (rounds 1-2)
+              SELECT DISTINCT i.s, r.o FROM inat i
+              JOIN nreg r ON r.s = i.o)
+            SELECT s AS subj, 'by_customer' AS pred, o AS obj FROM bycust
+            UNION
+            SELECT s, 'in_nation', o FROM inat
+            UNION
+            SELECT s, 'in_region', o FROM nreg
+            UNION
+            SELECT s, 'in_region', o FROM ireg
+            UNION
+            SELECT o, 'has_member', s FROM inat  -- rule 3 inverse
         """,
         "retention_cohorts_events": """
             WITH up AS (

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 
 def bgp_match(
-    triples: DataFrame,
+    triples,
     pattern: Sequence[Tuple[str, str, str]],
     subj: str = "subj",
     pred: str = "pred",
@@ -43,12 +43,23 @@ def bgp_match(
     filter; repeated ACROSS elements becomes the join key. Patterns are
     joined left-to-right; an element sharing no variable with the
     accumulated result raises unless allow_cartesian=True.
+
+    `triples` may be ONE relation, or a list with one relation PER
+    pattern element (same shape) — the hook plans/rules.py uses for
+    semi-naive delta evaluation (atom i reads the delta, the rest read
+    the accumulated closure).
     """
     if not pattern:
         raise ValueError("empty pattern")
+    rels = (
+        list(triples)
+        if isinstance(triples, (list, tuple))
+        else [triples] * len(pattern)
+    )
+    if len(rels) != len(pattern):
+        raise ValueError("one relation per pattern element required")
     acc = None
-    for s, p, o in pattern:
-        t = triples
+    for (s, p, o), t in zip(pattern, rels):
         var_cols = {}  # var name -> source column (first occurrence)
         for term, col in ((s, subj), (p, pred), (o, obj)):
             if term.startswith("?"):

@@ -37,6 +37,7 @@ PURE_JVM = [
     "weighted_sample_docs",
     "shacl_violations_docs",
     "retention_cohorts_events",
+    "rule_closure_orders",
     "orders_snapshot_diff",
     "entity_fact_rank_docs",
     "asof_purchase_attribution",
