@@ -1497,6 +1497,21 @@ def er_match_scores_docs(spark, sf):
     return MT.match_scores(cand, docs)
 
 
+def sorted_neighborhood_docs(spark, sf):
+    """Sorted-neighborhood ER candidates: docs ordered by their first 20
+    normalized chars (doc_id tiebreak), each compared with the next 2 in
+    rank order — the sort-based complement to meta_block's hash blocks."""
+    from kernel_memory_spark.operators import blocking as BL
+
+    docs = load_table(spark, sf, "documents")
+    return BL.sorted_neighborhood(
+        docs,
+        "doc_id",
+        F.substring(F.lower(F.trim("text")), 1, 20),
+        window=3,
+    )
+
+
 def type_hierarchy_parts(spark, sf):
     """Instance-based type-hierarchy inference (statistical schema
     induction): entity=part, types = {p_type, p_brand, p_type/p_brand
@@ -1943,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_table_docs": property_table_docs,
         "bgp_match_docs": bgp_match_docs,
         "meta_block_docs": meta_block_docs,
+        "sorted_neighborhood_docs": sorted_neighborhood_docs,
         "blocking_quality_docs": blocking_quality_docs,
         "er_match_scores_docs": er_match_scores_docs,
         "weighted_sample_docs": weighted_sample_docs,
@@ -3604,6 +3620,17 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                         WHEN score >= 0.45 THEN 'possible'
                         ELSE 'non_match' END AS tier
             FROM sc
+        """,
+        "sorted_neighborhood_docs": """
+            WITH ranked AS (
+              SELECT doc_id AS e,
+                     row_number() OVER (ORDER BY
+                       substr(lower(trim(text)), 1, 20)
+                       || '|' || CAST(doc_id AS VARCHAR)) - 1 AS r
+              FROM documents)
+            SELECT x.e AS a, y.e AS b, y.r - x.r AS rank_dist
+            FROM ranked x JOIN ranked y
+              ON y.r > x.r AND y.r - x.r < 3
         """,
         "blocking_quality_docs": """
             WITH w AS (

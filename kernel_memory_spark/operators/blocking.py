@@ -127,3 +127,65 @@ def blocking_quality(
             ).alias("reduction_ratio"),
         )
     )
+
+
+def sorted_neighborhood(
+    records: DataFrame,
+    entity: str,
+    sort_key,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernandez & Stolfo 1995):
+    order entities by a blocking key, compare each with its `window - 1`
+    successors -> (a, b, rank_dist). The classic complement to hash
+    blocking — catches near-duplicates whose keys HASH apart but SORT
+    together (typos, prefix variants), with work exactly O(n * window).
+
+    `sort_key` is a Column; ties are broken by the entity id so the
+    total order (and therefore the candidate set) is deterministic and
+    layout-independent.
+
+    Scale shape: the global rank comes from the range-partition +
+    local-window prefix sum (operators/packing.global_cumsum — NO
+    single-task global window), then each row probes its own and the
+    next rank bucket of size `window`; since successors within `window`
+    live in at most those two buckets, the self-join input is 2 rows per
+    entity, never the quadratic matrix."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    from kernel_memory_spark.operators.packing import global_cumsum
+
+    keyed = records.select(
+        F.col(entity).alias("e"),
+        F.concat(
+            sort_key.cast("string"), F.lit("|"),
+            F.col(entity).cast("string"),
+        ).alias("__sk"),
+        F.lit(1).alias("__one"),
+    )
+    ranked = global_cumsum(keyed, "__sk", "__one", out_col="__rank")
+    ranked = ranked.select("e", F.col("__rank").cast("long").alias("r"))
+    w = int(window)
+    left = ranked.select(
+        F.col("e").alias("a"),
+        F.col("r").alias("ra"),
+        F.explode(
+            F.array(
+                (F.col("r") / w).cast("long"),
+                (F.col("r") / w).cast("long") + 1,
+            )
+        ).alias("__bkt"),
+    )
+    right = ranked.select(
+        F.col("e").alias("b"),
+        F.col("r").alias("rb"),
+        (F.col("r") / w).cast("long").alias("__bkt"),
+    )
+    return (
+        left.join(right, "__bkt")
+        .filter(
+            (F.col("rb") > F.col("ra"))
+            & (F.col("rb") - F.col("ra") < w)
+        )
+        .select("a", "b", (F.col("rb") - F.col("ra")).alias("rank_dist"))
+    )

@@ -176,3 +176,59 @@ class TestBlockingQuality:
             "kernel_memory_spark.operators.blocking", fromlist=["x"]
         ).blocking_quality(pairs([(1, 2)]), empty, ents).collect()[0]
         assert row.pairs_completeness == 1.0
+
+
+class TestSortedNeighborhood:
+    def _recs(self, spark, names, parts=3):
+        rows = [(i, n) for i, n in enumerate(names)]
+        return spark.createDataFrame(
+            rows, "doc_id long, name string"
+        ).repartition(parts)
+
+    def _ref(self, names, w):
+        order = sorted(range(len(names)),
+                       key=lambda i: f"{names[i]}|{i}")
+        out = set()
+        for ri, i in enumerate(order):
+            for rj in range(ri + 1, min(ri + w, len(order))):
+                out.add((i, order[rj], rj - ri))
+        return out
+
+    def test_matches_reference_windows(self, spark):
+        import pyspark.sql.functions as F
+
+        names = ["smith", "smyth", "adams", "smithe", "adamson",
+                 "brown", "browne", "zed"]
+        for w in (2, 3, 4):
+            got = {
+                (r.a, r.b, r.rank_dist)
+                for r in BL.sorted_neighborhood(
+                    self._recs(spark, names), "doc_id",
+                    F.col("name"), window=w,
+                ).collect()
+            }
+            assert got == self._ref(names, w), w
+
+    def test_layout_independent(self, spark):
+        import pyspark.sql.functions as F
+
+        names = [f"key{i % 7}x{i}" for i in range(40)]
+        sets = []
+        for parts in (1, 11):
+            sets.append({
+                (r.a, r.b)
+                for r in BL.sorted_neighborhood(
+                    self._recs(spark, names, parts), "doc_id",
+                    F.col("name"), window=3,
+                ).collect()
+            })
+        assert sets[0] == sets[1]
+        assert len(sets[0]) == 2 * 40 - 3
+
+    def test_window_validation(self, spark):
+        import pyspark.sql.functions as F
+
+        with pytest.raises(ValueError):
+            BL.sorted_neighborhood(
+                self._recs(spark, ["a"]), "doc_id", F.col("name"), 1
+            )

@@ -92,6 +92,7 @@ PURE_JVM = [
     "property_table_docs",
     "bgp_match_docs",
     "meta_block_docs",
+    "sorted_neighborhood_docs",
     "blocking_quality_docs",
     "er_match_scores_docs",
     "scd2_upsert_orders",
