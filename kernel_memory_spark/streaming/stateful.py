@@ -120,3 +120,44 @@ def windowed_event_counts(
             "n",
         )
     )
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time SESSION windows per user (dynamic-gap sibling of
+    windowed_event_counts's tumbling windows): a session extends while
+    consecutive events arrive within `gap`, closes `gap` after the last
+    one — Structured Streaming's session_window keeps per-(user, open
+    session) state, merges on overlap, and the watermark bounds state by
+    evicting sessions no late event can still extend. The streaming
+    equivalent of operators/sessions.sessionize for a live event feed.
+
+    Emits one row per CLOSED session (append mode): user, session
+    start/end, n_events, sum of `value` when present."""
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    aggs = [F.count("*").alias("n_events")]
+    if "value" in stream.columns:
+        aggs.append(F.sum("value").alias("sum_value"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), gap),
+        )
+        .agg(*aggs)
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *(
+                ["n_events", "sum_value"]
+                if "value" in stream.columns
+                else ["n_events"]
+            ),
+        )
+    )

@@ -92,3 +92,67 @@ class TestWindowedEventCounts:
         }
         assert got == expected
         assert len(got) > 10
+
+
+class TestStreamingSessions:
+    def test_sessions_match_reference(self, spark, tmp_path):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+        m = dt.timedelta(minutes=1)
+        rows = [
+            # u1: two sessions (40-min silence splits at 30-min gap)
+            (1, t0), (1, t0 + 5 * m), (1, t0 + 20 * m),
+            (1, t0 + 60 * m), (1, t0 + 65 * m),
+            # u2: one session, single event
+            (2, t0 + 10 * m),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        src = str(tmp_path / "sess_in")
+        drop_file(ev, src, "b1")
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            sf_ops.streaming_sessions(stream, gap="30 minutes")
+            .writeStream.format("memory")
+            .queryName("sessions_out")
+            .option("checkpointLocation", str(tmp_path / "sessck"))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.user_id, r.session_start, r.session_end): r.n_events
+            for r in spark.table("sessions_out").collect()
+        }
+        gap = dt.timedelta(minutes=30)
+        assert got == {
+            (1, t0, t0 + 20 * m + gap): 3,
+            (1, t0 + 60 * m, t0 + 65 * m + gap): 2,
+            (2, t0 + 10 * m, t0 + 40 * m): 1,
+        }
+
+    def test_value_column_summed(self, spark, tmp_path):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [(1, t0, 2.0), (1, t0 + dt.timedelta(minutes=1), 3.0)],
+            "user_id long, ts timestamp, value double",
+        )
+        src = str(tmp_path / "sess_in2")
+        drop_file(ev, src, "b1")
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            sf_ops.streaming_sessions(stream)
+            .writeStream.format("memory")
+            .queryName("sessions_out2")
+            .option("checkpointLocation", str(tmp_path / "sessck2"))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table("sessions_out2").collect()
+        assert len(rows) == 1
+        assert rows[0].n_events == 2 and rows[0].sum_value == 5.0
