@@ -1217,6 +1217,18 @@ def neighbor_jaccard_parts(spark, sf):
     )
 
 
+def ktruss_parts(spark, sf):
+    """Fixed-round 3-truss over the repeat co-purchase graph (2 support
+    rounds): every surviving edge sits in >= 1 triangle among surviving
+    edges — the edge-cohesion filter that drops triangle-free spokes
+    k-core keeps."""
+    from kernel_memory_spark.operators import graph as GR
+
+    return GR.k_truss(
+        _repeat_copurchase_edges(spark, sf), k=3, iterations=2
+    )
+
+
 def lpa_communities_parts(spark, sf):
     """Deterministic synchronous label-propagation communities (3 rounds,
     min-label tie-break) over the repeat co-purchase graph."""
@@ -1943,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_jaccard_parts": neighbor_jaccard_parts,
         "adamic_adar_capped": adamic_adar_capped,
         "lpa_communities_parts": lpa_communities_parts,
+        "ktruss_parts": ktruss_parts,
         "kcore_parts": kcore_parts,
         # --- round-5 additions (driver-checked immediately) ---
         "pagerank_warm_parts": pagerank_warm_parts,
@@ -3855,6 +3868,29 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
             FROM pairs p
             WHERE NOT EXISTS (SELECT 1 FROM und e
                               WHERE e.src = p.u AND e.dst = p.v)
+        """,
+        "ktruss_parts": _REPEAT_GRAPH_CTE
+        + """
+            , s1 AS (
+                SELECT e.src AS a, e.dst AS b, COUNT(*) AS support
+                FROM und e
+                JOIN adj x ON x.dst = e.src
+                JOIN adj y ON y.dst = e.dst AND y.src = x.src
+                GROUP BY e.src, e.dst)
+            , k1 AS (
+                SELECT u.src AS a, u.dst AS b FROM und u
+                JOIN s1 ON s1.a = u.src AND s1.b = u.dst
+                          AND s1.support >= 1)
+            , adj1 AS (
+                SELECT a AS src, b AS dst FROM k1
+                UNION ALL SELECT b, a FROM k1)
+            , s2 AS (
+                SELECT e.a, e.b, COUNT(*) AS support
+                FROM k1 e
+                JOIN adj1 x ON x.dst = e.a
+                JOIN adj1 y ON y.dst = e.b AND y.src = x.src
+                GROUP BY e.a, e.b)
+            SELECT a, b, support FROM s2 WHERE support >= 1
         """,
         "lpa_communities_parts": _REPEAT_GRAPH_CTE
         + """

@@ -866,3 +866,74 @@ def community_rollup(
             F.sum("__intra").alias("n_intra"),
         )
     )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    iterations: Optional[int] = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-truss edge set -> (a, b, support): the maximal subgraph whose
+    every edge sits in >= k-2 triangles (Cohen 2008) — the EDGE-cohesion
+    sibling of k_core (node degree), and the standard stronger filter
+    for "communities, not hubs" (a star hub survives k-core but has no
+    triangles, so the truss drops it).
+
+    Iterative peel on edges: compute per-edge triangle support (wedge
+    self-join on the shared witness, closed against the surviving edge
+    set), drop edges with support < k-2, repeat; the fixpoint is unique
+    so the output is deterministic. `iterations=None` peels to
+    convergence (monotone shrinking edge set, scalar count guard);
+    an int runs EXACTLY that many support rounds — the fixed-round
+    variant an unrolled SQL mirror can replay (same contract as k_core).
+
+    Per round: one wedge join bounded by sum(deg^2) over witnesses + one
+    hash agg + one inner join back to the edge relation; the edge set is
+    localCheckpoint-ed per round so lineage stays O(1)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    und = (
+        edges.select(src, dst)
+        .filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    need = k - 2
+    n_prev = und.count()
+    rounds = 0
+    while True:
+        adj = und.unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        thru = adj.select(F.col("a").alias("w"), F.col("b").alias("u"))
+        closed = (
+            thru.alias("l")
+            .join(thru.alias("r"), F.col("l.w") == F.col("r.w"))
+            .filter(F.col("l.u") < F.col("r.u"))
+            .select(F.col("l.u").alias("a"), F.col("r.u").alias("b"))
+            .join(und, ["a", "b"], "inner")
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("long").alias("support"))
+        )
+        kept = (
+            und.join(closed, ["a", "b"], "left")
+            .withColumn(
+                "support",
+                F.coalesce("support", F.lit(0)).cast("long"),
+            )
+            .filter(F.col("support") >= need)
+            .localCheckpoint()
+        )
+        rounds += 1
+        if iterations is not None and rounds >= iterations:
+            return kept
+        n_now = kept.count()
+        und = kept.select("a", "b").localCheckpoint()
+        if n_now == n_prev:
+            return kept
+        n_prev = n_now

@@ -821,3 +821,65 @@ class TestCommunityRollup:
             ).collect()
         }
         assert out == {(10, 10): 1, (10, 20): 2}
+
+
+def _ref_k_truss(pairs, k):
+    """Driver-side reference: peel edges with support < k-2 to fixpoint."""
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    while True:
+        nbrs = {}
+        for a, b in edges:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        support = {
+            e: len(nbrs[e[0]] & nbrs[e[1]]) for e in edges
+        }
+        kept = {e for e in edges if support[e] >= k - 2}
+        if kept == edges:
+            return {(a, b, support[(a, b)]) for a, b in edges}
+        edges = kept
+
+
+class TestKTruss:
+    def test_star_hub_dropped_triangle_kept(self, spark):
+        """Star 0-{1..5} has no triangles -> empty 3-truss; adding the
+        triangle 1-2 keeps exactly its three edges."""
+        star = [(0, i) for i in range(1, 6)]
+        assert GR.k_truss(_edges(spark, star), 3).count() == 0
+        got = {
+            (r.a, r.b, r.support)
+            for r in GR.k_truss(_edges(spark, star + [(1, 2)]), 3).collect()
+        }
+        assert got == {(0, 1, 1), (0, 2, 1), (1, 2, 1)}
+
+    def test_matches_reference_at_fixpoint(self, spark):
+        pairs = [(i, (i * 7 + 3) % 19) for i in range(19)] + [
+            (i, (i + 5) % 19) for i in range(19)
+        ] + [(0, i) for i in range(1, 7)]
+        pairs = [p for p in pairs if p[0] != p[1]]
+        for k in (3, 4):
+            got = {
+                (r.a, r.b, r.support)
+                for r in GR.k_truss(_edges(spark, pairs), k).collect()
+            }
+            assert got == _ref_k_truss(pairs, k), k
+
+    def test_cascading_peel_needs_multiple_rounds(self, spark):
+        """Two triangles sharing edge (1,2), plus a pendant triangle
+        chain: peeling for k=4 removes everything in cascades; fixed
+        2 rounds must differ from convergence when the cascade is
+        deeper."""
+        # 4-clique with a tail triangle hanging off one vertex
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        tail = [(3, 4), (3, 5), (4, 5)]
+        pairs = k4 + tail
+        conv = {
+            (r.a, r.b)
+            for r in GR.k_truss(_edges(spark, pairs), 4).collect()
+        }
+        # 4-truss: every edge in >= 2 triangles -> only the K4 survives
+        assert conv == {(a, b) for a, b in k4}
+
+    def test_k_validation(self, spark):
+        with pytest.raises(ValueError):
+            GR.k_truss(_edges(spark, [(1, 2)]), 1)

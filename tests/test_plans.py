@@ -69,6 +69,7 @@ PURE_JVM = [
     "neighbor_jaccard_parts",
     "lpa_communities_parts",
     "kcore_parts",
+    "ktruss_parts",
     "host_graph_docs",
     "containment_docs",
     "pmi_index_edges",
