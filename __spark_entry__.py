@@ -1229,6 +1229,31 @@ def ktruss_parts(spark, sf):
     )
 
 
+def harmonic_parts(spark, sf):
+    """2-bounded harmonic centrality over the repeat co-purchase graph:
+    per part, count of parts within 2 hops and sum of 1/dist — the
+    truncated-closeness importance score (all roots exact at this sf;
+    the `roots` sample parameter is the 10^10-node path)."""
+    from kernel_memory_spark.operators import graph as GR
+
+    adj = GR.symmetrize(_repeat_copurchase_edges(spark, sf))
+    out = GR.harmonic_centrality(adj, k=2)
+    return out.select(
+        F.col("node").alias("part"),
+        "n_reached",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def walk_counts_parts(spark, sf):
+    """Length-3 walk counts (A^3 nonzeros) over the repeat co-purchase
+    graph — the Katz/graph-kernel primitive, two join+sum rounds."""
+    from kernel_memory_spark.operators import graph as GR
+
+    adj = GR.symmetrize(_repeat_copurchase_edges(spark, sf))
+    return GR.walk_counts(adj, k=3)
+
+
 def lpa_communities_parts(spark, sf):
     """Deterministic synchronous label-propagation communities (3 rounds,
     min-label tie-break) over the repeat co-purchase graph."""
@@ -1956,6 +1981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar_capped": adamic_adar_capped,
         "lpa_communities_parts": lpa_communities_parts,
         "ktruss_parts": ktruss_parts,
+        "harmonic_parts": harmonic_parts,
+        "walk_counts_parts": walk_counts_parts,
         "kcore_parts": kcore_parts,
         # --- round-5 additions (driver-checked immediately) ---
         "pagerank_warm_parts": pagerank_warm_parts,
@@ -3891,6 +3918,34 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                 JOIN adj1 y ON y.dst = e.b AND y.src = x.src
                 GROUP BY e.a, e.b)
             SELECT a, b, support FROM s2 WHERE support >= 1
+        """,
+        "harmonic_parts": _REPEAT_GRAPH_CTE
+        + """
+            , d1 AS (SELECT src AS root, dst AS node FROM adj)
+            , d2 AS (
+                SELECT DISTINCT a.src AS root, b.dst AS node
+                FROM adj a JOIN adj b ON a.dst = b.src
+                WHERE a.src <> b.dst
+                  AND NOT EXISTS (SELECT 1 FROM d1
+                                  WHERE d1.root = a.src
+                                    AND d1.node = b.dst))
+            , r AS (
+                SELECT root, node, 1.0::DOUBLE AS inv FROM d1
+                UNION ALL
+                SELECT root, node, 0.5::DOUBLE AS inv FROM d2)
+            SELECT root AS part,
+                   CAST(COUNT(*) AS BIGINT) AS n_reached,
+                   ROUND(SUM(inv), 6) AS score
+            FROM r GROUP BY root
+        """,
+        "walk_counts_parts": _REPEAT_GRAPH_CTE
+        + """
+            SELECT a.src AS src, c.dst AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS n_walks
+            FROM adj a
+            JOIN adj b ON a.dst = b.src
+            JOIN adj c ON b.dst = c.src
+            GROUP BY a.src, c.dst
         """,
         "lpa_communities_parts": _REPEAT_GRAPH_CTE
         + """

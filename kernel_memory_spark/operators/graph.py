@@ -937,3 +937,132 @@ def k_truss(
         if n_now == n_prev:
             return kept
         n_prev = n_now
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    k: int,
+    roots: Optional[DataFrame] = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-bounded harmonic centrality -> (node, n_reached, score) with
+    score = sum over nodes u reached within k hops of 1/dist(node, u)
+    (Boldi & Vigna 2014's harmonic variant of closeness, truncated at
+    radius k — the truncation both bounds the work and is the standard
+    fixed-round contract this family uses so an unrolled SQL mirror can
+    replay it, same as k_core/k_truss).
+
+    `roots=None` computes the exact bounded score for EVERY node: an
+    all-pairs bounded BFS whose state is O(sum of k-hop ball sizes) —
+    fine on sparse/bounded-degree graphs, quadratic on dense ones. For
+    10^10-node graphs pass `roots` = a deterministic node sample and the
+    result is the Eppstein-Wang style estimator restricted to sampled
+    roots (each root's score is still exact; sampling chooses WHICH
+    nodes get scored, it does not approximate any individual score).
+
+    Per level: one frontier ⋈ edges join + distinct + anti-join against
+    the visited pair set; pair frontiers are localCheckpoint-ed so a
+    task retry replays one level. The (root, node) visited relation is
+    the only state — no per-node arrays, so hub fan-in is absorbed by
+    the distinct's partial aggregation.
+
+    The edge relation is referenced k+1 times (each level + the root
+    derivation), so it is localCheckpoint-ed ONCE up front — without it
+    an expensive upstream subtree (e.g. the co-occurrence self-join that
+    builds a co-purchase graph) re-executes per level."""
+    e = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nxt")
+    ).localCheckpoint()
+    if roots is None:
+        roots = e.select("node").distinct()
+    root_col = roots.columns[0]
+    frontier = (
+        roots.select(F.col(root_col).alias("root"))
+        .distinct()
+        .withColumn("node", F.col("root"))
+        .localCheckpoint()
+    )
+    visited = frontier.withColumn("dist", F.lit(0))
+    for level in range(1, k + 1):
+        nxt = (
+            frontier.join(e, "node")
+            .select("root", F.col("nxt").alias("node"))
+            .distinct()
+            .join(
+                visited.select("root", "node"),
+                ["root", "node"],
+                "left_anti",
+            )
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("dist", F.lit(level))
+        ).localCheckpoint()
+        frontier = nxt
+    return (
+        visited.filter(F.col("dist") > 0)
+        .groupBy(F.col("root").alias("node"))
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            # try_divide, not /: the dist=0 branch of the visited union
+            # carries a literal 0, and ANSI constant folding evaluates
+            # 1.0/0 at PLAN time even though the filter drops the branch.
+            F.sum(
+                F.try_divide(F.lit(1.0), F.col("dist").cast("double"))
+            ).alias("score"),
+        )
+    )
+
+
+def walk_counts(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Number of length-EXACTLY-k directed walks between every node pair
+    with at least one -> (src, dst, n_walks): the k-th power of the
+    adjacency matrix computed as k-1 join+aggregate rounds (walks may
+    revisit nodes — this is A^k, the kernel behind Katz similarity,
+    graph kernels, and expected random-walk visit counts).
+
+    Each round is ONE shuffle join (acc.dst = edges.src) and ONE hash
+    aggregate summing walk counts into the new endpoint pair; partial
+    aggregation collapses hub fan-through map-side. The accumulator is
+    localCheckpoint-ed per round (lineage O(1)). State is the nonzero
+    entries of A^i — bounded on sparse graphs for small k, which is the
+    only regime walk counting is meaningful in (on dense graphs A^k
+    fills in and the counts are dominated by degree products).
+
+    The edge relation participates in every round, so it is
+    localCheckpoint-ed once up front (same multi-consumer-subtree
+    reasoning as harmonic_centrality)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.select(src, dst)
+        .distinct()
+        .select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    acc = e.withColumn("n_walks", F.lit(1).cast("long"))
+    for _ in range(k - 1):
+        acc = (
+            acc.alias("l")
+            .join(
+                e.alias("r"), F.col("l.dst") == F.col("r.src"), "inner"
+            )
+            .groupBy(
+                F.col("l.src").alias("src"),
+                F.col("r.dst").alias("dst"),
+            )
+            .agg(F.sum("l.n_walks").alias("n_walks"))
+            .localCheckpoint()
+        )
+    return acc

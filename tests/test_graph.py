@@ -883,3 +883,143 @@ class TestKTruss:
     def test_k_validation(self, spark):
         with pytest.raises(ValueError):
             GR.k_truss(_edges(spark, [(1, 2)]), 1)
+
+
+def _ref_bounded_harmonic(pairs, k):
+    """Driver-side reference: BFS from every node over the given directed
+    edge list, sum 1/dist for dist in [1, k]."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    nodes = set()
+    for u, v in pairs:
+        adj[u].add(v)
+        nodes.update((u, v))
+    out = {}
+    for r in sorted(nodes):
+        dist = {r: 0}
+        q = deque([r])
+        while q:
+            u = q.popleft()
+            if dist[u] == k:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        reached = [d for v, d in dist.items() if d > 0]
+        if reached:
+            out[r] = (len(reached), sum(1.0 / d for d in reached))
+    return out
+
+
+class TestHarmonicCentrality:
+    def test_path_graph_matches_reference(self, spark):
+        """Undirected path 1-2-3-4-5 at k=2: interior nodes see more and
+        closer neighbors than the endpoints."""
+        und = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        pairs = und + [(v, u) for u, v in und]
+        got = {
+            r.node: (r.n_reached, r.score)
+            for r in GR.harmonic_centrality(_edges(spark, pairs), k=2).collect()
+        }
+        ref = _ref_bounded_harmonic(pairs, 2)
+        assert got.keys() == ref.keys()
+        for v, (n, s) in ref.items():
+            assert got[v][0] == n
+            assert got[v][1] == pytest.approx(s, abs=1e-12)
+
+    def test_roots_sample_restricts_and_preserves_scores(self, spark):
+        """Passing a roots subset scores exactly those nodes, each with
+        the same value as the all-roots run (sampling picks WHO is
+        scored, never changes a score)."""
+        und = [(1, 2), (2, 3), (3, 4), (1, 5), (5, 6)]
+        pairs = und + [(v, u) for u, v in und]
+        e = _edges(spark, pairs)
+        all_rows = {
+            r.node: (r.n_reached, r.score)
+            for r in GR.harmonic_centrality(e, k=3).collect()
+        }
+        roots = spark.createDataFrame([(2,), (5,)], "node long")
+        sub = {
+            r.node: (r.n_reached, r.score)
+            for r in GR.harmonic_centrality(e, k=3, roots=roots).collect()
+        }
+        assert set(sub) == {2, 5}
+        for v in sub:
+            assert sub[v] == all_rows[v]
+
+    def test_disconnected_node_with_no_out_edges_absent(self, spark):
+        """A root that reaches nothing within k contributes no row (score
+        would be the empty sum)."""
+        pairs = [(1, 2), (3, 3)]  # self-loop on 3 is not a hop
+        got = GR.harmonic_centrality(
+            _edges(spark, [(1, 2)]), k=2,
+            roots=spark.createDataFrame([(7,)], "node long"),
+        ).collect()
+        assert got == []
+
+
+def _ref_walk_counts(pairs, k):
+    """Driver-side reference: A^k by dict-of-dict matrix multiply."""
+    a = {}
+    for u, v in set(pairs):
+        a.setdefault(u, {})[v] = 1
+    acc = {u: dict(vs) for u, vs in a.items()}
+    for _ in range(k - 1):
+        nxt = {}
+        for u, mids in acc.items():
+            for m, c in mids.items():
+                for v, c2 in a.get(m, {}).items():
+                    nxt.setdefault(u, {})[v] = (
+                        nxt.get(u, {}).get(v, 0) + c * c2
+                    )
+        acc = nxt
+    return {
+        (u, v): c for u, vs in acc.items() for v, c in vs.items()
+    }
+
+
+class TestWalkCounts:
+    def test_triangle_a3_matches_reference(self, spark):
+        """Undirected triangle: A^3 diagonal = 2 (the two orientations of
+        the closed walk), off-diagonal = 3."""
+        und = [(1, 2), (2, 3), (1, 3)]
+        pairs = und + [(v, u) for u, v in und]
+        got = {
+            (r.src, r.dst): r.n_walks
+            for r in GR.walk_counts(_edges(spark, pairs), k=3).collect()
+        }
+        ref = _ref_walk_counts(pairs, 3)
+        assert got == ref
+        assert got[(1, 1)] == 2 and got[(1, 2)] == 3
+
+    def test_directed_chain_counts(self, spark):
+        """Directed chain 1->2->3->4: exactly one length-3 walk (1->4),
+        and k=1 is the edge set itself."""
+        pairs = [(1, 2), (2, 3), (3, 4)]
+        e = _edges(spark, pairs)
+        got3 = {
+            (r.src, r.dst): r.n_walks
+            for r in GR.walk_counts(e, k=3).collect()
+        }
+        assert got3 == {(1, 4): 1}
+        got1 = {
+            (r.src, r.dst): r.n_walks
+            for r in GR.walk_counts(e, k=1).collect()
+        }
+        assert got1 == {(u, v): 1 for u, v in pairs}
+
+    def test_duplicate_input_edges_collapse(self, spark):
+        """The input edge relation is distinct-ed: duplicated rows do not
+        inflate walk counts."""
+        pairs = [(1, 2), (1, 2), (2, 3)]
+        got = {
+            (r.src, r.dst): r.n_walks
+            for r in GR.walk_counts(_edges(spark, pairs), k=2).collect()
+        }
+        assert got == {(1, 3): 1}
+
+    def test_k_below_one_rejected(self, spark):
+        with pytest.raises(ValueError):
+            GR.walk_counts(_edges(spark, [(1, 2)]), k=0)

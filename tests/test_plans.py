@@ -70,6 +70,8 @@ PURE_JVM = [
     "lpa_communities_parts",
     "kcore_parts",
     "ktruss_parts",
+    "harmonic_parts",
+    "walk_counts_parts",
     "host_graph_docs",
     "containment_docs",
     "pmi_index_edges",
