@@ -1769,6 +1769,35 @@ def profile_documents(spark, sf):
     )
 
 
+def cube_orders(spark, sf):
+    """Full CUBE over order status x priority with grouping-id
+    disambiguation: all 4 grouping sets in ONE shuffle (Catalyst Expand +
+    single hash aggregate), the OLAP rollup shape."""
+    from kernel_memory_spark.operators import ranges as RG
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    return RG.cube_counts(
+        o, ["o_orderstatus", "o_orderpriority"], sum_col="o_totalprice"
+    )
+
+
+def quantiles_orders(spark, sf):
+    """Exact per-priority order-value quantiles (p25/p50/p90/p99,
+    discrete semantics): collapses to (group, value, count) FIRST so the
+    ranking window runs over distinct values, not rows."""
+    from kernel_memory_spark.operators import profile as PR
+
+    o = load_table(spark, sf, "orders")
+    out = PR.group_quantiles(
+        o, ["o_orderpriority"], "o_totalprice", [0.25, 0.5, 0.9, 0.99]
+    )
+    return out.select(
+        "o_orderpriority", "q", F.round("value", 2).alias("value"), "n"
+    )
+
+
 def ppr_parts(spark, sf):
     """Personalized PageRank from seed parts 0..4 (3 iterations): 'entities
     related to X' relevance over the co-purchase KG."""
@@ -2021,6 +2050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_node_ids": dense_node_ids,
         "degree_histogram_parts": degree_histogram_parts,
         "profile_documents": profile_documents,
+        "cube_orders": cube_orders,
+        "quantiles_orders": quantiles_orders,
         "ppr_parts": ppr_parts,
         "pagerank_weighted_pmi": pagerank_weighted_pmi,
         "link_graph_docs": link_graph_docs,
@@ -4200,6 +4231,36 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                       FROM adj GROUP BY src)
             SELECT degree, COUNT(*) AS n_nodes
             FROM deg GROUP BY degree
+        """,
+        "cube_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING(o_orderstatus, o_orderpriority)
+                        AS BIGINT) AS gid,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "quantiles_orders": """
+            WITH counts AS (
+                SELECT o_orderpriority, o_totalprice AS value,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM orders GROUP BY o_orderpriority, o_totalprice),
+            ranked AS (
+                SELECT o_orderpriority, value,
+                       SUM(cnt) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY value) AS cum,
+                       SUM(cnt) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY value) - cnt AS cum_prev,
+                       CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority)
+                            AS BIGINT) AS n
+                FROM counts),
+            qs AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q)
+            SELECT r.o_orderpriority, CAST(q.q AS DOUBLE) AS q,
+                   ROUND(r.value, 2) AS value, r.n
+            FROM ranked r CROSS JOIN qs q
+            WHERE r.cum >= greatest(1, CAST(ceil(q.q * r.n) AS BIGINT))
+              AND r.cum_prev < greatest(1, CAST(ceil(q.q * r.n) AS BIGINT))
         """,
         "profile_documents": """
             SELECT 'doc_id' AS col_name,

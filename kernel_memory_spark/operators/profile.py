@@ -24,6 +24,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def profile_table(
@@ -57,4 +58,61 @@ def profile_table(
             f"stack({len(cols)}, {items}) as "
             "(col_name, n_nulls, n_distinct, min_val, max_val)"
         )
+    )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    qs: Sequence[float],
+) -> DataFrame:
+    """EXACT per-group discrete quantiles -> (*group_cols, q, value, n):
+    for each q, the value whose rank is max(1, ceil(q*n)) within the
+    group's ascending value order (quantile_disc semantics — always an
+    actual data value, deterministic, engine-neutral; no interpolation,
+    so no float-order divergence between engines).
+
+    Scale shape: the table is FIRST collapsed to (group, value, count) by
+    a hash aggregate — the window then ranks DISTINCT values per group,
+    not rows, so a 10^9-row group with 10^4 distinct values costs a
+    10^4-row single-task window, not a 10^9-row sort. The cumulative-count
+    window is the only per-group serial step; for pathological groups
+    that are huge in distinct values too, fall back to
+    percentile_approx. Each q is matched by locating the value whose
+    cumulative count first covers the target rank (one exploded literal
+    per q, filtered in place — no re-scan per quantile)."""
+    gcols = list(group_cols)
+    counts = (
+        df.groupBy(*gcols, F.col(value_col).alias("value"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy(*gcols).orderBy("value")
+    ranked = counts.select(
+        *gcols,
+        "value",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_prev"),
+        F.sum("cnt")
+        .over(Window.partitionBy(*gcols))
+        .cast("long")
+        .alias("n"),
+    )
+    targets = F.array(*[
+        F.struct(
+            F.lit(float(q)).alias("q"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.lit(float(q)) * F.col("n")).cast("long"),
+            ).alias("rank"),
+        )
+        for q in qs
+    ])
+    return (
+        ranked.withColumn("__t", F.explode(targets))
+        .filter(
+            (F.col("cum") >= F.col("__t.rank"))
+            & (F.col("cum_prev") < F.col("__t.rank"))
+        )
+        .select(*gcols, F.col("__t.q").alias("q"), "value", "n")
     )

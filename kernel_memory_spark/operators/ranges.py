@@ -89,3 +89,29 @@ def time_rollup(
     if sum_col:
         aggs.append(F.round(F.sum(sum_col), 6).alias("total"))
     return exploded.groupBy("grain", "bucket_start", *group_cols).agg(*aggs)
+
+
+def cube_counts(
+    df: DataFrame,
+    dims: Sequence[str],
+    sum_col: Optional[str] = None,
+    round_to: int = 2,
+) -> DataFrame:
+    """Full CUBE over `dims` -> (*dims, gid, n[, total]): every subset of
+    the dimensions aggregated in ONE shuffle (Catalyst expands the cube
+    into an Expand node feeding a single hash aggregate — 2^d grouping
+    sets never means 2^d scans). `gid` is the grouping bitmask (leftmost
+    dim = most significant bit, 1 = aggregated-away), the standard
+    disambiguator between a real NULL dimension value and a rollup row —
+    bit-compatible with SQL GROUPING(a, b, ...).
+
+    The 100 TB note: cube fan-out multiplies shuffle rows by 2^d, so keep
+    d small (<=4) or pre-aggregate to (dims, partial) first; partial
+    aggregation absorbs the expansion map-side for low-cardinality dims."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    if sum_col:
+        aggs.append(F.round(F.sum(sum_col), round_to).alias("total"))
+    return (
+        df.cube(*[F.col(d) for d in dims])
+        .agg(F.grouping_id().cast("long").alias("gid"), *aggs)
+    )

@@ -72,6 +72,8 @@ PURE_JVM = [
     "ktruss_parts",
     "harmonic_parts",
     "walk_counts_parts",
+    "cube_orders",
+    "quantiles_orders",
     "host_graph_docs",
     "containment_docs",
     "pmi_index_edges",

@@ -96,3 +96,83 @@ class TestRangeJoinFloor:
             for r in range_join(points, intervals, bucket_width=3600).collect()
         }
         assert got == {("p1", "i1"), ("p2", "i2")}
+
+
+class TestCubeCounts:
+    def test_all_grouping_sets_present(self, spark):
+        """2 dims -> 4 grouping sets; gid bitmask has the leftmost dim as
+        the most significant bit (SQL GROUPING() convention)."""
+        from kernel_memory_spark.operators.ranges import cube_counts
+
+        df = spark.createDataFrame(
+            [("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 4.0)],
+            "s string, p string, v double",
+        )
+        rows = cube_counts(df, ["s", "p"], sum_col="v").collect()
+        by_gid = {}
+        for r in rows:
+            by_gid.setdefault(r.gid, []).append(r)
+        assert set(by_gid) == {0, 1, 2, 3}
+        # gid=3: grand total, both dims aggregated away (NULL)
+        gt = by_gid[3][0]
+        assert gt.s is None and gt.p is None
+        assert gt.n == 3 and gt.total == 7.0
+        # gid=1: p aggregated away (LSB = rightmost dim), s kept
+        s_only = {r.s: (r.n, r.total) for r in by_gid[1]}
+        assert s_only == {"A": (2, 3.0), "B": (1, 4.0)}
+        # gid=2: s aggregated away (MSB = leftmost dim), p kept
+        p_only = {r.p: (r.n, r.total) for r in by_gid[2]}
+        assert p_only == {"x": (2, 5.0), "y": (1, 2.0)}
+        # gid=0: full detail
+        assert len(by_gid[0]) == 3
+
+    def test_single_shuffle_expand_plan(self, spark):
+        """The cube compiles to ONE Expand + aggregate, not 2^d scans."""
+        from kernel_memory_spark.operators.ranges import cube_counts
+
+        df = spark.createDataFrame([("A", "x")], "s string, p string")
+        plan = (
+            cube_counts(df, ["s", "p"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Expand") == 1
+
+
+class TestGroupQuantiles:
+    def test_matches_sorted_reference(self, spark):
+        """Exact discrete quantiles equal the rank-max(1, ceil(q*n))
+        element of the sorted values, per group, duplicates included."""
+        import math
+
+        from kernel_memory_spark.operators.profile import group_quantiles
+
+        data = [("g1", v) for v in [5.0, 1.0, 3.0, 3.0, 9.0, 7.0, 1.0]]
+        data += [("g2", v) for v in [10.0, 20.0]]
+        df = spark.createDataFrame(data, "g string, v double")
+        qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+        got = {
+            (r.g, r.q): (r.value, r.n)
+            for r in group_quantiles(df, ["g"], "v", qs).collect()
+        }
+        ref = {}
+        for g in ("g1", "g2"):
+            vals = sorted(v for gg, v in data if gg == g)
+            for q in qs:
+                rank = max(1, math.ceil(q * len(vals)))
+                ref[(g, q)] = (vals[rank - 1], len(vals))
+        assert got == ref
+
+    def test_window_ranks_distinct_values_not_rows(self, spark):
+        """The pre-aggregate collapses duplicates: a group of 1000 equal
+        values feeds a 1-row window, and every quantile is that value."""
+        from kernel_memory_spark.operators.profile import group_quantiles
+
+        df = spark.createDataFrame(
+            [("g", 42.0)] * 1000, "g string, v double"
+        )
+        out = group_quantiles(df, ["g"], "v", [0.5, 0.99])
+        rows = out.collect()
+        assert {(r.q, r.value, r.n) for r in rows} == {
+            (0.5, 42.0, 1000),
+            (0.99, 42.0, 1000),
+        }
