@@ -1902,6 +1902,31 @@ def host_graph_docs(spark, sf):
     )
 
 
+def bigram_lm_docs(spark, sf):
+    """Mean transition log-probability per document under a self-trained
+    add-one bigram LM — the order-sensitive quality signal (word salad
+    scores low even when its unigram frequencies look fluent)."""
+    from kernel_memory_spark.operators import lm as LM
+
+    docs = load_table(spark, sf, "documents")
+    out = LM.bigram_logprob_scores(docs)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_bigrams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+    )
+
+
+def hot_keys_lineitem(spark, sf):
+    """Top-20 heaviest l_partkey values with their share of all lineitem
+    rows — the skew audit that decides salting/AQE-skew-hints before a
+    join or aggregation on the key."""
+    from kernel_memory_spark.operators import profile as PR
+
+    l = load_table(spark, sf, "lineitem")
+    return PR.hot_keys(l, "l_partkey", k=20)
+
+
 def lm_quality_docs(spark, sf):
     """Mean unigram log-probability per document (self-trained add-one
     model — the corpus-statistical quality signal)."""
@@ -2057,6 +2082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_docs": link_graph_docs,
         "host_graph_docs": host_graph_docs,
         "lm_quality_docs": lm_quality_docs,
+        "bigram_lm_docs": bigram_lm_docs,
+        "hot_keys_lineitem": hot_keys_lineitem,
         "quantized_embeddings": quantized_embeddings,
         "embedding_gram": embedding_gram,
         "pca_project_embeddings": pca_project_embeddings,
@@ -4333,6 +4360,49 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                        AS anchor
             FROM h
             ORDER BY doc_id, href
+        """,
+        "bigram_lm_docs": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text), '[^a-z]+'),
+                           x -> len(x) >= 1) AS ws
+                FROM documents),
+            toks AS (SELECT doc_id, t.term
+                     FROM base, unnest(ws) AS t(term)),
+            ix AS (SELECT doc_id, ws,
+                          unnest(range(greatest(len(ws) - 1, 0))) AS i
+                   FROM base),
+            bp AS (SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
+                   FROM ix),
+            c12 AS (SELECT w1, w2, COUNT(*) AS c12
+                    FROM bp GROUP BY w1, w2),
+            c1 AS (SELECT term AS w1, COUNT(*) AS c1
+                   FROM toks GROUP BY term),
+            v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS V FROM c1),
+            model AS (SELECT c12.w1, c12.w2,
+                             ln((CAST(c12.c12 AS DOUBLE) + 1.0)
+                                / (CAST(c1.c1 AS DOUBLE)
+                                   + (SELECT V FROM v))) AS logp
+                      FROM c12 JOIN c1 ON c1.w1 = c12.w1)
+            SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   round(avg(m.logp), 6) AS avg_logp
+            FROM bp b JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+            GROUP BY b.doc_id
+        """,
+        "hot_keys_lineitem": """
+            WITH counts AS (
+                SELECT l_partkey AS key,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM lineitem GROUP BY l_partkey),
+            tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts),
+            top AS (SELECT key, cnt FROM counts
+                    ORDER BY cnt DESC, key ASC LIMIT 20)
+            SELECT key, cnt,
+                   round(cnt / (SELECT total FROM tot), 6) AS share,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, key ASC)
+                        AS BIGINT) AS rank
+            FROM top
         """,
         "lm_quality_docs": """
             WITH toks AS (

@@ -78,3 +78,67 @@ def unigram_logprob_scores(
         F.count("*").alias("n_tokens"),
         F.avg("logp").alias("avg_logp"),
     )
+
+
+def _bigram_pairs(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """-> (id, w1, w2): consecutive-token pairs per document. Built with
+    array functions (filter empty tokens, zip the array against its own
+    1-shift, explode) — per-document work, no window, no Python."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda x: F.length(x) >= 1,
+    )
+    npairs = F.greatest(F.size(arr) - F.lit(1), F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(arr, F.lit(1), npairs).alias("w1"),
+        F.slice(arr, F.lit(2), npairs).alias("w2"),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(zipped).alias("__p")
+    ).select("id", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, n_bigrams, avg_logp): mean TRANSITION log-probability per
+    document under a self-trained add-one bigram LM,
+    logp(w2|w1) = ln((c(w1,w2) + 1) / (c(w1) + V)) with V = unigram
+    vocabulary size — the order-sensitive upgrade of
+    unigram_logprob_scores (catches shuffled/templated word salad that
+    unigram frequencies score as fluent). Documents with < 2 tokens have
+    no transitions and are omitted.
+
+    Scale shape: two hash aggregates (bigram + unigram counts, map-side
+    combine), ONE 1-row scalar (V) to the driver, one keyed join of
+    transitions against the |bigram-vocab| model relation. Self-trained,
+    so every transition is in-model (no OOV branch in the hot path)."""
+    pairs = _bigram_pairs(docs, id_col, text_col).localCheckpoint()
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = (
+        _tokens(docs, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("c1"))
+        .withColumnRenamed("term", "w1")
+    )
+    v = float(c1.count())
+    model = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.log(
+            (F.col("c12").cast("double") + F.lit(1.0))
+            / (F.col("c1").cast("double") + F.lit(v))
+        ).alias("logp"),
+    )
+    return (
+        pairs.join(model, ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.avg("logp").alias("avg_logp"),
+        )
+    )

@@ -116,3 +116,32 @@ def group_quantiles(
         )
         .select(*gcols, F.col("__t.q").alias("q"), "value", "n")
     )
+
+
+def hot_keys(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """Top-k heaviest values of `key_col` -> (key, cnt, share, rank) —
+    the skew audit that decides whether a join/agg on this key needs
+    salting or an AQE skew hint (the repo's salted aggregations and
+    hot-bucket caps all start from exactly this question).
+
+    One hash aggregate (map-side combine absorbs the skew being
+    measured), a 1-row total cross-joined back (scalar, never a global
+    window over the counts), and a TakeOrderedAndProject top-k
+    (count desc, key asc tie-break — deterministic under ties); the rank
+    window runs AFTER the limit, over k rows, so it is bounded, not a
+    single-task pass over the key space."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").cast("double").alias("__total"))
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return (
+        top.crossJoin(total)
+        .withColumn("share", F.round(F.col("cnt") / F.col("__total"), 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .drop("__total")
+    )

@@ -505,3 +505,102 @@ class TestIncrementalCooccurIndex:
         assert CO.pmi_from_index(spark, cat, "cv").count() == 0
         pair_rows = cat.read(spark, "cv__pairs").collect()
         assert all(r.n_pairs == 0 for r in pair_rows)
+
+
+class TestBigramLm:
+    def test_matches_reference_model(self, spark):
+        """Spark scores equal a driver-side add-one bigram LM computed
+        from the same corpus (ln((c12+1)/(c1+V)), V = unigram vocab)."""
+        import math
+        from collections import Counter
+
+        from kernel_memory_spark.operators.lm import bigram_logprob_scores
+
+        texts = {
+            "d1": "the cat sat on the mat",
+            "d2": "the cat ate the fish",
+            "d3": "mat the on sat cat the",  # shuffled d1
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id string, text string"
+        )
+        toks = {d: t.split() for d, t in texts.items()}
+        c1 = Counter(w for ws in toks.values() for w in ws)
+        c12 = Counter(
+            (ws[i], ws[i + 1])
+            for ws in toks.values()
+            for i in range(len(ws) - 1)
+        )
+        v = len(c1)
+        ref = {}
+        for d, ws in toks.items():
+            lps = [
+                math.log((c12[(ws[i], ws[i + 1])] + 1.0) / (c1[ws[i]] + v))
+                for i in range(len(ws) - 1)
+            ]
+            ref[d] = (len(lps), sum(lps) / len(lps))
+        got = {
+            r.id: (r.n_bigrams, r.avg_logp)
+            for r in bigram_logprob_scores(df).collect()
+        }
+        assert got.keys() == ref.keys()
+        for d in ref:
+            assert got[d][0] == ref[d][0]
+            assert got[d][1] == pytest.approx(ref[d][1], abs=1e-12)
+
+    def test_order_sensitivity(self, spark):
+        """A document with the same unigram bag but shuffled order scores
+        strictly lower than the original (the reason bigram beats
+        unigram for quality filtering)."""
+        from kernel_memory_spark.operators.lm import bigram_logprob_scores
+
+        df = spark.createDataFrame(
+            [
+                ("orig1", "the cat sat on the mat"),
+                ("orig2", "the cat sat on the mat"),
+                ("shuf", "mat on the sat cat the"),
+            ],
+            "doc_id string, text string",
+        )
+        got = {
+            r.id: r.avg_logp for r in bigram_logprob_scores(df).collect()
+        }
+        assert got["shuf"] < got["orig1"]
+
+    def test_short_docs_omitted_and_punct_split(self, spark):
+        """<2 tokens -> no transitions -> no row; non-letters split
+        tokens exactly like the unigram tokenizer."""
+        from kernel_memory_spark.operators.lm import bigram_logprob_scores
+
+        df = spark.createDataFrame(
+            [("one", "hello"), ("two", "a-b"), ("empty", "123 !?")],
+            "doc_id string, text string",
+        )
+        got = {r.id: r.n_bigrams for r in bigram_logprob_scores(df).collect()}
+        assert got == {"two": 1}  # "a-b" -> (a, b)
+
+
+class TestHotKeys:
+    def test_top_k_share_and_rank(self, spark):
+        from kernel_memory_spark.operators.profile import hot_keys
+
+        rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 1
+        df = spark.createDataFrame(rows, "k string")
+        got = [
+            (r.key, r.cnt, r.share, r.rank)
+            for r in hot_keys(df, "k", k=3)
+            .orderBy("rank")
+            .collect()
+        ]
+        # b before c: count tie broken by key ascending
+        assert got == [
+            ("a", 5, round(5 / 12, 6), 1),
+            ("b", 3, 0.25, 2),
+            ("c", 3, 0.25, 3),
+        ]
+
+    def test_k_larger_than_cardinality(self, spark):
+        from kernel_memory_spark.operators.profile import hot_keys
+
+        df = spark.createDataFrame([("x",), ("y",)], "k string")
+        assert hot_keys(df, "k", k=10).count() == 2

@@ -74,6 +74,8 @@ PURE_JVM = [
     "walk_counts_parts",
     "cube_orders",
     "quantiles_orders",
+    "bigram_lm_docs",
+    "hot_keys_lineitem",
     "host_graph_docs",
     "containment_docs",
     "pmi_index_edges",
@@ -140,6 +142,8 @@ SCALAR_CROSS = {
     "blocking_quality_docs",
     # fact informativeness: 1-row N aggregate broadcast into the score
     "entity_fact_rank_docs",
+    # skew audit: 1-row total crossed into the top-k counts
+    "hot_keys_lineitem",
 }
 
 
