@@ -1254,6 +1254,29 @@ def walk_counts_parts(spark, sf):
     return GR.walk_counts(adj, k=3)
 
 
+def scc_parts(spark, sf):
+    """2-bounded strongly connected components over a DIRECTED version of
+    the repeat co-purchase graph (each undirected pair oriented by the
+    md5 parity of its key string, so the orientation replays in any
+    engine): mutual-2-hop reachability pairs -> connected components;
+    nodes in no mutual pair are singletons."""
+    from kernel_memory_spark.operators import graph as GR
+
+    rep = _repeat_copurchase_edges(spark, sf)
+    key = F.md5(
+        F.concat_ws(
+            "|", F.col("src").cast("string"), F.col("dst").cast("string")
+        )
+    )
+    flip = F.substring(key, 1, 1).isin(*list("89abcdef"))
+    directed = rep.select(
+        F.when(flip, F.col("dst")).otherwise(F.col("src")).alias("src"),
+        F.when(flip, F.col("src")).otherwise(F.col("dst")).alias("dst"),
+    )
+    out = GR.scc_bounded(directed, k=2)
+    return out.select(F.col("node").alias("part"), "scc_id")
+
+
 def lpa_communities_parts(spark, sf):
     """Deterministic synchronous label-propagation communities (3 rounds,
     min-label tie-break) over the repeat co-purchase graph."""
@@ -2037,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_parts": ktruss_parts,
         "harmonic_parts": harmonic_parts,
         "walk_counts_parts": walk_counts_parts,
+        "scc_parts": scc_parts,
         "kcore_parts": kcore_parts,
         # --- round-5 additions (driver-checked immediately) ---
         "pagerank_warm_parts": pagerank_warm_parts,
@@ -3995,6 +4019,46 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_reached,
                    ROUND(SUM(inv), 6) AS score
             FROM r GROUP BY root
+        """,
+        # WITH RECURSIVE prefix: the mutual-pair closure is a genuine
+        # fixpoint (component diameters are data-dependent), so the CC
+        # side of the mirror is a recursive CTE, not an unrolled chain.
+        "scc_parts": _REPEAT_GRAPH_CTE.replace(
+            "WITH items", "WITH RECURSIVE items"
+        )
+        + """
+            , dir AS (
+                SELECT CASE WHEN substr(md5(CAST(src AS VARCHAR) || '|'
+                                         || CAST(dst AS VARCHAR)), 1, 1)
+                                 IN ('8','9','a','b','c','d','e','f')
+                            THEN dst ELSE src END AS src,
+                       CASE WHEN substr(md5(CAST(src AS VARCHAR) || '|'
+                                         || CAST(dst AS VARCHAR)), 1, 1)
+                                 IN ('8','9','a','b','c','d','e','f')
+                            THEN src ELSE dst END AS dst
+                FROM und)
+            , r1 AS (SELECT src AS root, dst AS node FROM dir)
+            , r2 AS (SELECT DISTINCT d1.src AS root, d2.dst AS node
+                     FROM dir d1 JOIN dir d2 ON d1.dst = d2.src
+                     WHERE d1.src <> d2.dst)
+            , reach AS (SELECT root, node FROM r1
+                        UNION SELECT root, node FROM r2)
+            , mutual AS (
+                SELECT l.root AS a, l.node AS b
+                FROM reach l JOIN reach r
+                  ON r.root = l.node AND r.node = l.root
+                WHERE l.root < l.node)
+            , msym AS (SELECT a, b FROM mutual
+                       UNION SELECT b, a FROM mutual)
+            , cr AS (
+                SELECT a, b FROM msym
+                UNION
+                SELECT cr.a, m.b FROM cr JOIN msym m ON m.a = cr.b)
+            , comp AS (SELECT a AS node, least(a, min(b)) AS scc_id
+                       FROM cr GROUP BY a)
+            , nodes AS (SELECT DISTINCT src AS node FROM adj)
+            SELECT n.node AS part, COALESCE(c.scc_id, n.node) AS scc_id
+            FROM nodes n LEFT JOIN comp c ON c.node = n.node
         """,
         "walk_counts_parts": _REPEAT_GRAPH_CTE
         + """

@@ -939,6 +939,44 @@ def k_truss(
         n_prev = n_now
 
 
+def _bounded_reach_pairs(
+    e: DataFrame, roots: DataFrame, k: int
+) -> DataFrame:
+    """All-pairs bounded BFS -> (root, node, dist) for dist in [0, k]:
+    per level one frontier ⋈ edges join + distinct + anti-join against
+    the visited pair set, frontiers localCheckpoint-ed so a task retry
+    replays one level. `e` must be a (node, nxt) relation already
+    checkpointed by the caller (it is referenced once per level).
+    Shared by harmonic_centrality and scc_bounded."""
+    root_col = roots.columns[0]
+    frontier = (
+        roots.select(F.col(root_col).alias("root"))
+        .distinct()
+        .withColumn("node", F.col("root"))
+        .localCheckpoint()
+    )
+    visited = frontier.withColumn("dist", F.lit(0))
+    for level in range(1, k + 1):
+        nxt = (
+            frontier.join(e, "node")
+            .select("root", F.col("nxt").alias("node"))
+            .distinct()
+            .join(
+                visited.select("root", "node"),
+                ["root", "node"],
+                "left_anti",
+            )
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("dist", F.lit(level))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
 def harmonic_centrality(
     edges: DataFrame,
     k: int,
@@ -976,32 +1014,7 @@ def harmonic_centrality(
     ).localCheckpoint()
     if roots is None:
         roots = e.select("node").distinct()
-    root_col = roots.columns[0]
-    frontier = (
-        roots.select(F.col(root_col).alias("root"))
-        .distinct()
-        .withColumn("node", F.col("root"))
-        .localCheckpoint()
-    )
-    visited = frontier.withColumn("dist", F.lit(0))
-    for level in range(1, k + 1):
-        nxt = (
-            frontier.join(e, "node")
-            .select("root", F.col("nxt").alias("node"))
-            .distinct()
-            .join(
-                visited.select("root", "node"),
-                ["root", "node"],
-                "left_anti",
-            )
-            .localCheckpoint()
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(
-            nxt.withColumn("dist", F.lit(level))
-        ).localCheckpoint()
-        frontier = nxt
+    visited = _bounded_reach_pairs(e, roots, k)
     return (
         visited.filter(F.col("dist") > 0)
         .groupBy(F.col("root").alias("node"))
@@ -1066,3 +1079,66 @@ def walk_counts(
             .localCheckpoint()
         )
     return acc
+
+
+def scc_bounded(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_cc_iter: int = 25,
+) -> DataFrame:
+    """k-bounded strongly connected components over a DIRECTED graph ->
+    (node, scc_id): u and v share a class iff they are connected through
+    the mutual-reachability relation R_k = {(u,v) : dist(u→v) <= k AND
+    dist(v→u) <= k}. When every true SCC has directed diameter <= k the
+    result IS the SCC decomposition (all mutual pairs inside an SCC are
+    present and no mutual pair crosses SCCs — mutual reachability at any
+    bound implies same SCC); the bound is the deterministic, replayable
+    contract this family uses (same as k_core/k_truss) and caps the
+    reach-state for 10^10-edge graphs where full Tarjan-style passes
+    don't distribute.
+
+    Shape: one bounded all-pairs BFS over the directed edges (state =
+    (root, node) pairs within k hops), a self-join of the reach relation
+    against its own transpose to keep mutual pairs, then min-label
+    connected components over the (undirected by construction) mutual
+    graph; nodes in no mutual pair are their own singleton class."""
+    e = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nxt"))
+        .filter(F.col(src) != F.col(dst))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select("node")
+        .unionByName(e.select(F.col("nxt").alias("node")))
+        .distinct()
+    )
+    reach = (
+        _bounded_reach_pairs(e, nodes, k)
+        .filter(F.col("dist") > 0)
+        .select("root", "node")
+        .localCheckpoint()
+    )
+    mutual = (
+        reach.alias("l")
+        .join(
+            reach.alias("r"),
+            (F.col("l.root") == F.col("r.node"))
+            & (F.col("l.node") == F.col("r.root")),
+        )
+        .filter(F.col("l.root") < F.col("l.node"))
+        .select(F.col("l.root").alias("a"), F.col("l.node").alias("b"))
+        .distinct()
+    )
+    from kernel_memory_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    comp = connected_components(mutual, max_iter=max_cc_iter)
+    return nodes.join(
+        comp, nodes["node"] == comp["norm"], "left"
+    ).select(
+        "node", F.coalesce("component", "node").alias("scc_id")
+    )

@@ -1023,3 +1023,45 @@ class TestWalkCounts:
     def test_k_below_one_rejected(self, spark):
         with pytest.raises(ValueError):
             GR.walk_counts(_edges(spark, [(1, 2)]), k=0)
+
+
+class TestSccBounded:
+    def _sccs(self, spark, pairs, k):
+        out = GR.scc_bounded(_edges(spark, pairs), k=k).collect()
+        groups = {}
+        for r in out:
+            groups.setdefault(r.scc_id, set()).add(r.node)
+        return set(frozenset(g) for g in groups.values())
+
+    def test_cycle_plus_tail(self, spark):
+        """Directed 3-cycle is one class (diameter 2 <= k); the node
+        feeding into it is a singleton (no path back)."""
+        got = self._sccs(spark, [(1, 2), (2, 3), (3, 1), (4, 1)], k=2)
+        assert got == {frozenset({1, 2, 3}), frozenset({4})}
+
+    def test_two_cycle_and_dag_edge(self, spark):
+        got = self._sccs(spark, [(1, 2), (2, 1), (3, 4)], k=2)
+        assert got == {frozenset({1, 2}), frozenset({3}), frozenset({4})}
+
+    def test_bound_contract_on_long_cycle(self, spark):
+        """A 4-cycle has directed diameter 3: at k=2 only OPPOSITE
+        corners are mutually reachable (1->2->3 and 3->4->1), so the
+        classes are the two diagonals — the documented bounded
+        semantics; at k >= diameter the cycle is one class = true SCC."""
+        cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
+        assert self._sccs(spark, cyc, k=2) == {
+            frozenset({1, 3}), frozenset({2, 4})
+        }
+        assert self._sccs(spark, cyc, k=3) == {frozenset({1, 2, 3, 4})}
+
+    def test_components_close_over_shared_nodes(self, spark):
+        """Two cyclically-oriented triangles sharing a node form ONE
+        class: the output is the equivalence closure (connected
+        components) of the mutual-reachability relation, matching true
+        SCC here since the union is one SCC of diameter <= ... within
+        each triangle every pair is mutual, and CC merges through the
+        shared node exactly as Tarjan would."""
+        tri1 = [(1, 2), (2, 3), (3, 1)]
+        tri2 = [(3, 4), (4, 5), (5, 3)]
+        got = self._sccs(spark, tri1 + tri2, k=2)
+        assert got == {frozenset({1, 2, 3, 4, 5})}

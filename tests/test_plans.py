@@ -72,6 +72,7 @@ PURE_JVM = [
     "ktruss_parts",
     "harmonic_parts",
     "walk_counts_parts",
+    "scc_parts",
     "cube_orders",
     "quantiles_orders",
     "bigram_lm_docs",
