@@ -1286,6 +1286,39 @@ def lpa_communities_parts(spark, sf):
     return out.select(F.col("node").alias("part"), "label")
 
 
+def modularity_parts(spark, sf):
+    """Newman modularity decomposition of the 3-round LPA communities
+    over the repeat co-purchase graph — per-community contribution
+    m_c/m - (d_c/2m)^2 (sum = Q), the measurement of whether the
+    detected communities beat a random degree-preserving graph."""
+    from kernel_memory_spark.operators import graph as GR
+
+    rep = _repeat_copurchase_edges(spark, sf)
+    labels = GR.label_propagation(rep, 3)
+    return GR.modularity(rep, labels)
+
+
+def bcubed_dedup_docs(spark, sf):
+    """B-cubed evaluation of the near-dup collapse clusters against the
+    exact-text truth grouping — the element-weighted cluster metric that
+    complements the pairwise blocking_quality report."""
+    from kernel_memory_spark.operators import blocking as BL
+    from kernel_memory_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    pairs = minhash_lsh_dedup(spark, sf)
+    pred = DD.collapse_duplicates(both, pairs).select(
+        "id", F.col("canonical_id").alias("pred")
+    )
+    truth = both.join(
+        both.groupBy("text").agg(F.min("doc_id").alias("t")), "text"
+    ).select(F.col("doc_id").alias("id"), "t")
+    return BL.bcubed(pred.join(truth, "id"), pred="pred", truth="t")
+
+
 def sssp_parts(spark, sf):
     """Bounded-hop weighted shortest distances (3 Bellman-Ford rounds)
     from parts 0..2 over the repeat co-purchase graph, edge cost
@@ -2057,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_jaccard_parts": neighbor_jaccard_parts,
         "adamic_adar_capped": adamic_adar_capped,
         "lpa_communities_parts": lpa_communities_parts,
+        "modularity_parts": modularity_parts,
         "ktruss_parts": ktruss_parts,
         "harmonic_parts": harmonic_parts,
         "walk_counts_parts": walk_counts_parts,
@@ -2096,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "quota_cap_docs": quota_cap_docs,
         "dedup_collapse_docs": dedup_collapse_docs,
+        "bcubed_dedup_docs": bcubed_dedup_docs,
         "dense_node_ids": dense_node_ids,
         "degree_histogram_parts": degree_histogram_parts,
         "profile_documents": profile_documents,
@@ -2184,6 +2219,34 @@ WITH items AS (
 ), adj AS (
   SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und
 )
+"""
+
+# 3 unrolled synchronous LPA rounds (min-label tie-break) over `adj` —
+# shared by the lpa_communities_parts and modularity_parts mirrors so the
+# label fixpoint is identical in both.
+_LPA3_CTES = """
+            , l0 AS (SELECT DISTINCT src AS node, src AS label FROM adj)
+            , c1 AS (SELECT a.src AS node, l.label, COUNT(*) AS votes
+                     FROM adj a JOIN l0 l ON l.node = a.dst
+                     GROUP BY a.src, l.label)
+            , l1 AS (SELECT node, label FROM (
+                       SELECT node, label, row_number() OVER (
+                         PARTITION BY node ORDER BY votes DESC, label ASC
+                       ) AS rn FROM c1) WHERE rn = 1)
+            , c2 AS (SELECT a.src AS node, l.label, COUNT(*) AS votes
+                     FROM adj a JOIN l1 l ON l.node = a.dst
+                     GROUP BY a.src, l.label)
+            , l2 AS (SELECT node, label FROM (
+                       SELECT node, label, row_number() OVER (
+                         PARTITION BY node ORDER BY votes DESC, label ASC
+                       ) AS rn FROM c2) WHERE rn = 1)
+            , c3 AS (SELECT a.src AS node, l.label, COUNT(*) AS votes
+                     FROM adj a JOIN l2 l ON l.node = a.dst
+                     GROUP BY a.src, l.label)
+            , l3 AS (SELECT node, label FROM (
+                       SELECT node, label, row_number() OVER (
+                         PARTITION BY node ORDER BY votes DESC, label ASC
+                       ) AS rn FROM c3) WHERE rn = 1)
 """
 
 _GRAPH_CTE = """
@@ -4070,30 +4133,34 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
             GROUP BY a.src, c.dst
         """,
         "lpa_communities_parts": _REPEAT_GRAPH_CTE
+        + _LPA3_CTES
         + """
-            , l0 AS (SELECT DISTINCT src AS node, src AS label FROM adj)
-            , c1 AS (SELECT a.src AS node, l.label, COUNT(*) AS votes
-                     FROM adj a JOIN l0 l ON l.node = a.dst
-                     GROUP BY a.src, l.label)
-            , l1 AS (SELECT node, label FROM (
-                       SELECT node, label, row_number() OVER (
-                         PARTITION BY node ORDER BY votes DESC, label ASC
-                       ) AS rn FROM c1) WHERE rn = 1)
-            , c2 AS (SELECT a.src AS node, l.label, COUNT(*) AS votes
-                     FROM adj a JOIN l1 l ON l.node = a.dst
-                     GROUP BY a.src, l.label)
-            , l2 AS (SELECT node, label FROM (
-                       SELECT node, label, row_number() OVER (
-                         PARTITION BY node ORDER BY votes DESC, label ASC
-                       ) AS rn FROM c2) WHERE rn = 1)
-            , c3 AS (SELECT a.src AS node, l.label, COUNT(*) AS votes
-                     FROM adj a JOIN l2 l ON l.node = a.dst
-                     GROUP BY a.src, l.label)
-            , l3 AS (SELECT node, label FROM (
-                       SELECT node, label, row_number() OVER (
-                         PARTITION BY node ORDER BY votes DESC, label ASC
-                       ) AS rn FROM c3) WHERE rn = 1)
             SELECT node AS part, label FROM l3
+        """,
+        "modularity_parts": _REPEAT_GRAPH_CTE
+        + _LPA3_CTES
+        + """
+            , m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM und)
+            , intra AS (
+                SELECT la.label, CAST(COUNT(*) AS BIGINT) AS m_intra
+                FROM und e
+                JOIN l3 la ON la.node = e.src
+                JOIN l3 lb ON lb.node = e.dst AND lb.label = la.label
+                GROUP BY la.label)
+            , deg AS (SELECT src AS node, COUNT(*) AS deg
+                      FROM adj GROUP BY src)
+            , dc AS (SELECT l.label,
+                            CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                            CAST(SUM(d.deg) AS BIGINT) AS deg_sum
+                     FROM l3 l JOIN deg d ON d.node = l.node
+                     GROUP BY l.label)
+            SELECT dc.label, dc.n_nodes,
+                   COALESCE(i.m_intra, 0) AS m_intra, dc.deg_sum,
+                   ROUND(COALESCE(i.m_intra, 0) / (SELECT m FROM m)
+                         - POWER(dc.deg_sum
+                                 / (2.0 * (SELECT m FROM m)), 2),
+                         6) + 0.0 AS contribution
+            FROM dc LEFT JOIN intra i ON i.label = dc.label
         """,
         "sssp_parts": """
             WITH items AS (
@@ -4280,6 +4347,45 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                 FROM documents)
             WHERE rn <= 15
             ORDER BY doc_id
+        """,
+        "bcubed_dedup_docs": """
+            WITH both_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id + 100000, text FROM documents),
+            w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+                  FROM both_docs),
+            ix AS (SELECT doc_id, ws,
+                          unnest(range(greatest(len(ws) - 2, 1))) AS i FROM w),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(ws[i + 1 : i + 3], ' ') AS gram
+                  FROM ix),
+            sig AS (SELECT doc_id,
+                           min(md5('0|' || gram)) || '|' ||
+                           min(md5('1|' || gram)) || '|' ||
+                           min(md5('2|' || gram)) || '|' ||
+                           min(md5('3|' || gram)) AS band
+                    FROM g GROUP BY doc_id),
+            -- pred = collapse components (band groups, see
+            -- dedup_collapse_docs); truth = exact-text groups
+            asg AS (SELECT s.doc_id AS id,
+                           min(s.doc_id) OVER (PARTITION BY s.band) AS p,
+                           min(d.doc_id) OVER (PARTITION BY d.text) AS t
+                    FROM sig s JOIN both_docs d ON d.doc_id = s.doc_id),
+            npt AS (SELECT p, t, CAST(COUNT(*) AS DOUBLE) AS n_pt
+                    FROM asg GROUP BY p, t),
+            np AS (SELECT p, CAST(COUNT(*) AS DOUBLE) AS n_p
+                   FROM asg GROUP BY p),
+            nt AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS n_t
+                   FROM asg GROUP BY t),
+            s AS (SELECT CAST(SUM(n_pt) AS BIGINT) AS n,
+                         SUM(n_pt * n_pt / n_p) AS sp,
+                         SUM(n_pt * n_pt / n_t) AS sr
+                  FROM npt JOIN np USING (p) JOIN nt USING (t))
+            SELECT n, ROUND(sp / n, 6) AS bcubed_precision,
+                   ROUND(sr / n, 6) AS bcubed_recall,
+                   ROUND(2.0 * (sp / n) * (sr / n)
+                         / ((sp / n) + (sr / n)), 6) AS bcubed_f1
+            FROM s
         """,
         "dedup_collapse_docs": """
             WITH both_docs AS (

@@ -189,3 +189,58 @@ def sorted_neighborhood(
         )
         .select("a", "b", (F.col("rb") - F.col("ra")).alias("rank_dist"))
     )
+
+
+def bcubed(
+    assignments: DataFrame,
+    id_col: str = "id",
+    pred: str = "pred",
+    truth: str = "truth",
+) -> DataFrame:
+    """B-cubed cluster evaluation -> ONE row (n, bcubed_precision,
+    bcubed_recall, bcubed_f1): the element-weighted cluster metric that
+    (unlike pairwise P/R) stays meaningful when cluster sizes are skewed
+    (Bagga & Baldwin 1998; the standard ER/coreference report alongside
+    pairs completeness).
+
+    Closed-form aggregation instead of per-element loops: with
+    n_pt = |pred cluster p ∩ truth cluster t|, the element-average
+    precision is sum(n_pt^2 / n_p) / N and recall is sum(n_pt^2 / n_t)
+    / N — so the whole metric is two hash aggregates (cluster sizes),
+    one intersection aggregate on (pred, truth), two keyed joins and a
+    1-row reduce. No element ever reaches the driver."""
+    base = assignments.select(
+        F.col(id_col).alias("id"),
+        F.col(pred).alias("p"),
+        F.col(truth).alias("t"),
+    )
+    n_pt = base.groupBy("p", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("n_pt")
+    )
+    n_p = base.groupBy("p").agg(
+        F.count(F.lit(1)).cast("double").alias("n_p")
+    )
+    n_t = base.groupBy("t").agg(
+        F.count(F.lit(1)).cast("double").alias("n_t")
+    )
+    sums = (
+        n_pt.join(n_p, "p")
+        .join(n_t, "t")
+        .agg(
+            F.sum("n_pt").cast("long").alias("n"),
+            F.sum(F.col("n_pt") * F.col("n_pt") / F.col("n_p")).alias(
+                "__sp"
+            ),
+            F.sum(F.col("n_pt") * F.col("n_pt") / F.col("n_t")).alias(
+                "__sr"
+            ),
+        )
+    )
+    p_ = F.col("__sp") / F.col("n")
+    r_ = F.col("__sr") / F.col("n")
+    return sums.select(
+        "n",
+        F.round(p_, 6).alias("bcubed_precision"),
+        F.round(r_, 6).alias("bcubed_recall"),
+        F.round(2.0 * p_ * r_ / (p_ + r_), 6).alias("bcubed_f1"),
+    )

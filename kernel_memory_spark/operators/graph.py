@@ -1142,3 +1142,83 @@ def scc_bounded(
     ).select(
         "node", F.coalesce("component", "node").alias("scc_id")
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    label: str = "label",
+) -> DataFrame:
+    """Newman modularity decomposition of a community assignment ->
+    (label, n_nodes, m_intra, deg_sum, contribution) with
+    contribution = m_c/m - (d_c/2m)^2 (sum over rows = Q) — the standard
+    measurement of whether LPA/rollup communities are real structure or
+    noise (Q ≈ 0 means no better than a random degree-preserving graph).
+
+    Evaluation, not iteration: two keyed joins (edge endpoints against
+    the label relation), two hash aggregates, one 1-row edge-count
+    scalar crossed back in. Self-loops are dropped and the edge set is
+    canonicalized to distinct unordered pairs first, so double-counted
+    inputs can't inflate m."""
+    und = (
+        edges.select(src, dst)
+        .filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = labels.select(
+        F.col(node).alias("n"), F.col(label).alias("label")
+    )
+    m = und.agg(F.count(F.lit(1)).cast("double").alias("__m"))
+    intra = (
+        und.join(lab.withColumnRenamed("n", "a"), "a")
+        .withColumnRenamed("label", "__la")
+        .join(lab.withColumnRenamed("n", "b"), "b")
+        .filter(F.col("__la") == F.col("label"))
+        .groupBy(F.col("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("m_intra"))
+    )
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("n")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    dc = (
+        lab.join(deg, "n")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("deg_sum"),
+        )
+    )
+    return (
+        dc.join(intra, "label", "left")
+        .crossJoin(m)
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("m_intra", F.lit(0)).cast("long").alias("m_intra"),
+            "deg_sum",
+            # + 0.0 normalizes IEEE -0.0 (a community whose contribution
+            # rounds to negative zero) so the value serializes
+            # identically in every engine
+            (
+                F.round(
+                    F.coalesce("m_intra", F.lit(0)) / F.col("__m")
+                    - F.pow(
+                        F.col("deg_sum") / (F.lit(2.0) * F.col("__m")),
+                        F.lit(2.0),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("contribution"),
+        )
+    )

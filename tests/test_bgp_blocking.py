@@ -232,3 +232,45 @@ class TestSortedNeighborhood:
             BL.sorted_neighborhood(
                 self._recs(spark, ["a"]), "doc_id", F.col("name"), 1
             )
+
+
+class TestBcubed:
+    def test_matches_per_element_reference(self, spark):
+        """Aggregated form equals the per-element definition (avg over
+        elements of |pred∩truth|/|pred| and /|truth|)."""
+        from kernel_memory_spark.operators.blocking import bcubed
+
+        asg = [
+            ("a", 1, 1), ("b", 1, 1), ("c", 1, 2),
+            ("d", 2, 2), ("e", 2, 3), ("f", 3, 3),
+        ]
+        df = spark.createDataFrame(asg, "id string, pred long, truth long")
+        got = bcubed(df).collect()[0]
+        # driver-side reference, element by element
+        from collections import Counter
+
+        pc = Counter(p for _, p, _ in asg)
+        tc = Counter(t for _, _, t in asg)
+        ic = Counter((p, t) for _, p, t in asg)
+        ps = [ic[(p, t)] / pc[p] for _, p, t in asg]
+        rs = [ic[(p, t)] / tc[t] for _, p, t in asg]
+        ref_p = sum(ps) / len(asg)
+        ref_r = sum(rs) / len(asg)
+        assert got.n == 6
+        assert got.bcubed_precision == pytest.approx(ref_p, abs=1e-6)
+        assert got.bcubed_recall == pytest.approx(ref_r, abs=1e-6)
+        assert got.bcubed_f1 == pytest.approx(
+            2 * ref_p * ref_r / (ref_p + ref_r), abs=1e-6
+        )
+
+    def test_perfect_clustering(self, spark):
+        from kernel_memory_spark.operators.blocking import bcubed
+
+        df = spark.createDataFrame(
+            [("a", 1, 9), ("b", 1, 9), ("c", 2, 8)],
+            "id string, pred long, truth long",
+        )
+        got = bcubed(df).collect()[0]
+        assert (got.bcubed_precision, got.bcubed_recall, got.bcubed_f1) == (
+            1.0, 1.0, 1.0,
+        )

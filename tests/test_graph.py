@@ -1065,3 +1065,49 @@ class TestSccBounded:
         tri2 = [(3, 4), (4, 5), (5, 3)]
         got = self._sccs(spark, tri1 + tri2, k=2)
         assert got == {frozenset({1, 2, 3, 4, 5})}
+
+
+class TestModularity:
+    def test_two_cliques_with_bridge(self, spark):
+        """Two triangles joined by one bridge edge, communities = the
+        triangles: m=7, m_c=3, d_c=7 each -> contribution
+        3/7 - (7/14)^2 = 0.178571 per community, Q ~ 0.357."""
+        tri1 = [(1, 2), (2, 3), (1, 3)]
+        tri2 = [(4, 5), (5, 6), (4, 6)]
+        e = _edges(spark, tri1 + tri2 + [(3, 4)])
+        labels = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+            "node long, label long",
+        )
+        rows = {r.label: r for r in GR.modularity(e, labels).collect()}
+        for lab in (10, 20):
+            assert rows[lab].n_nodes == 3
+            assert rows[lab].m_intra == 3
+            assert rows[lab].deg_sum == 7
+            assert rows[lab].contribution == pytest.approx(
+                3 / 7 - (7 / 14) ** 2, abs=1e-6
+            )
+        q = sum(r.contribution for r in rows.values())
+        assert q == pytest.approx(0.357143, abs=1e-5)
+
+    def test_single_community_q_zero(self, spark):
+        """Everything in one community: Q = m/m - (2m/2m)^2 = 0 exactly
+        (and serializes as +0.0, not -0.0)."""
+        e = _edges(spark, [(1, 2), (2, 3)])
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1)], "node long, label long"
+        )
+        rows = GR.modularity(e, labels).collect()
+        assert len(rows) == 1
+        assert repr(rows[0].contribution) == "0.0"
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        """m counts distinct unordered pairs: duplicated/reversed input
+        rows don't inflate the null model."""
+        e = _edges(spark, [(1, 2), (2, 1), (1, 2)])
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1)], "node long, label long"
+        )
+        r = GR.modularity(e, labels).collect()[0]
+        assert r.m_intra == 1 and r.deg_sum == 2
+        assert r.contribution == pytest.approx(1.0 - 1.0, abs=1e-9)

@@ -73,6 +73,7 @@ PURE_JVM = [
     "harmonic_parts",
     "walk_counts_parts",
     "scc_parts",
+    "modularity_parts",
     "cube_orders",
     "quantiles_orders",
     "bigram_lm_docs",
@@ -116,6 +117,7 @@ NO_BNLJ_ONLY = [
     "cosine_dup_pairs",
     "connected_components_star",
     "dedup_collapse_docs",
+    "bcubed_dedup_docs",
 ]
 
 # pre-limit pagination / budget accumulation must pre-cut with a top-k
@@ -145,6 +147,8 @@ SCALAR_CROSS = {
     "entity_fact_rank_docs",
     # skew audit: 1-row total crossed into the top-k counts
     "hot_keys_lineitem",
+    # modularity: 1-row edge-count scalar crossed into the contributions
+    "modularity_parts",
 }
 
 
