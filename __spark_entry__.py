@@ -1488,6 +1488,25 @@ def scd2_upsert_orders(spark, sf):
     )
 
 
+def event_transitions_events(spark, sf):
+    """First-order Markov transition matrix over per-user event
+    sequences (lead window + row-normalized counts) — the behavioral
+    sequence-mining primitive."""
+    from kernel_memory_spark.operators import sessions as SS
+
+    ev = load_table(spark, sf, "events")
+    return SS.event_transitions(ev)
+
+
+def graph_stats_parts(spark, sf):
+    """One-row global audit of the repeat co-purchase graph: node/edge
+    counts, density, degree moments, and Newman degree assortativity —
+    the summary read before choosing partitioning and skew strategy."""
+    from kernel_memory_spark.operators import graph as GR
+
+    return GR.graph_stats(_repeat_copurchase_edges(spark, sf))
+
+
 def funnel_events(spark, sf):
     """Ordered view -> click -> purchase funnel per user: earliest step-i
     time strictly after step i-1; N conditional min-aggregates on the
@@ -2105,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_stats_docs": predicate_stats_docs,
         "scd2_upsert_orders": scd2_upsert_orders,
         "funnel_events": funnel_events,
+        "event_transitions_events": event_transitions_events,
         "type_hierarchy_parts": type_hierarchy_parts,
         "truth_discovery_orders": truth_discovery_orders,
         "property_table_docs": property_table_docs,
@@ -2133,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcubed_dedup_docs": bcubed_dedup_docs,
         "dense_node_ids": dense_node_ids,
         "degree_histogram_parts": degree_histogram_parts,
+        "graph_stats_parts": graph_stats_parts,
         "profile_documents": profile_documents,
         "cube_orders": cube_orders,
         "quantiles_orders": quantiles_orders,
@@ -4421,6 +4442,51 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT)
                        AS idx
             FROM nodes
+        """,
+        "event_transitions_events": """
+            WITH seq AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS to_type
+                FROM events),
+            counts AS (
+                SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM seq WHERE to_type IS NOT NULL
+                GROUP BY from_type, to_type),
+            tot AS (SELECT from_type, CAST(SUM(n) AS DOUBLE) AS tot
+                    FROM counts GROUP BY from_type)
+            SELECT c.from_type, c.to_type, c.n,
+                   ROUND(c.n / t.tot, 6) AS prob
+            FROM counts c JOIN tot t USING (from_type)
+        """,
+        "graph_stats_parts": _REPEAT_GRAPH_CTE
+        + """
+            , deg AS (SELECT src AS n, CAST(COUNT(*) AS DOUBLE) AS deg
+                      FROM adj GROUP BY src)
+            , ends AS (SELECT da.deg AS ja, db.deg AS jb
+                       FROM und u
+                       JOIN deg da ON da.n = u.src
+                       JOIN deg db ON db.n = u.dst)
+            , mom AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+                             SUM(ja * jb) AS s_jk,
+                             SUM((ja + jb) / 2.0) AS s_half,
+                             SUM((ja * ja + jb * jb) / 2.0) AS s_sq
+                      FROM ends)
+            , ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                            CAST(MAX(deg) AS BIGINT) AS max_degree
+                     FROM deg)
+            SELECT ns.n_nodes, CAST(mom.m AS BIGINT) AS n_edges,
+                   ROUND(mom.m / (ns.n_nodes * (ns.n_nodes - 1) / 2.0),
+                         6) AS density,
+                   ROUND(2.0 * mom.m / ns.n_nodes, 6) AS avg_degree,
+                   ns.max_degree,
+                   ROUND((mom.s_jk / mom.m
+                          - POWER(mom.s_half / mom.m, 2))
+                         / (mom.s_sq / mom.m
+                            - POWER(mom.s_half / mom.m, 2)),
+                         6) + 0.0 AS assortativity
+            FROM mom, ns
         """,
         "degree_histogram_parts": _GRAPH_CTE
         + """

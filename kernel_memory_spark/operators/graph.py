@@ -1222,3 +1222,76 @@ def modularity(
             ).alias("contribution"),
         )
     )
+
+
+def graph_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row global graph audit -> (n_nodes, n_edges, density,
+    avg_degree, max_degree, assortativity): the summary a KG operator
+    reads before choosing partition counts and skew strategy (density
+    and max_degree bound the wedge joins; assortativity — Newman 2002's
+    degree-correlation r over edge endpoints — tells whether hubs attach
+    to hubs, the regime where degree-ordered tricks pay most).
+
+    The edge set is canonicalized to distinct unordered pairs; degrees
+    are joined onto both endpoints and every moment Newman's formula
+    needs is ONE hash-free global aggregate over the edge relation
+    (map-side partial everywhere; only the 1-row result moves)."""
+    und = (
+        edges.select(src, dst)
+        .filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("n")).agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    ends = (
+        und.join(
+            deg.select(F.col("n").alias("a"), F.col("deg").alias("ja")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("n").alias("b"), F.col("deg").alias("jb")),
+            "b",
+        )
+    )
+    mom = ends.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum(F.col("ja") * F.col("jb")).alias("s_jk"),
+        F.sum((F.col("ja") + F.col("jb")) / 2.0).alias("s_half"),
+        F.sum(
+            (F.col("ja") * F.col("ja") + F.col("jb") * F.col("jb")) / 2.0
+        ).alias("s_sq"),
+    )
+    nstats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("deg").cast("long").alias("max_degree"),
+    )
+    mean = F.col("s_half") / F.col("m")
+    num = F.col("s_jk") / F.col("m") - mean * mean
+    den = F.col("s_sq") / F.col("m") - mean * mean
+    return mom.crossJoin(nstats).select(
+        "n_nodes",
+        F.col("m").cast("long").alias("n_edges"),
+        F.round(
+            F.col("m") / (F.col("n_nodes") * (F.col("n_nodes") - 1) / 2.0),
+            6,
+        ).alias("density"),
+        F.round(2.0 * F.col("m") / F.col("n_nodes"), 6).alias(
+            "avg_degree"
+        ),
+        "max_degree",
+        # + 0.0 normalizes -0.0 (see modularity); try_divide guards the
+        # degenerate regular graph where the variance denominator is 0
+        (
+            F.round(F.try_divide(num, den), 6) + F.lit(0.0)
+        ).alias("assortativity"),
+    )

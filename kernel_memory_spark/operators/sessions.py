@@ -161,3 +161,48 @@ def retention_cohorts(
             "retention"
         ),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences -> (from_type, to_type, n, prob): the sequence-mining
+    primitive behind next-action prediction, funnel discovery, and
+    behavioral-log featurization for training data.
+
+    ONE window per user (lead over the (ts, id) order — id is the
+    deterministic tie-break for simultaneous events, same contract as
+    sessionize) + one hash aggregate; prob is row-normalized within
+    from_type by a keyed join of the per-from totals (never a global
+    window). Skewed users cost one sorted partition each, the same bound
+    as sessionize."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n").cast("double").alias("__tot")
+    )
+    return (
+        counts.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("__tot"), 6).alias("prob"),
+        )
+    )

@@ -1111,3 +1111,41 @@ class TestModularity:
         r = GR.modularity(e, labels).collect()[0]
         assert r.m_intra == 1 and r.deg_sum == 2
         assert r.contribution == pytest.approx(1.0 - 1.0, abs=1e-9)
+
+
+class TestGraphStats:
+    def test_star_graph_disassortative(self, spark):
+        """A star is maximally disassortative: hub (deg 4) always pairs
+        with leaves (deg 1) -> assortativity = -1."""
+        star = [(0, i) for i in range(1, 5)]
+        r = GR.graph_stats(_edges(spark, star)).collect()[0]
+        assert r.n_nodes == 5 and r.n_edges == 4
+        assert r.max_degree == 4
+        assert r.avg_degree == pytest.approx(8 / 5, abs=1e-9)
+        assert r.density == pytest.approx(4 / 10, abs=1e-9)
+        assert r.assortativity == pytest.approx(-1.0, abs=1e-6)
+
+    def test_regular_graph_degenerate_variance(self, spark):
+        """On a cycle every endpoint degree is 2: the variance
+        denominator is 0 and assortativity is NULL (try_divide), not a
+        crash or a fake 0."""
+        cyc = [(1, 2), (2, 3), (3, 1)]
+        r = GR.graph_stats(_edges(spark, cyc)).collect()[0]
+        assert r.n_edges == 3 and r.max_degree == 2
+        assert r.assortativity is None
+
+    def test_matches_pearson_reference(self, spark):
+        """Assortativity equals Newman's formula computed driver-side."""
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (3, 5)]
+        got = GR.graph_stats(_edges(spark, pairs)).collect()[0]
+        deg = {}
+        for u, v in pairs:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        m = len(pairs)
+        js = [(deg[u], deg[v]) for u, v in pairs]
+        s_jk = sum(j * k for j, k in js) / m
+        s_half = sum((j + k) / 2 for j, k in js) / m
+        s_sq = sum((j * j + k * k) / 2 for j, k in js) / m
+        ref = (s_jk - s_half**2) / (s_sq - s_half**2)
+        assert got.assortativity == pytest.approx(ref, abs=1e-6)

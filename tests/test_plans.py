@@ -74,6 +74,8 @@ PURE_JVM = [
     "walk_counts_parts",
     "scc_parts",
     "modularity_parts",
+    "graph_stats_parts",
+    "event_transitions_events",
     "cube_orders",
     "quantiles_orders",
     "bigram_lm_docs",
@@ -149,6 +151,10 @@ SCALAR_CROSS = {
     "hot_keys_lineitem",
     # modularity: 1-row edge-count scalar crossed into the contributions
     "modularity_parts",
+    # graph stats: two 1-row moment/node aggregates crossed into one row
+    "graph_stats_parts",
+    "graph_stats_parts",
+    "event_transitions_events",
 }
 
 

@@ -102,3 +102,58 @@ class TestFunnel:
             self._events(spark, rows), ["view", "click"]
         ).collect()[0]
         assert row.t_2 == T(2024, 1, 1, 11)
+
+
+class TestEventTransitions:
+    def test_counts_and_row_normalization(self, spark):
+        from kernel_memory_spark.operators.sessions import event_transitions
+
+        rows = [
+            # user 1: a -> b -> a -> c ; user 2: a -> b
+            (1, 1, "2024-01-01 00:00:00", "a"),
+            (2, 1, "2024-01-01 00:01:00", "b"),
+            (3, 1, "2024-01-01 00:02:00", "a"),
+            (4, 1, "2024-01-01 00:03:00", "c"),
+            (5, 2, "2024-01-01 00:00:00", "a"),
+            (6, 2, "2024-01-01 00:05:00", "b"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            (r.from_type, r.to_type): (r.n, r.prob)
+            for r in event_transitions(df).collect()
+        }
+        assert got == {
+            ("a", "b"): (2, round(2 / 3, 6)),
+            ("a", "c"): (1, round(1 / 3, 6)),
+            ("b", "a"): (1, 1.0),
+        }
+
+    def test_no_cross_user_transitions(self, spark):
+        from kernel_memory_spark.operators.sessions import event_transitions
+
+        rows = [
+            (1, 1, "2024-01-01 00:00:00", "a"),
+            (2, 2, "2024-01-01 00:01:00", "b"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        assert event_transitions(df).count() == 0
+
+    def test_simultaneous_events_tie_break_by_id(self, spark):
+        from kernel_memory_spark.operators.sessions import event_transitions
+
+        rows = [
+            (2, 1, "2024-01-01 00:00:00", "x"),
+            (1, 1, "2024-01-01 00:00:00", "y"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = [
+            (r.from_type, r.to_type)
+            for r in event_transitions(df).collect()
+        ]
+        assert got == [("y", "x")]  # id 1 first
