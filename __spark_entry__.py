@@ -347,6 +347,17 @@ def ngram_dup_pairs(spark, sf):
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def ppjoin_docs(spark, sf):
+    """EXACT all-pairs token-Jaccard >= 0.6 via prefix filtering
+    (SSJoin/PPJoin) — the lossless similarity join whose oracle is the
+    BRUTE-FORCE pair set, pinning that the rarest-first prefix +
+    length-filter pruning misses nothing."""
+    from kernel_memory_spark.operators import dedup as D
+
+    docs = load_table(spark, sf, "documents")
+    return D.prefix_jaccard_join(docs, threshold=0.6)
+
+
 def containment_docs(spark, sf):
     """Asymmetric n-gram containment (quote/subset detection): documents
     plus a 15-word excerpt of each at doc_id+100000 — every excerpt must
@@ -2178,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": minhash_lsh_dedup,
         "simhash_dup_pairs": simhash_dup_pairs,
         "ngram_dup_pairs": ngram_dup_pairs,
+        "ppjoin_docs": ppjoin_docs,
         "containment_docs": containment_docs,
         "cosine_dup_pairs": cosine_dup_pairs,
         "knn_topk": knn_topk,
@@ -2679,6 +2691,32 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
             SELECT d.src, d.dst, round(d.i / ns.n, 6) AS containment
             FROM directed d JOIN sizes ns ON d.src = ns.id
             WHERE d.i / ns.n >= 0.9
+        """,
+        "ppjoin_docs": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, t.token
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(trim(text)),
+                                                '\\s+') AS ws
+                      FROM documents), unnest(ws) AS t(token)
+                WHERE len(t.token) >= 1),
+            sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM toks GROUP BY doc_id),
+            -- BRUTE FORCE on purpose: the oracle checks the pruned
+            -- Spark plan against the unpruned ground truth
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                             CAST(COUNT(*) AS BIGINT) AS n_common
+                      FROM toks x JOIN toks y
+                        ON y.token = x.token AND x.doc_id < y.doc_id
+                      GROUP BY x.doc_id, y.doc_id)
+            SELECT i.a, i.b, i.n_common,
+                   ROUND(CAST(i.n_common AS DOUBLE)
+                         / (sa.n + sb.n - i.n_common), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+            WHERE CAST(i.n_common AS DOUBLE)
+                  / (sa.n + sb.n - i.n_common) >= 0.6
         """,
         "ngram_dup_pairs": """
             WITH both_docs AS (

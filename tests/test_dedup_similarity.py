@@ -556,3 +556,65 @@ class TestIvfTraining:
         b = SIM.train_ivf_centroids(df.repartition(13), k=4, max_iter=4)
         for va, vb in zip(a, b):
             assert va == pytest.approx(vb, abs=1e-9)
+
+
+class TestPrefixJaccardJoin:
+    @staticmethod
+    def _brute(rows, t):
+        toks = {i: set((x or "").lower().split()) for i, x in rows}
+        out = {}
+        ids = sorted(toks)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                inter = len(toks[a] & toks[b])
+                union = len(toks[a] | toks[b])
+                if union and inter / union >= t:
+                    out[(a, b)] = (inter, round(inter / union, 6))
+        return out
+
+    def test_lossless_vs_brute_force(self, spark):
+        """Prefix + length filtering misses NOTHING: the pruned join
+        equals the quadratic brute-force pair set exactly."""
+        from kernel_memory_spark.operators.dedup import prefix_jaccard_join
+
+        rows = [
+            ("d1", "the quick brown fox jumps over the lazy dog"),
+            ("d2", "the quick brown fox leaps over the lazy dog"),
+            ("d3", "the quick brown fox jumps over a lazy dog"),
+            ("d4", "completely different words here entirely"),
+            ("d5", "completely different words here entirely today"),
+            ("d6", "the the the the"),  # all-stopword degenerate doc
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        for t in (0.5, 0.7, 0.9):
+            got = {
+                (r.a, r.b): (r.n_common, r.jaccard)
+                for r in prefix_jaccard_join(df, threshold=t).collect()
+            }
+            assert got == self._brute(rows, t), t
+
+    def test_exact_duplicates_score_one(self, spark):
+        from kernel_memory_spark.operators.dedup import prefix_jaccard_join
+
+        df = spark.createDataFrame(
+            [("a", "x y z"), ("b", "x y z"), ("c", "p q r")],
+            "doc_id string, text string",
+        )
+        got = prefix_jaccard_join(df, threshold=0.99).collect()
+        assert [(r.a, r.b, r.jaccard) for r in got] == [("a", "b", 1.0)]
+
+    def test_stopword_heavy_corpus_prunes(self, spark):
+        """Docs sharing ONLY ubiquitous tokens never become candidates
+        unless the threshold is reachable — the prefix is drawn from
+        rare tokens, so common-token-only overlap is pruned, and the
+        result is still exact."""
+        from kernel_memory_spark.operators.dedup import prefix_jaccard_join
+
+        rows = [(f"d{i}", f"the of and unique{i} rare{i}") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        got = {
+            (r.a, r.b)
+            for r in prefix_jaccard_join(df, threshold=0.6).collect()
+        }
+        assert got == set()  # jaccard = 3/7 < 0.6 for every pair

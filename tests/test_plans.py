@@ -76,6 +76,7 @@ PURE_JVM = [
     "modularity_parts",
     "graph_stats_parts",
     "event_transitions_events",
+    "ppjoin_docs",
     "cube_orders",
     "quantiles_orders",
     "bigram_lm_docs",
@@ -155,6 +156,7 @@ SCALAR_CROSS = {
     "graph_stats_parts",
     "graph_stats_parts",
     "event_transitions_events",
+    "ppjoin_docs",
 }
 
 
