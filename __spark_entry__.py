@@ -1309,6 +1309,27 @@ def modularity_parts(spark, sf):
     return GR.modularity(rep, labels)
 
 
+def conductance_parts(spark, sf):
+    """Per-community conductance (cut / min(vol, 2m - vol)) of the
+    3-round LPA communities — the boundary-leak measurement that
+    complements modularity_parts on the same labels."""
+    from kernel_memory_spark.operators import graph as GR
+
+    rep = _repeat_copurchase_edges(spark, sf)
+    labels = GR.label_propagation(rep, 3)
+    return GR.conductance(rep, labels)
+
+
+def novelty_docs(spark, sf):
+    """Per-document 3-gram novelty: fraction of a document's distinct
+    word trigrams found in NO other document — the rare-end complement
+    of boilerplate detection for training-data selection."""
+    from kernel_memory_spark.operators import cleaning as CL
+
+    docs = load_table(spark, sf, "documents")
+    return CL.ngram_novelty(docs, n=3)
+
+
 def bcubed_dedup_docs(spark, sf):
     """B-cubed evaluation of the near-dup collapse clusters against the
     exact-text truth grouping — the element-weighted cluster metric that
@@ -2121,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar_capped": adamic_adar_capped,
         "lpa_communities_parts": lpa_communities_parts,
         "modularity_parts": modularity_parts,
+        "conductance_parts": conductance_parts,
         "ktruss_parts": ktruss_parts,
         "harmonic_parts": harmonic_parts,
         "walk_counts_parts": walk_counts_parts,
@@ -2162,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_cap_docs": quota_cap_docs,
         "dedup_collapse_docs": dedup_collapse_docs,
         "bcubed_dedup_docs": bcubed_dedup_docs,
+        "novelty_docs": novelty_docs,
         "dense_node_ids": dense_node_ids,
         "degree_histogram_parts": degree_histogram_parts,
         "graph_stats_parts": graph_stats_parts,
@@ -4406,6 +4429,59 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                 FROM documents)
             WHERE rn <= 15
             ORDER BY doc_id
+        """,
+        "conductance_parts": _REPEAT_GRAPH_CTE
+        + _LPA3_CTES
+        + """
+            , cl AS (SELECT la.label AS la, lb.label AS lb
+                     FROM und e
+                     JOIN l3 la ON la.node = e.src
+                     JOIN l3 lb ON lb.node = e.dst)
+            , cutc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cut
+                       FROM (SELECT la AS label FROM cl WHERE la <> lb
+                             UNION ALL
+                             SELECT lb FROM cl WHERE la <> lb)
+                       GROUP BY label)
+            , deg AS (SELECT src AS node, COUNT(*) AS deg
+                      FROM adj GROUP BY src)
+            , vol AS (SELECT l.label,
+                             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                             CAST(SUM(d.deg) AS BIGINT) AS volume
+                      FROM l3 l JOIN deg d ON d.node = l.node
+                      GROUP BY l.label)
+            , m2 AS (SELECT 2.0 * COUNT(*) AS m2 FROM und)
+            SELECT v.label, v.n_nodes, COALESCE(c.cut, 0) AS cut,
+                   v.volume,
+                   ROUND(COALESCE(c.cut, 0)
+                         / NULLIF(least(CAST(v.volume AS DOUBLE),
+                                        (SELECT m2 FROM m2) - v.volume),
+                                  0), 6) + 0.0 AS conductance
+            FROM vol v LEFT JOIN cutc c ON c.label = v.label
+        """,
+        "novelty_docs": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(
+                               lower(regexp_replace(text, '[^\\w\\s]',
+                                                    ' ', 'g')),
+                               '\\s+'),
+                           x -> len(x) > 0) AS ws
+                FROM documents),
+            ix AS (SELECT doc_id, ws,
+                          unnest(range(greatest(len(ws) - 2, 0))) AS i
+                   FROM w),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(ws[i + 1 : i + 3], ' ') AS gram
+                  FROM ix),
+            gdf AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+            SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   ROUND(SUM(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS novel_frac
+            FROM g JOIN gdf USING (gram)
+            GROUP BY g.doc_id
         """,
         "bcubed_dedup_docs": """
             WITH both_docs AS (

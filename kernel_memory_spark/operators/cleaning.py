@@ -217,3 +217,49 @@ def line_dedup(
         F.sum(F.when(~F.col("keep"), 1).otherwise(0))
         .cast("long").alias("n_lines_dropped"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty -> (id_col, n_grams, n_novel,
+    novel_frac): the fraction of a document's distinct word n-grams that
+    occur in NO other document — the rare-end complement of
+    boilerplate_ngrams (df >= cap) and the standard cheap proxy for
+    "does this document add information the corpus doesn't already
+    have" when selecting training data (high novelty = new content; a
+    near-zero score means the document is assembled from corpus-common
+    phrasing even if no single near-dup exists).
+
+    Same tokenizer as boilerplate/decontaminate (shared scan when
+    composed). Shape: one distinct (doc, gram) relation consumed twice
+    — a gram-df hash aggregate and a join-back — then one per-doc
+    aggregate; the df relation never leaves the executors."""
+    doc_grams = (
+        docs.select(
+            F.col(id_col),
+            F.explode(_word_ngrams(text_col, n)).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    gram_df = doc_grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    return (
+        doc_grams.join(gram_df, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("__df") == 1).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novel_frac",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6),
+        )
+    )

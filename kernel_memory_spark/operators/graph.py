@@ -1295,3 +1295,99 @@ def graph_stats(
             F.round(F.try_divide(num, den), 6) + F.lit(0.0)
         ).alias("assortativity"),
     )
+
+
+def conductance(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    label: str = "label",
+) -> DataFrame:
+    """Per-community conductance -> (label, n_nodes, cut, volume,
+    conductance) with conductance = cut / min(vol, 2m - vol): the
+    boundary-quality complement to modularity (a community can score
+    well on modularity yet leak — conductance measures the leak
+    directly; it is THE objective local clustering methods optimize,
+    Shi-Malik / sweep-cut literature).
+
+    Same shape as modularity: canonicalized edge relation, two keyed
+    label joins (classifying each edge as intra or cut), one degree
+    aggregate, a 1-row 2m scalar crossed back in. -0.0-normalized and
+    NULL (try_divide) for a community with zero volume."""
+    und = (
+        edges.select(src, dst)
+        .filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = labels.select(
+        F.col(node).alias("n"), F.col(label).alias("label")
+    )
+    classified = (
+        und.join(
+            lab.select(F.col("n").alias("a"), F.col("label").alias("la")),
+            "a",
+        )
+        .join(
+            lab.select(F.col("n").alias("b"), F.col("label").alias("lb")),
+            "b",
+        )
+    )
+    # a cut edge charges BOTH its communities; an intra edge charges its
+    # community zero cut but both endpoints' degree (via volume below)
+    cut = (
+        classified.filter(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("label"))
+        .unionByName(
+            classified.filter(F.col("la") != F.col("lb")).select(
+                F.col("lb").alias("label")
+            )
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut"))
+    )
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("n")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    vol = (
+        lab.join(deg, "n")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("volume"),
+        )
+    )
+    m2 = und.agg(
+        (2.0 * F.count(F.lit(1))).cast("double").alias("__m2")
+    )
+    return (
+        vol.join(cut, "label", "left")
+        .crossJoin(m2)
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("cut", F.lit(0)).cast("long").alias("cut"),
+            "volume",
+            (
+                F.round(
+                    F.try_divide(
+                        F.coalesce("cut", F.lit(0)).cast("double"),
+                        F.least(
+                            F.col("volume").cast("double"),
+                            F.col("__m2") - F.col("volume"),
+                        ),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("conductance"),
+        )
+    )

@@ -107,3 +107,42 @@ class TestRepetitionStats:
         row = CL.repetition_stats(df).first()
         assert row.top_bigram_char_frac > 0.3
         assert row.dup_line_frac == 0.0  # one line, not duplicated
+
+class TestNgramNovelty:
+    def test_fractions_match_reference(self, spark):
+        from kernel_memory_spark.operators.cleaning import ngram_novelty
+
+        rows = [
+            ("d1", "alpha beta gamma delta"),       # grams: abg, bgd
+            ("d2", "alpha beta gamma epsilon"),     # grams: abg, bge
+            ("d3", "zeta eta theta iota"),          # grams: zet, eti
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        got = {
+            r.doc_id: (r.n_grams, r.n_novel, r.novel_frac)
+            for r in ngram_novelty(df, n=3).collect()
+        }
+        # "alpha beta gamma" is shared by d1/d2 -> not novel
+        assert got["d1"] == (2, 1, 0.5)
+        assert got["d2"] == (2, 1, 0.5)
+        assert got["d3"] == (2, 2, 1.0)
+
+    def test_short_docs_have_no_grams(self, spark):
+        from kernel_memory_spark.operators.cleaning import ngram_novelty
+
+        df = spark.createDataFrame(
+            [("s", "two words"), ("l", "one two three")],
+            "doc_id string, text string",
+        )
+        got = {r.doc_id: r.n_grams for r in ngram_novelty(df, n=3).collect()}
+        assert got == {"l": 1}  # the 2-word doc emits no trigram row
+
+    def test_duplicate_grams_within_doc_count_once(self, spark):
+        from kernel_memory_spark.operators.cleaning import ngram_novelty
+
+        df = spark.createDataFrame(
+            [("r", "x y z x y z x y z")], "doc_id string, text string"
+        )
+        r = ngram_novelty(df, n=3).collect()[0]
+        # 7 positional trigrams but only 3 distinct ("x y z","y z x","z x y")
+        assert r.n_grams == 3 and r.novel_frac == 1.0

@@ -1149,3 +1149,42 @@ class TestGraphStats:
         s_sq = sum((j * j + k * k) / 2 for j, k in js) / m
         ref = (s_jk - s_half**2) / (s_sq - s_half**2)
         assert got.assortativity == pytest.approx(ref, abs=1e-6)
+
+
+class TestConductance:
+    def test_two_cliques_with_bridge(self, spark):
+        """Two triangles + 1 bridge, communities = the triangles:
+        cut = 1 for both, volume = 7 each (2m = 14), conductance =
+        1 / min(7, 7) = 0.142857."""
+        tri1 = [(1, 2), (2, 3), (1, 3)]
+        tri2 = [(4, 5), (5, 6), (4, 6)]
+        e = _edges(spark, tri1 + tri2 + [(3, 4)])
+        labels = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+            "node long, label long",
+        )
+        rows = {r.label: r for r in GR.conductance(e, labels).collect()}
+        for lab in (10, 20):
+            assert rows[lab].cut == 1 and rows[lab].volume == 7
+            assert rows[lab].conductance == pytest.approx(1 / 7, abs=1e-6)
+
+    def test_isolated_community_zero(self, spark):
+        """A community with no cut edges has conductance exactly 0
+        (serialized +0.0)."""
+        e = _edges(spark, [(1, 2), (3, 4)])
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 2), (4, 2)], "node long, label long"
+        )
+        rows = {r.label: r for r in GR.conductance(e, labels).collect()}
+        assert all(r.cut == 0 for r in rows.values())
+        assert all(repr(r.conductance) == "0.0" for r in rows.values())
+
+    def test_whole_graph_single_community_null(self, spark):
+        """One community holding all volume: min(vol, 2m - vol) = 0 and
+        conductance is NULL (try_divide), not inf or a crash."""
+        e = _edges(spark, [(1, 2), (2, 3)])
+        labels = spark.createDataFrame(
+            [(1, 9), (2, 9), (3, 9)], "node long, label long"
+        )
+        r = GR.conductance(e, labels).collect()[0]
+        assert r.cut == 0 and r.conductance is None

@@ -77,6 +77,8 @@ PURE_JVM = [
     "graph_stats_parts",
     "event_transitions_events",
     "ppjoin_docs",
+    "conductance_parts",
+    "novelty_docs",
     "cube_orders",
     "quantiles_orders",
     "bigram_lm_docs",
@@ -154,9 +156,13 @@ SCALAR_CROSS = {
     "modularity_parts",
     # graph stats: two 1-row moment/node aggregates crossed into one row
     "graph_stats_parts",
+    # conductance: 1-row 2m scalar crossed into the community rows
+    "conductance_parts",
     "graph_stats_parts",
     "event_transitions_events",
     "ppjoin_docs",
+    "conductance_parts",
+    "novelty_docs",
 }
 
 
