@@ -1530,6 +1530,16 @@ def event_transitions_events(spark, sf):
     return SS.event_transitions(ev)
 
 
+def burst_events(spark, sf):
+    """Burst detection: hourly per-type event counts z-scored against
+    the trailing 24 observed buckets (baseline excludes the scored
+    bucket; cold-start and zero-variance buckets are NULL)."""
+    from kernel_memory_spark.operators import sessions as SS
+
+    ev = load_table(spark, sf, "events")
+    return SS.burst_scores(ev, grain="hour", trailing=24)
+
+
 def graph_stats_parts(spark, sf):
     """One-row global audit of the repeat co-purchase graph: node/edge
     counts, density, degree moments, and Newman degree assortativity —
@@ -2158,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_upsert_orders": scd2_upsert_orders,
         "funnel_events": funnel_events,
         "event_transitions_events": event_transitions_events,
+        "burst_events": burst_events,
         "type_hierarchy_parts": type_hierarchy_parts,
         "truth_discovery_orders": truth_discovery_orders,
         "property_table_docs": property_table_docs,
@@ -4556,6 +4567,28 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT)
                        AS idx
             FROM nodes
+        """,
+        "burst_events": """
+            WITH counts AS (
+                SELECT event_type,
+                       date_trunc('hour', ts) AS bucket_start,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+            s AS (SELECT event_type, bucket_start, n,
+                         COUNT(n) OVER w AS k,
+                         AVG(n) OVER w AS mean,
+                         STDDEV_SAMP(n) OVER w AS sd
+                  FROM counts
+                  WINDOW w AS (PARTITION BY event_type
+                               ORDER BY bucket_start
+                               ROWS BETWEEN 24 PRECEDING
+                                        AND 1 PRECEDING))
+            SELECT event_type, bucket_start, n,
+                   CASE WHEN k >= 2 THEN ROUND(mean, 6) END
+                       AS trail_mean,
+                   CASE WHEN k >= 2 AND sd > 0
+                        THEN ROUND((n - mean) / sd, 6) + 0.0 END AS z
+            FROM s
         """,
         "event_transitions_events": """
             WITH seq AS (

@@ -206,3 +206,66 @@ def event_transitions(
             F.round(F.col("n") / F.col("__tot"), 6).alias("prob"),
         )
     )
+
+
+def burst_scores(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    grain: str = "hour",
+    trailing: int = 24,
+) -> DataFrame:
+    """Burst detection over per-type time-bucket counts -> (event_type,
+    bucket_start, n, trail_mean, z): each bucket's count scored against
+    the mean/std of the `trailing` PRECEDING buckets of the same type
+    (the current bucket is excluded from its own baseline, so a burst
+    cannot suppress its own z-score). Buckets with fewer than 2
+    preceding observations or zero variance score NULL — honest
+    cold-start/constant-series semantics, not a fake 0.
+
+    Shape: one hash aggregate to (type, bucket) counts — the ONLY pass
+    over the raw events — then windows partitioned BY TYPE over the
+    tiny bucket series (a year of hourly buckets is 8.8k rows per type;
+    the window never sees raw events). Missing buckets are not
+    imputed: the trailing frame is over OBSERVED buckets, the
+    documented contract (dense imputation would need a calendar spine
+    join — compose with time_rollup if required)."""
+    counts = (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc(grain, F.col(ts_col).cast("timestamp")).alias(
+                "bucket_start"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(-trailing, -1)
+    )
+    stats = counts.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        F.count("n").over(w).alias("__k"),
+        F.avg("n").over(w).alias("__mean"),
+        F.stddev_samp("n").over(w).alias("__sd"),
+    )
+    return stats.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        F.when(F.col("__k") >= 2, F.round("__mean", 6)).alias(
+            "trail_mean"
+        ),
+        (
+            F.when(
+                (F.col("__k") >= 2) & (F.col("__sd") > 0),
+                F.round(
+                    (F.col("n") - F.col("__mean")) / F.col("__sd"), 6
+                ),
+            )
+            + F.lit(0.0)
+        ).alias("z"),
+    )

@@ -77,6 +77,7 @@ PURE_JVM = [
     "graph_stats_parts",
     "event_transitions_events",
     "ppjoin_docs",
+    "burst_events",
     "conductance_parts",
     "novelty_docs",
     "cube_orders",
@@ -158,11 +159,6 @@ SCALAR_CROSS = {
     "graph_stats_parts",
     # conductance: 1-row 2m scalar crossed into the community rows
     "conductance_parts",
-    "graph_stats_parts",
-    "event_transitions_events",
-    "ppjoin_docs",
-    "conductance_parts",
-    "novelty_docs",
 }
 
 

@@ -2,6 +2,8 @@
 
 from datetime import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kernel_memory_spark.operators import sessions as SESS
@@ -157,3 +159,70 @@ class TestEventTransitions:
             for r in event_transitions(df).collect()
         ]
         assert got == [("y", "x")]  # id 1 first
+
+
+class TestBurstScores:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_burst_scores_against_reference(self, spark):
+        """Steady 2-per-hour baseline then a 10-event burst: the burst
+        bucket's z equals (10 - mean)/sd over the preceding buckets."""
+        import statistics
+
+        from kernel_memory_spark.operators.sessions import burst_scores
+
+        rows, eid = [], 0
+        counts = [2, 2, 2, 2, 10]
+        for h, c in enumerate(counts):
+            for i in range(c):
+                eid += 1
+                rows.append((eid, 1, f"2024-01-01 {h:02d}:{i:02d}:00", "a"))
+        got = {
+            r.bucket_start.hour: (r.n, r.trail_mean, r.z)
+            for r in burst_scores(self._events(spark, rows)).collect()
+        }
+        # hour 4: baseline = [2,2,2,2] -> sd 0 -> z NULL? No: sd of
+        # constant series is 0 -> NULL by contract
+        assert got[4][0] == 10 and got[4][1] == 2.0 and got[4][2] is None
+        # make the baseline non-constant: verify against statistics module
+        rows2, eid = [], 0
+        counts2 = [1, 3, 2, 4, 10]
+        for h, c in enumerate(counts2):
+            for i in range(c):
+                eid += 1
+                rows2.append((eid, 1, f"2024-01-02 {h:02d}:{i:02d}:00", "b"))
+        got2 = {
+            r.bucket_start.hour: r.z
+            for r in burst_scores(self._events(spark, rows2)).collect()
+        }
+        base = counts2[:4]
+        ref = (10 - statistics.mean(base)) / statistics.stdev(base)
+        assert got2[4] == pytest.approx(ref, abs=1e-6)
+
+    def test_cold_start_null(self, spark):
+        from kernel_memory_spark.operators.sessions import burst_scores
+
+        rows = [(1, 1, "2024-01-01 00:00:00", "a"),
+                (2, 1, "2024-01-01 01:00:00", "a")]
+        got = sorted(
+            (r.bucket_start.hour, r.z)
+            for r in burst_scores(self._events(spark, rows)).collect()
+        )
+        # first bucket: 0 preceding; second: 1 preceding -> both NULL
+        assert got == [(0, None), (1, None)]
+
+    def test_types_isolated(self, spark):
+        from kernel_memory_spark.operators.sessions import burst_scores
+
+        rows = [(i, 1, f"2024-01-01 {h:02d}:00:00", t)
+                for i, (h, t) in enumerate(
+                    [(0, "a"), (1, "a"), (2, "a"), (0, "b")]
+                )]
+        got = burst_scores(self._events(spark, rows)).collect()
+        by_type = {}
+        for r in got:
+            by_type.setdefault(r.event_type, []).append(r)
+        assert len(by_type["b"]) == 1  # b's baseline never sees a's buckets
