@@ -1886,6 +1886,17 @@ def profile_documents(spark, sf):
     )
 
 
+def skyline_orders(spark, sf):
+    """2-D skyline of (order date, total price), both minimized — the
+    record-low price frontier over time, computed with the
+    range-partition + broadcast-prefix-minima pattern (no single-task
+    global window)."""
+    from kernel_memory_spark.operators import ranges as RG
+
+    o = load_table(spark, sf, "orders")
+    return RG.skyline_2d(o, "o_orderdate", "o_totalprice")
+
+
 def cube_orders(spark, sf):
     """Full CUBE over order status x priority with grouping-id
     disambiguation: all 4 grouping sets in ONE shuffle (Catalyst Expand +
@@ -2201,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats_parts": graph_stats_parts,
         "profile_documents": profile_documents,
         "cube_orders": cube_orders,
+        "skyline_orders": skyline_orders,
         "quantiles_orders": quantiles_orders,
         "ppr_parts": ppr_parts,
         "pagerank_weighted_pmi": pagerank_weighted_pmi,
@@ -4641,6 +4653,18 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                       FROM adj GROUP BY src)
             SELECT degree, COUNT(*) AS n_nodes
             FROM deg GROUP BY degree
+        """,
+        "skyline_orders": """
+            WITH per_x AS (
+                SELECT o_orderdate AS x, MIN(o_totalprice) AS y
+                FROM orders GROUP BY o_orderdate),
+            r AS (SELECT x, y,
+                         MIN(y) OVER (ORDER BY x
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING) AS m
+                  FROM per_x)
+            SELECT x AS o_orderdate, y AS o_totalprice
+            FROM r WHERE m IS NULL OR y < m
         """,
         "cube_orders": """
             SELECT o_orderstatus, o_orderpriority,

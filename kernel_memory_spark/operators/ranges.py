@@ -115,3 +115,72 @@ def cube_counts(
         df.cube(*[F.col(d) for d in dims])
         .agg(F.grouping_id().cast("long").alias("gid"), *aggs)
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, both dimensions MINIMIZED) ->
+    (x_col, y_col): the points no other point weakly dominates (<= in
+    both, < in at least one). Negate a column to maximize it. Duplicate
+    points collapse — the distinct-skyline contract.
+
+    Scale shape (the reason this isn't a one-line window): the classic
+    sorted-scan needs a GLOBAL running min, and a naive
+    Window.orderBy(x) moves the whole table through one task. Instead:
+    (1) hash-aggregate to one (x, min y) row per distinct x — dominance
+    within an x-group is resolved for free; (2) range-partition by x and
+    take the per-partition EXCLUSIVE running min; (3) collect one scalar
+    per partition and broadcast exclusive PREFIX minima back — the same
+    offsets pattern as packing.global_cumsum, with min replacing sum.
+    The only driver traffic is numPartitions scalars; the window runs
+    over distinct-x rows, never raw data."""
+    from pyspark.sql.window import Window as W
+
+    per_x = df.groupBy(F.col(x_col)).agg(
+        F.min(y_col).alias("__y")
+    )
+    n = (
+        num_partitions
+        or df.sparkSession.sparkContext.defaultParallelism
+    )
+    ranged = per_x.repartitionByRange(n, F.col(x_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = (
+        W.partitionBy("__pid")
+        .orderBy(x_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "__local_min", F.min("__y").over(local_w)
+    ).localCheckpoint()
+    mins = {
+        r["__pid"]: r["m"]
+        for r in local.groupBy("__pid")
+        .agg(F.min("__y").alias("m"))
+        .collect()
+    }
+    prefix, running = [], None
+    for pid in sorted(mins):
+        prefix.append((pid, running))
+        running = (
+            mins[pid]
+            if running is None
+            else min(running, mins[pid])
+        )
+    off_df = df.sparkSession.createDataFrame(
+        prefix, f"__pid int, __prefix_min {dict(local.dtypes)['__y']}"
+    )
+    # least() skips NULLs; a row with NO predecessor anywhere (the
+    # global x-minimum) has both minima NULL and is always on the
+    # frontier — coalesce(…, True) keeps it without special-casing.
+    before_min = F.least("__local_min", "__prefix_min")
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .filter(F.coalesce(F.col("__y") < before_min, F.lit(True)))
+        .select(F.col(x_col), F.col("__y").alias(y_col))
+    )

@@ -81,6 +81,7 @@ PURE_JVM = [
     "conductance_parts",
     "novelty_docs",
     "cube_orders",
+    "skyline_orders",
     "quantiles_orders",
     "bigram_lm_docs",
     "hot_keys_lineitem",

@@ -176,3 +176,57 @@ class TestGroupQuantiles:
             (0.5, 42.0, 1000),
             (0.99, 42.0, 1000),
         }
+
+
+class TestSkyline2d:
+    def _run(self, spark, pts, n=None):
+        from kernel_memory_spark.operators.ranges import skyline_2d
+
+        df = spark.createDataFrame(pts, "x double, y double")
+        kw = {"num_partitions": n} if n else {}
+        return {
+            (r.x, r.y) for r in skyline_2d(df, "x", "y", **kw).collect()
+        }
+
+    @staticmethod
+    def _brute(pts):
+        pts = set(pts)
+        return {
+            (x, y)
+            for x, y in pts
+            if not any(
+                sx <= x and sy <= y and (sx < x or sy < y)
+                for sx, sy in pts
+                if (sx, sy) != (x, y)
+            )
+        }
+
+    def test_matches_brute_force_dominance(self, spark):
+        pts = [
+            (1.0, 9.0), (2.0, 7.0), (3.0, 8.0), (4.0, 3.0),
+            (5.0, 3.0), (6.0, 1.0), (7.0, 2.0), (1.0, 12.0),
+        ]
+        assert self._run(spark, pts) == self._brute(pts)
+
+    def test_partition_count_invariance(self, spark):
+        """The broadcast-prefix-minima construction returns the same
+        frontier at any range-partition count (incl. partitions whose
+        rows all dominate / are all dominated)."""
+        import random
+
+        rng = random.Random(7)
+        pts = [
+            (float(rng.randrange(100)), float(rng.randrange(100)))
+            for _ in range(200)
+        ]
+        ref = self._brute(pts)
+        for n in (1, 2, 7, 32):
+            assert self._run(spark, pts, n=n) == ref, n
+
+    def test_same_x_collapses_to_min_y(self, spark):
+        got = self._run(spark, [(1.0, 5.0), (1.0, 3.0), (2.0, 4.0)])
+        assert got == {(1.0, 3.0)}  # (2,4) dominated by... no: 4 > 3 -> dropped
+
+    def test_monotone_chain_all_kept(self, spark):
+        pts = [(float(i), float(10 - i)) for i in range(5)]
+        assert self._run(spark, pts) == set(pts)
