@@ -1886,6 +1886,34 @@ def profile_documents(spark, sf):
     )
 
 
+def cms_lineitem(spark, sf):
+    """Count-Min Sketch frequency estimates: a 4x512 counter table built
+    over lineitem part keys (constant size regardless of cardinality),
+    point-estimated for parts 0..49 next to the exact counts — the
+    one-sided-error sketch contract (est >= true), md5-replayable in any
+    engine."""
+    from kernel_memory_spark.operators import sketch as SK
+
+    l = load_table(spark, sf, "lineitem")
+    cms = SK.count_min_build(l, "l_partkey", depth=4, width=512)
+    keys = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_partkey") <= 49)
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    est = SK.count_min_estimate(
+        cms, keys, "l_partkey", depth=4, width=512
+    )
+    true = l.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    return est.join(true, "l_partkey", "left").select(
+        F.col("l_partkey").alias("part"),
+        F.coalesce("true_cnt", F.lit(0)).cast("long").alias("true_cnt"),
+        "est_cnt",
+    )
+
+
 def skyline_orders(spark, sf):
     """2-D skyline of (order date, total price), both minimized — the
     record-low price frontier over time, computed with the
@@ -2213,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents": profile_documents,
         "cube_orders": cube_orders,
         "skyline_orders": skyline_orders,
+        "cms_lineitem": cms_lineitem,
         "quantiles_orders": quantiles_orders,
         "ppr_parts": ppr_parts,
         "pagerank_weighted_pmi": pagerank_weighted_pmi,
@@ -4653,6 +4682,35 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                       FROM adj GROUP BY src)
             SELECT degree, COUNT(*) AS n_nodes
             FROM deg GROUP BY degree
+        """,
+        "cms_lineitem": """
+            WITH dj AS (SELECT unnest(range(4)) AS j),
+            buckets AS (
+                SELECT j,
+                       ('0x' || substr(md5('cms' || CAST(j AS VARCHAR)
+                            || '|' || CAST(l_partkey AS VARCHAR)), 1, 8)
+                       )::BIGINT % 512 AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM lineitem CROSS JOIN dj
+                GROUP BY 1, 2),
+            keys AS (SELECT p_partkey AS k FROM part
+                     WHERE p_partkey <= 49),
+            est AS (
+                SELECT ky.k,
+                       MIN(COALESCE(b.cnt, 0)) AS est_cnt
+                FROM keys ky CROSS JOIN dj
+                LEFT JOIN buckets b
+                  ON b.j = dj.j
+                 AND b.bucket = ('0x' || substr(md5('cms'
+                        || CAST(dj.j AS VARCHAR) || '|'
+                        || CAST(ky.k AS VARCHAR)), 1, 8))::BIGINT % 512
+                GROUP BY ky.k),
+            true_c AS (SELECT l_partkey AS k,
+                              CAST(COUNT(*) AS BIGINT) AS true_cnt
+                       FROM lineitem GROUP BY l_partkey)
+            SELECT e.k AS part, COALESCE(t.true_cnt, 0) AS true_cnt,
+                   CAST(e.est_cnt AS BIGINT) AS est_cnt
+            FROM est e LEFT JOIN true_c t ON t.k = e.k
         """,
         "skyline_orders": """
             WITH per_x AS (

@@ -82,6 +82,7 @@ PURE_JVM = [
     "novelty_docs",
     "cube_orders",
     "skyline_orders",
+    "cms_lineitem",
     "quantiles_orders",
     "bigram_lm_docs",
     "hot_keys_lineitem",

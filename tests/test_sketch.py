@@ -1,0 +1,83 @@
+"""Count-Min Sketch (operators/sketch.py): one-sided error guarantee,
+mergeability, bounded size."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kernel_memory_spark.operators.sketch import (
+    count_min_build,
+    count_min_estimate,
+)
+
+
+def _df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "k string")
+
+
+class TestCountMin:
+    def test_estimates_never_undercount(self, spark):
+        """CMS guarantee: est >= true for EVERY key, and exact when the
+        sketch is wide enough that no collision occurred."""
+        keys = ["a"] * 50 + ["b"] * 7 + ["c"] * 1 + ["d"] * 13
+        df = _df(spark, keys)
+        sketch = count_min_build(df, "k", depth=4, width=1024)
+        est = {
+            r.k: r.est_cnt
+            for r in count_min_estimate(
+                sketch, _df(spark, ["a", "b", "c", "d", "zzz"]).distinct(),
+                "k", depth=4, width=1024,
+            ).collect()
+        }
+        true = {"a": 50, "b": 7, "c": 1, "d": 13, "zzz": 0}
+        for k, t in true.items():
+            assert est[k] >= t, k
+        # 4 distinct keys in 4x1024 counters: collisions are possible in
+        # principle but the min over 4 independent rows must be exact here
+        assert est == true
+
+    def test_sketch_size_bounded_by_depth_width(self, spark):
+        df = _df(spark, [f"k{i}" for i in range(500)])
+        sketch = count_min_build(df, "k", depth=3, width=16)
+        assert sketch.count() <= 3 * 16
+        rows = sketch.collect()
+        assert {r.row for r in rows} <= {0, 1, 2}
+        assert all(0 <= r.bucket < 16 for r in rows)
+        # total mass per row = number of input rows
+        per_row = {}
+        for r in rows:
+            per_row[r.row] = per_row.get(r.row, 0) + r.cnt
+        assert set(per_row.values()) == {500}
+
+    def test_merge_by_addition(self, spark):
+        """Sketches of two partitions summed counter-wise equal the
+        sketch of the union — the property that makes CMS build a plain
+        hash aggregate at any scale."""
+        a, b = ["x"] * 5 + ["y"] * 2, ["x"] * 3 + ["z"] * 4
+        sa = count_min_build(_df(spark, a), "k", depth=2, width=32)
+        sb = count_min_build(_df(spark, b), "k", depth=2, width=32)
+        merged = (
+            sa.unionByName(sb)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        direct = count_min_build(_df(spark, a + b), "k", depth=2, width=32)
+        assert {
+            (r.row, r.bucket, r.cnt) for r in merged.collect()
+        } == {(r.row, r.bucket, r.cnt) for r in direct.collect()}
+
+    def test_narrow_sketch_overcounts_but_bounded(self, spark):
+        """Force collisions (width 2): estimates still >= true and <=
+        total mass."""
+        keys = ["a"] * 10 + ["b"] * 20 + ["c"] * 30
+        sketch = count_min_build(_df(spark, keys), "k", depth=3, width=2)
+        est = {
+            r.k: r.est_cnt
+            for r in count_min_estimate(
+                sketch, _df(spark, ["a", "b", "c"]).distinct(), "k",
+                depth=3, width=2,
+            ).collect()
+        }
+        true = {"a": 10, "b": 20, "c": 30}
+        for k in true:
+            assert true[k] <= est[k] <= 60
