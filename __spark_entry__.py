@@ -1914,6 +1914,22 @@ def cms_lineitem(spark, sf):
     )
 
 
+def hll_orders(spark, sf):
+    """HyperLogLog distinct-customer estimate over orders (2^9
+    registers, md5-replayable ranks) next to the exact distinct count —
+    the constant-memory cardinality sketch, register construction and
+    small-range correction pinned cross-engine."""
+    from kernel_memory_spark.operators import sketch as SK
+
+    o = load_table(spark, sf, "orders")
+    regs = SK.hll_build(o, "o_custkey", p=9)
+    est = SK.hll_estimate(regs, p=9)
+    true = o.agg(
+        F.countDistinct("o_custkey").cast("long").alias("true_distinct")
+    )
+    return est.crossJoin(true)
+
+
 def skyline_orders(spark, sf):
     """2-D skyline of (order date, total price), both minimized — the
     record-low price frontier over time, computed with the
@@ -2242,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders": cube_orders,
         "skyline_orders": skyline_orders,
         "cms_lineitem": cms_lineitem,
+        "hll_orders": hll_orders,
         "quantiles_orders": quantiles_orders,
         "ppr_parts": ppr_parts,
         "pagerank_weighted_pmi": pagerank_weighted_pmi,
@@ -4682,6 +4699,34 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                       FROM adj GROUP BY src)
             SELECT degree, COUNT(*) AS n_nodes
             FROM deg GROUP BY degree
+        """,
+        "hll_orders": """
+            WITH h AS (SELECT md5('hll|' || CAST(o_custkey AS VARCHAR))
+                              AS hx FROM orders),
+            r AS (SELECT ('0x' || substr(hx, 1, 8))::BIGINT % 512
+                             AS bucket,
+                         ('0x' || substr(hx, 9, 8))::BIGINT AS h2
+                  FROM h),
+            regs AS (SELECT bucket,
+                            MAX(CASE WHEN h2 = 0 THEN 33
+                                ELSE 32 - CAST(floor(log2(h2)) AS BIGINT)
+                                END) AS max_rank
+                     FROM r GROUP BY bucket),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_registers,
+                         SUM(power(2.0, -max_rank)) AS s
+                  FROM regs),
+            est AS (SELECT n_registers,
+                           (0.7213 / (1.0 + 1.079 / 512)) * 512 * 512
+                               / (s + (512 - n_registers)) AS raw,
+                           512 - n_registers AS v
+                    FROM s)
+            SELECT n_registers,
+                   ROUND(CASE WHEN raw <= 2.5 * 512 AND v > 0
+                              THEN 512.0 * ln(512.0 / v)
+                              ELSE raw END, 6) AS est_distinct,
+                   (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                    FROM orders) AS true_distinct
+            FROM est
         """,
         "cms_lineitem": """
             WITH dj AS (SELECT unnest(range(4)) AS j),

@@ -94,3 +94,65 @@ def count_min_estimate(
             )
         )
     )
+
+
+def hll_build(
+    df: DataFrame, key_col: str, p: int = 9
+) -> DataFrame:
+    """HyperLogLog registers -> (bucket, max_rank), at most 2^p rows
+    (Flajolet et al. 2007): the constant-size distinct-count sketch.
+    Like the CMS, registers merge by MAX, so building is one hash
+    aggregate with map-side combine and sketches from different
+    partitions/days union+max into one.
+
+    Determinism across engines: bucket and rank derive from two
+    independent 32-bit md5 hex windows (chars 1-8 and 9-16) of the key —
+    rank = 32 - floor(log2(h2)) for h2 > 0 (floor(log2) of an integer
+    can only be wrong if libm errs by >1 ulp AT an exact power of two,
+    where log2 is exact — so the registers are bit-identical in any
+    engine with md5 + log2), h2 = 0 maps to rank 33 (all-zero suffix)."""
+    k = F.col(key_col).cast("string")
+    h = F.md5(F.concat(F.lit("hll|"), k))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    rank = F.when(F.col("__h2") == 0, F.lit(33)).otherwise(
+        F.lit(32) - F.floor(F.log2(F.col("__h2")))
+    )
+    return (
+        df.select(
+            F.pmod(h1, F.lit(2 ** p)).alias("bucket"),
+            h2.alias("__h2"),
+        )
+        .select("bucket", rank.cast("long").alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
+    """-> ONE row (n_registers, est_distinct): the HLL estimator
+    alpha_m * m^2 / sum over ALL m registers of 2^-M_j (empty registers
+    contribute 2^0 = 1), with the standard small-range linear-counting
+    correction (E <= 2.5m and empty registers exist ->
+    m * ln(m / V)). Both branches are closed-form over the register
+    relation — the correction choice is part of the cross-engine
+    contract, mirrored literally in the SQL oracle."""
+    import math
+
+    m = 2 ** p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    sums = registers.agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("__s"),
+    )
+    # empty registers: m - n_registers of them, each contributing 2^0
+    full_sum = F.col("__s") + (F.lit(m) - F.col("n_registers"))
+    raw = F.lit(alpha * m * m) / full_sum
+    v = F.lit(m) - F.col("n_registers")  # count of empty registers
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), linear).otherwise(
+        raw
+    )
+    return sums.select(
+        "n_registers", F.round(est, 6).alias("est_distinct")
+    )

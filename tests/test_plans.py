@@ -83,6 +83,7 @@ PURE_JVM = [
     "cube_orders",
     "skyline_orders",
     "cms_lineitem",
+    "hll_orders",
     "quantiles_orders",
     "bigram_lm_docs",
     "hot_keys_lineitem",
@@ -161,6 +162,8 @@ SCALAR_CROSS = {
     "graph_stats_parts",
     # conductance: 1-row 2m scalar crossed into the community rows
     "conductance_parts",
+    # HLL: 1-row estimate crossed with the 1-row exact distinct count
+    "hll_orders",
 }
 
 

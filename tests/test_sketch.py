@@ -81,3 +81,65 @@ class TestCountMin:
         true = {"a": 10, "b": 20, "c": 30}
         for k in true:
             assert true[k] <= est[k] <= 60
+
+
+class TestHyperLogLog:
+    def test_estimate_within_expected_error(self, spark):
+        """2^9 registers -> ~4.6% standard error; 5000 distinct keys must
+        estimate within 15% (3 sigma)."""
+        from kernel_memory_spark.operators.sketch import (
+            hll_build,
+            hll_estimate,
+        )
+
+        df = _df(spark, [f"user{i}" for i in range(5000)])
+        est = hll_estimate(hll_build(df, "k", p=9), p=9).collect()[0]
+        assert abs(est.est_distinct - 5000) / 5000 < 0.15
+
+    def test_duplicates_do_not_move_estimate(self, spark):
+        """Registers are MAX-aggregated: feeding every key 10x yields the
+        identical register table and estimate."""
+        from kernel_memory_spark.operators.sketch import (
+            hll_build,
+            hll_estimate,
+        )
+
+        once = [f"u{i}" for i in range(800)]
+        r1 = hll_build(_df(spark, once), "k", p=7)
+        r2 = hll_build(_df(spark, once * 10), "k", p=7)
+        assert {
+            (r.bucket, r.max_rank) for r in r1.collect()
+        } == {(r.bucket, r.max_rank) for r in r2.collect()}
+        e1 = hll_estimate(r1, p=7).collect()[0].est_distinct
+        e2 = hll_estimate(r2, p=7).collect()[0].est_distinct
+        assert e1 == e2
+
+    def test_small_range_linear_counting(self, spark):
+        """A handful of keys triggers the linear-counting branch and is
+        near-exact."""
+        from kernel_memory_spark.operators.sketch import (
+            hll_build,
+            hll_estimate,
+        )
+
+        df = _df(spark, [f"k{i}" for i in range(20)])
+        est = hll_estimate(hll_build(df, "k", p=9), p=9).collect()[0]
+        assert abs(est.est_distinct - 20) <= 2
+
+    def test_merge_by_max(self, spark):
+        """union+MAX of two register tables equals the sketch of the
+        union of the inputs."""
+        from kernel_memory_spark.operators.sketch import hll_build
+
+        a = [f"a{i}" for i in range(300)]
+        b = [f"b{i}" for i in range(300)] + a[:100]
+        ra, rb = hll_build(_df(spark, a), "k"), hll_build(_df(spark, b), "k")
+        merged = (
+            ra.unionByName(rb)
+            .groupBy("bucket")
+            .agg(F.max("max_rank").alias("max_rank"))
+        )
+        direct = hll_build(_df(spark, a + b), "k")
+        assert {
+            (r.bucket, r.max_rank) for r in merged.collect()
+        } == {(r.bucket, r.max_rank) for r in direct.collect()}
