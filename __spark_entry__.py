@@ -1914,6 +1914,56 @@ def cms_lineitem(spark, sf):
     )
 
 
+def bloom_probe_customers(spark, sf):
+    """Bloom-filter membership (4096 bits, 3 md5 hashes) over the set of
+    customers WITH orders, probed for EVERY customer, next to the exact
+    membership — pins the no-false-negative contract and the exact
+    false-positive set cross-engine (the bit table is md5-replayable)."""
+    from kernel_memory_spark.operators import sketch as SK
+
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    members = o.select(F.col("o_custkey").alias("k")).distinct()
+    bloom = SK.bloom_build(members, "k", n_bits=4096, n_hashes=3)
+    probed = SK.bloom_probe(
+        bloom,
+        c.select(F.col("c_custkey")),
+        "c_custkey",
+        n_bits=4096,
+        n_hashes=3,
+    )
+    return probed.join(
+        members.select(
+            F.col("k").alias("c_custkey"), F.lit(True).alias("is_member")
+        ),
+        "c_custkey",
+        "left",
+    ).select(
+        "c_custkey",
+        "maybe_member",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+
+
+def cms_join_size_est(spark, sf):
+    """Join-cardinality estimation from two Count-Min sketches (counter
+    inner product, min over rows — Cormode & Muthukrishnan §4.2): the
+    planning statistic for |orders ⋈ customer| computed WITHOUT scanning
+    either side at plan time, next to the true join size."""
+    from kernel_memory_spark.operators import sketch as SK
+
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    sa = SK.count_min_build(o, "o_custkey", depth=4, width=512)
+    sb = SK.count_min_build(c, "c_custkey", depth=4, width=512)
+    est = SK.cms_join_size(sa, sb, depth=4)
+    true = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .agg(F.count(F.lit(1)).cast("long").alias("true_join_size"))
+    )
+    return est.crossJoin(true)
+
+
 def hll_orders(spark, sf):
     """HyperLogLog distinct-customer estimate over orders (2^9
     registers, md5-replayable ranks) next to the exact distinct count —
@@ -2259,6 +2309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_orders": skyline_orders,
         "cms_lineitem": cms_lineitem,
         "hll_orders": hll_orders,
+        "bloom_probe_customers": bloom_probe_customers,
+        "cms_join_size_est": cms_join_size_est,
         "quantiles_orders": quantiles_orders,
         "ppr_parts": ppr_parts,
         "pagerank_weighted_pmi": pagerank_weighted_pmi,
@@ -4699,6 +4751,56 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                       FROM adj GROUP BY src)
             SELECT degree, COUNT(*) AS n_nodes
             FROM deg GROUP BY degree
+        """,
+        "bloom_probe_customers": """
+            WITH dj AS (SELECT unnest(range(3)) AS j),
+            mem AS (SELECT DISTINCT o_custkey AS k FROM orders),
+            bits AS (SELECT DISTINCT
+                            ('0x' || substr(md5('bloom'
+                                || CAST(j AS VARCHAR) || '|'
+                                || CAST(k AS VARCHAR)), 1, 8)
+                            )::BIGINT % 4096 AS bit
+                     FROM mem CROSS JOIN dj),
+            probes AS (SELECT c_custkey, j,
+                              ('0x' || substr(md5('bloom'
+                                  || CAST(j AS VARCHAR) || '|'
+                                  || CAST(c_custkey AS VARCHAR)), 1, 8)
+                              )::BIGINT % 4096 AS bit
+                       FROM customer CROSS JOIN dj),
+            hits AS (SELECT c_custkey, COUNT(*) AS h
+                     FROM probes p
+                     WHERE EXISTS (SELECT 1 FROM bits b
+                                   WHERE b.bit = p.bit)
+                     GROUP BY c_custkey)
+            SELECT c.c_custkey,
+                   COALESCE(h.h, 0) = 3 AS maybe_member,
+                   EXISTS (SELECT 1 FROM mem m
+                           WHERE m.k = c.c_custkey) AS is_member
+            FROM customer c LEFT JOIN hits h USING (c_custkey)
+        """,
+        "cms_join_size_est": """
+            WITH dj AS (SELECT unnest(range(4)) AS j),
+            sa AS (SELECT j,
+                          ('0x' || substr(md5('cms' || CAST(j AS VARCHAR)
+                              || '|' || CAST(o_custkey AS VARCHAR)), 1, 8)
+                          )::BIGINT % 512 AS bucket,
+                          CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM orders CROSS JOIN dj GROUP BY 1, 2),
+            sb AS (SELECT j,
+                          ('0x' || substr(md5('cms' || CAST(j AS VARCHAR)
+                              || '|' || CAST(c_custkey AS VARCHAR)), 1, 8)
+                          )::BIGINT % 512 AS bucket,
+                          CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM customer CROSS JOIN dj GROUP BY 1, 2),
+            dots AS (SELECT sa.j, SUM(sa.cnt * sb.cnt) AS dot
+                     FROM sa JOIN sb ON sb.j = sa.j
+                                    AND sb.bucket = sa.bucket
+                     GROUP BY sa.j)
+            SELECT (SELECT CAST(MIN(dot) AS BIGINT) FROM dots)
+                       AS est_join_size,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM orders o JOIN customer c
+                      ON c.c_custkey = o.o_custkey) AS true_join_size
         """,
         "hll_orders": """
             WITH h AS (SELECT md5('hll|' || CAST(o_custkey AS VARCHAR))

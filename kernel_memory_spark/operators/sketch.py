@@ -156,3 +156,104 @@ def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
     return sums.select(
         "n_registers", F.round(est, 6).alias("est_distinct")
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom filter -> (bit,) the set bit positions (at most n_bits
+    rows; the sparse representation IS the filter — union two filters
+    with a plain distinct union). k independent md5-derived positions
+    per key; same engine-portable hashing contract as the CMS/HLL, so a
+    probe can be replayed by any engine against the same bit table.
+
+    One explode (fan-out k) + one distinct — map-side partial distinct
+    bounds the shuffle at n_bits rows per map partition."""
+    k = F.col(key_col).cast("string")
+    bits = F.array(*[
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bloom{j}|"), k)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_bits),
+        )
+        for j in range(n_hashes)
+    ])
+    return (
+        df.select(F.explode(bits).alias("bit")).distinct()
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """-> (key_col, maybe_member): true iff ALL k bit positions are set
+    — the Bloom contract (no false negatives; false-positive rate
+    ~ (1 - e^{-kn/m})^k). The probe joins |keys| * k rows against the
+    broadcast bit table and counts hits per key; a key is a maybe-member
+    iff hits == k."""
+    k = F.col(key_col).cast("string")
+    bits = F.array(*[
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bloom{j}|"), k)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_bits),
+        )
+        for j in range(n_hashes)
+    ])
+    probes = keys.select(F.col(key_col), F.explode(bits).alias("bit"))
+    hits = (
+        probes.join(F.broadcast(bloom), "bit", "semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return keys.join(hits, key_col, "left").select(
+        key_col,
+        (F.coalesce("__hits", F.lit(0)) == n_hashes).alias(
+            "maybe_member"
+        ),
+    )
+
+
+def cms_join_size(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int
+) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches built
+    with the SAME (depth, width): |A ⋈ B on key| is estimated by the
+    MINIMUM over rows of the counter inner product Σ_b cntA[b]*cntB[b]
+    (Cormode & Muthukrishnan 2005 §4.2 — est >= true, the planning-time
+    statistic a join optimizer wants without scanning either input).
+    One keyed join of two tiny counter tables + one aggregate."""
+    prods = (
+        sketch_a.alias("a")
+        .join(
+            sketch_b.alias("b"),
+            (F.col("a.row") == F.col("b.row"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.row").alias("row"),
+            (F.col("a.cnt") * F.col("b.cnt")).alias("__p"),
+        )
+        .groupBy("row")
+        .agg(F.sum("__p").alias("__dot"))
+    )
+    return prods.agg(
+        F.min("__dot").cast("long").alias("est_join_size")
+    )

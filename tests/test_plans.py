@@ -84,6 +84,8 @@ PURE_JVM = [
     "skyline_orders",
     "cms_lineitem",
     "hll_orders",
+    "bloom_probe_customers",
+    "cms_join_size_est",
     "quantiles_orders",
     "bigram_lm_docs",
     "hot_keys_lineitem",
@@ -164,6 +166,8 @@ SCALAR_CROSS = {
     "conductance_parts",
     # HLL: 1-row estimate crossed with the 1-row exact distinct count
     "hll_orders",
+    # join-size: 1-row estimate crossed with the 1-row true join count
+    "cms_join_size_est",
 }
 
 

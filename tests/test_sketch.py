@@ -143,3 +143,72 @@ class TestHyperLogLog:
         assert {
             (r.bucket, r.max_rank) for r in merged.collect()
         } == {(r.bucket, r.max_rank) for r in direct.collect()}
+
+
+class TestBloom:
+    def test_no_false_negatives_and_fp_rate(self, spark):
+        from kernel_memory_spark.operators.sketch import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        members = [f"m{i}" for i in range(500)]
+        others = [f"x{i}" for i in range(500)]
+        bloom = bloom_build(_df(spark, members), "k", 4096, 3)
+        got = {
+            r.k: r.maybe_member
+            for r in bloom_probe(
+                bloom, _df(spark, members + others), "k", 4096, 3
+            ).collect()
+        }
+        assert all(got[m] for m in members)  # NEVER a false negative
+        fp = sum(1 for o in others if got[o])
+        # k=3, n=500, m=4096 -> theoretical fp ~ (1-e^{-3*500/4096})^3
+        # ~ 2.9%; 500 trials, allow generous slack
+        assert fp / 500 < 0.10
+
+    def test_union_by_distinct_bits(self, spark):
+        from kernel_memory_spark.operators.sketch import bloom_build
+
+        a = [f"a{i}" for i in range(100)]
+        b = [f"b{i}" for i in range(100)]
+        ba = bloom_build(_df(spark, a), "k", 1024, 3)
+        bb = bloom_build(_df(spark, b), "k", 1024, 3)
+        merged = ba.unionByName(bb).distinct()
+        direct = bloom_build(_df(spark, a + b), "k", 1024, 3)
+        assert {r.bit for r in merged.collect()} == {
+            r.bit for r in direct.collect()
+        }
+
+
+class TestCmsJoinSize:
+    def test_estimate_upper_bounds_true_join(self, spark):
+        from kernel_memory_spark.operators.sketch import (
+            cms_join_size,
+            count_min_build,
+        )
+
+        a = ["x"] * 10 + ["y"] * 5 + ["z"] * 2
+        b = ["x"] * 3 + ["y"] * 1 + ["w"] * 9
+        true = 10 * 3 + 5 * 1  # 35
+        sa = count_min_build(_df(spark, a), "k", depth=4, width=1024)
+        sb = count_min_build(_df(spark, b), "k", depth=4, width=1024)
+        est = cms_join_size(sa, sb, depth=4).collect()[0].est_join_size
+        assert est >= true
+        # wide sketch, 4 keys: the min over 4 rows is exact here
+        assert est == true
+
+    def test_disjoint_key_sets_estimate_small(self, spark):
+        from kernel_memory_spark.operators.sketch import (
+            cms_join_size,
+            count_min_build,
+        )
+
+        sa = count_min_build(
+            _df(spark, [f"a{i}" for i in range(50)]), "k", 4, 2048
+        )
+        sb = count_min_build(
+            _df(spark, [f"b{i}" for i in range(50)]), "k", 4, 2048
+        )
+        est = cms_join_size(sa, sb, depth=4).collect()[0].est_join_size
+        assert est <= 5  # only hash collisions contribute
