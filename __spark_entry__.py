@@ -1240,6 +1240,43 @@ def ktruss_parts(spark, sf):
     )
 
 
+def temporal_khop_parts(spark, sf):
+    """Time-respecting 2-hop reachability from parts 0..2 over DATED
+    co-purchase edges (edge ts = order date; paths must be
+    non-decreasing in time) -> earliest arrival + fewest hops achieving
+    it — the temporal-KG semantics plain khop_parts ignores."""
+    from kernel_memory_spark.operators import graph as GR
+
+    l = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    dated = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_partkey", "o_orderdate"
+    )
+    a, b = dated.alias("a"), dated.alias("b")
+    e = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+            F.col("a.o_orderdate").alias("ts"),
+        )
+        .distinct()
+    )
+    sources = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_partkey") <= 2)
+        .select("p_partkey")
+    )
+    out = GR.temporal_khop(e, sources, k=2)
+    return out.select(F.col("node").alias("part"), "hops",
+                      "earliest_arrival")
+
+
 def harmonic_parts(spark, sf):
     """2-bounded harmonic centrality over the repeat co-purchase graph:
     per part, count of parts within 2 hops and sum of 1/dist — the
@@ -2252,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_copurchase": pagerank_copurchase,
         "triangle_counts_parts": triangle_counts_parts,
         "khop_parts": khop_parts,
+        "temporal_khop_parts": temporal_khop_parts,
         "adamic_adar_parts": adamic_adar_parts,
         "neighbor_jaccard_parts": neighbor_jaccard_parts,
         "adamic_adar_capped": adamic_adar_capped,
@@ -4266,6 +4304,37 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                 JOIN adj1 y ON y.dst = e.b AND y.src = x.src
                 GROUP BY e.a, e.b)
             SELECT a, b, support FROM s2 WHERE support >= 1
+        """,
+        "temporal_khop_parts": """
+            WITH dated AS (
+                SELECT l_orderkey, l_partkey, o_orderdate
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+            e AS (SELECT DISTINCT a.l_partkey AS src,
+                         b.l_partkey AS dst, a.o_orderdate AS ts
+                  FROM dated a JOIN dated b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey <> b.l_partkey),
+            s AS (SELECT p_partkey AS node FROM part
+                  WHERE p_partkey <= 2),
+            f1 AS (SELECT e.dst AS node, MIN(e.ts) AS arr
+                   FROM e JOIN s ON s.node = e.src GROUP BY e.dst),
+            f2 AS (SELECT e2.dst AS node, MIN(e2.ts) AS arr
+                   FROM f1 JOIN e e2
+                     ON e2.src = f1.node AND e2.ts >= f1.arr
+                   GROUP BY e2.dst),
+            lv AS (SELECT node, 1 AS hops, arr FROM f1
+                   UNION ALL SELECT node, 2, arr FROM f2),
+            best AS (SELECT node, arr, hops,
+                            row_number() OVER (PARTITION BY node
+                                               ORDER BY arr, hops) AS rn
+                     FROM lv)
+            SELECT node AS part, CAST(0 AS INT) AS hops,
+                   CAST(NULL AS TIMESTAMP) AS earliest_arrival
+            FROM s
+            UNION ALL
+            SELECT b.node, CAST(b.hops AS INT), b.arr
+            FROM best b
+            WHERE rn = 1 AND b.node NOT IN (SELECT node FROM s)
         """,
         "harmonic_parts": _REPEAT_GRAPH_CTE
         + """

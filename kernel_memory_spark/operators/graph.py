@@ -1391,3 +1391,80 @@ def conductance(
             ).alias("conductance"),
         )
     )
+
+
+def temporal_khop(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-respecting bounded reachability over a temporal graph ->
+    (node, hops, earliest_arrival): node v is reached within k hops iff
+    a path exists whose edge timestamps are NON-DECREASING (information
+    can only flow forward in time — the temporal-network semantics of
+    Holme & Saramäki 2012 that plain k_hop silently violates: a 2012
+    edge cannot propagate something learned via a 2020 edge).
+    earliest_arrival is the minimum last-edge timestamp over all such
+    paths of length <= k; hops is the fewest hops achieving exactly
+    that arrival (lexicographic (arrival, hops) minimum — a total,
+    engine-neutral tie-break).
+
+    Exact for fixed k: each level joins the previous level's
+    (node, arrival) frontier against edges with ts >= arrival and
+    min-aggregates arrivals per node (map-side combine absorbs fan-in),
+    so level d holds at most |V| rows regardless of path multiplicity;
+    no visited set is needed because the per-level min-aggregation IS
+    the dominance prune. Sources are their own hop-0 row with a NULL
+    arrival (they were never arrived at)."""
+    e = edges.select(
+        F.col(src).alias("node"),
+        F.col(dst).alias("nxt"),
+        F.col(ts_col).alias("__ts"),
+    ).localCheckpoint()
+    node_col = sources.columns[0]
+    frontier = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("arr", F.lit(None).cast(dict(e.dtypes)["__ts"]))
+        .localCheckpoint()
+    )
+    reached = frontier.select(
+        "node", F.lit(0).alias("hops"), F.col("arr")
+    )
+    for level in range(1, k + 1):
+        frontier = (
+            frontier.join(e, "node")
+            .filter(
+                F.col("arr").isNull() | (F.col("__ts") >= F.col("arr"))
+            )
+            .groupBy(F.col("nxt").alias("node"))
+            .agg(F.min("__ts").alias("arr"))
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        reached = reached.unionByName(
+            frontier.select(
+                "node", F.lit(level).alias("hops"), F.col("arr")
+            )
+        )
+    non_source = (
+        reached.filter(F.col("hops") > 0)
+        .groupBy("node")
+        .agg(F.min(F.struct("arr", "hops")).alias("__best"))
+        .select(
+            "node",
+            F.col("__best.hops").alias("hops"),
+            F.col("__best.arr").alias("earliest_arrival"),
+        )
+    )
+    srcs = reached.filter(F.col("hops") == 0).select(
+        "node", "hops", F.col("arr").alias("earliest_arrival")
+    )
+    # sources stay hop-0 rows even if also reachable via a cycle
+    return srcs.unionByName(
+        non_source.join(srcs.select("node"), "node", "left_anti")
+    )

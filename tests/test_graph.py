@@ -1188,3 +1188,58 @@ class TestConductance:
         )
         r = GR.conductance(e, labels).collect()[0]
         assert r.cut == 0 and r.conductance is None
+
+
+class TestTemporalKhop:
+    def _edges_ts(self, spark, triples):
+        return spark.createDataFrame(
+            [(s, d, f"2024-01-{t:02d}") for s, d, t in triples],
+            "src long, dst long, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def _run(self, spark, triples, sources, k):
+        src = spark.createDataFrame([(s,) for s in sources], "node long")
+        return {
+            r.node: (
+                r.hops,
+                None
+                if r.earliest_arrival is None
+                else r.earliest_arrival.day,
+            )
+            for r in GR.temporal_khop(
+                self._edges_ts(spark, triples), src, k
+            ).collect()
+        }
+
+    def test_time_respecting_only(self, spark):
+        """1->2 on day 5, 2->3 on day 3: the 2-hop path is NOT
+        time-respecting (3 < 5), so 3 is unreachable; with 2->3 on day
+        7 it is."""
+        got = self._run(spark, [(1, 2, 5), (2, 3, 3)], [1], k=2)
+        assert got == {1: (0, None), 2: (1, 5)}
+        got2 = self._run(spark, [(1, 2, 5), (2, 3, 7)], [1], k=2)
+        assert got2 == {1: (0, None), 2: (1, 5), 3: (2, 7)}
+
+    def test_earliest_arrival_minimum_over_paths(self, spark):
+        """Two time-respecting routes to node 4: arrival is the minimum
+        last-edge ts, hops the fewest achieving it."""
+        triples = [
+            (1, 2, 1), (2, 4, 9),     # 2 hops, arrives day 9
+            (1, 4, 6),                # 1 hop, arrives day 6
+        ]
+        got = self._run(spark, triples, [1], k=2)
+        assert got[4] == (1, 6)
+
+    def test_dominance_prune_is_sound(self, spark):
+        """The min-arrival frontier must not lose reachability: the
+        earliest level-1 arrival at node 2 (day 2) enables every
+        continuation a later arrival would."""
+        triples = [(1, 2, 2), (1, 2, 8), (2, 3, 5)]
+        got = self._run(spark, triples, [1], k=2)
+        assert got[2] == (1, 2)
+        assert got[3] == (2, 5)
+
+    def test_source_stays_hop_zero_on_cycle(self, spark):
+        got = self._run(spark, [(1, 2, 1), (2, 1, 2)], [1], k=2)
+        assert got[1] == (0, None)
+        assert got[2] == (1, 1)

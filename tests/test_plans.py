@@ -49,6 +49,7 @@ PURE_JVM = [
     "pagerank_copurchase",
     "triangle_counts_parts",
     "khop_parts",
+    "temporal_khop_parts",
     "token_shards_docs",
     "temperature_mix_docs",
     "pmi_copurchase_edges",
