@@ -267,3 +267,70 @@ def pmi_from_index(
         "n_baskets"
     ]
     return _pmi_join(pairs, marg, n_baskets)
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_basket: Optional[int] = None,
+) -> DataFrame:
+    """Directed association rules A -> B over a basket set (Agrawal &
+    Srikant 1994, pair rules) -> (antecedent, consequent, n_both,
+    support, confidence, lift).
+
+    support     = n_ab / N          (fraction of baskets with both)
+    confidence  = n_ab / n_a        (P(B | A), set semantics per basket)
+    lift        = confidence / (n_b / N) = n_ab * N / (n_a * n_b)
+
+    Scale design: reuses `cooccur_counts` — the pair relation is a
+    within-basket self-join bounded by basket size (with the same
+    `max_basket` mega-basket guard as PMI), pair counts collapse
+    map-side before the shuffle, marginals join back keyed on the item
+    (|vocab| rows, not |pairs|), and N is one driver scalar. Both rule
+    directions come from ONE unordered pair relation (unioned after the
+    marginal joins), so the expensive join runs once. Pure column
+    algebra — replayable in any SQL engine.
+
+    Reference parity: the reference stops at unweighted tag co-mention
+    links (src/Core/Graph edge assembly); rules with confidence/lift are
+    the standard upgrade for `related-entity` suggestions at corpus
+    scale.
+    """
+    pairs, marg, n_baskets = cooccur_counts(
+        df, basket_col, item_col, max_basket
+    )
+    pairs = pairs.filter(F.col("n_pairs") >= min_pair_count)
+    both = (
+        pairs.join(marg.select(F.col("item").alias("src"),
+                               F.col("n").alias("__na")), "src")
+        .join(marg.select(F.col("item").alias("dst"),
+                          F.col("n").alias("__nb")), "dst")
+    )
+    fwd = both.select(
+        F.col("src").alias("antecedent"),
+        F.col("dst").alias("consequent"),
+        F.col("n_pairs").alias("n_both"),
+        F.col("__na").alias("__n_ante"),
+        F.col("__nb").alias("__n_cons"),
+    )
+    rev = both.select(
+        F.col("dst").alias("antecedent"),
+        F.col("src").alias("consequent"),
+        F.col("n_pairs").alias("n_both"),
+        F.col("__nb").alias("__n_ante"),
+        F.col("__na").alias("__n_cons"),
+    )
+    n = float(n_baskets)
+    return fwd.unionByName(rev).select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        (F.col("n_both") / F.lit(n)).alias("support"),
+        (F.col("n_both") / F.col("__n_ante")).alias("confidence"),
+        (
+            F.col("n_both").cast("double") * F.lit(n)
+            / (F.col("__n_ante").cast("double") * F.col("__n_cons"))
+        ).alias("lift"),
+    )

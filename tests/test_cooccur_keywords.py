@@ -604,3 +604,51 @@ class TestHotKeys:
 
         df = spark.createDataFrame([("x",), ("y",)], "k string")
         assert hot_keys(df, "k", k=10).count() == 2
+
+
+class TestAssociationRules:
+    def _baskets(self, spark):
+        # b1:{a,b}, b2:{a,b}, b3:{a,c}, b4:{b,c,d}
+        rows = [
+            (1, "a"), (1, "b"), (1, "a"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"),
+            (4, "b"), (4, "c"), (4, "d"),
+        ]
+        return spark.createDataFrame(rows, "b long, i string")
+
+    def test_exact_rule_values(self, spark):
+        out = {
+            (r.antecedent, r.consequent): r
+            for r in CO.association_rules(
+                self._baskets(spark), "b", "i", min_pair_count=1
+            ).collect()
+        }
+        # N=4; n_a=3, n_b=3, n_c=2, n_d=1; n_ab=2, others 1
+        # both directions of every unordered pair
+        assert len(out) == 10
+        r = out[("a", "b")]
+        assert r.n_both == 2
+        assert r.support == pytest.approx(0.5)
+        assert r.confidence == pytest.approx(2 / 3)
+        assert r.lift == pytest.approx(2 * 4 / (3 * 3))
+        r = out[("b", "a")]  # same lift, different confidence base
+        assert r.confidence == pytest.approx(2 / 3)
+        assert r.lift == pytest.approx(2 * 4 / (3 * 3))
+        r = out[("d", "c")]
+        assert r.confidence == pytest.approx(1.0)
+        assert r.lift == pytest.approx(1 * 4 / (1 * 2))
+
+    def test_min_pair_count_and_guard(self, spark):
+        out = CO.association_rules(
+            self._baskets(spark), "b", "i", min_pair_count=2
+        ).collect()
+        assert sorted((r.antecedent, r.consequent) for r in out) == [
+            ("a", "b"), ("b", "a")
+        ]
+        # mega-basket guard drops b4 (3 distinct items > 2)
+        capped = CO.association_rules(
+            self._baskets(spark), "b", "i", min_pair_count=1, max_basket=2
+        ).collect()
+        pairs = {(r.antecedent, r.consequent) for r in capped}
+        assert ("c", "d") not in pairs and ("b", "d") not in pairs

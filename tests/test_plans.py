@@ -118,6 +118,7 @@ PURE_JVM = [
     "er_match_scores_docs",
     "scd2_upsert_orders",
     "funnel_events",
+    "assoc_rules_orders",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
