@@ -2301,6 +2301,35 @@ def assoc_rules_orders(spark, sf):
     )
 
 
+def ranking_eval_events(spark, sf):
+    """Batch retrieval-quality evaluation (NDCG@10 / MRR / P@10 per
+    user): each user's events ranked by the system score (`value`)
+    against graded relevance from the outcome type (purchase=2, click=1,
+    else 0) — the search-eval surface the reference's SearchClient
+    result assembly lacks; one exchange, two in-partition sorts."""
+    from kernel_memory_spark.operators import ranking as RK
+
+    e = load_table(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    out = RK.ranking_metrics(
+        e, "user_id", "value", "rel", "event_id", k=10
+    )
+    return out.select(
+        "user_id",
+        "n_items",
+        F.round("ndcg_at_k", 6).alias("ndcg_at_k"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round("precision_at_k", 6).alias("precision_at_k"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2446,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup_events": time_rollup_events,
         # --- round-5 late wave: builder-gate now, driver window in r6 ---
         "assoc_rules_orders": assoc_rules_orders,
+        "ranking_eval_events": ranking_eval_events,
     }
 
 
@@ -5319,6 +5349,46 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                    round(CAST(n_both AS DOUBLE) * t.N
                          / (CAST(n_ante AS DOUBLE) * n_cons), 6) AS lift
             FROM dirs CROSS JOIN tot t
+        """,
+        "ranking_eval_events": """
+            WITH labeled AS (
+                SELECT user_id, event_id, value,
+                       CASE WHEN event_type = 'purchase' THEN 2
+                            WHEN event_type = 'click' THEN 1
+                            ELSE 0 END AS rel
+                FROM events),
+            ranked AS (
+                SELECT user_id,
+                       CAST(rel AS DOUBLE) AS rel,
+                       power(2.0, rel) - 1.0 AS gain,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY value DESC, event_id ASC) AS pos,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY rel DESC, event_id ASC) AS ipos
+                FROM labeled),
+            agg AS (
+                SELECT user_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_items,
+                       SUM(CASE WHEN pos <= 10
+                                THEN gain / log2(pos + 1.0)
+                                ELSE 0.0 END) AS dcg,
+                       SUM(CASE WHEN ipos <= 10
+                                THEN gain / log2(ipos + 1.0)
+                                ELSE 0.0 END) AS idcg,
+                       MIN(CASE WHEN rel > 0 THEN pos END) AS first_rel,
+                       SUM(CASE WHEN pos <= 10 AND rel > 0
+                                THEN 1 ELSE 0 END) AS hits
+                FROM ranked GROUP BY user_id)
+            SELECT user_id, n_items,
+                   round(CASE WHEN idcg > 0 THEN dcg / idcg
+                              ELSE 0.0 END, 6) AS ndcg_at_k,
+                   round(CASE WHEN first_rel IS NOT NULL
+                              THEN 1.0 / first_rel
+                              ELSE 0.0 END, 6) AS mrr,
+                   round(hits / 10.0, 6) AS precision_at_k
+            FROM agg
         """,
         # kg_triples_sf: intentionally no oracle (pandas-UDF chunker inside;
         # driver records the rows-only check; full fidelity is gated by the

@@ -119,6 +119,7 @@ PURE_JVM = [
     "scd2_upsert_orders",
     "funnel_events",
     "assoc_rules_orders",
+    "ranking_eval_events",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
