@@ -2330,6 +2330,24 @@ def ranking_eval_events(spark, sf):
     )
 
 
+def hyperanf_parts(spark, sf):
+    """HyperANF neighborhood function over the co-purchase graph (Boldi,
+    Rosa & Vigna 2011): per-node estimated ball sizes |B(v,h)| for
+    h = 0..2 via HLL register propagation — the diameter/centrality
+    primitive whose state is |V| x 32 registers instead of the |V|^2
+    pair table an exact closure carries; md5-replayable registers, so
+    the ESTIMATES (not just row counts) are pinned cross-engine."""
+    from kernel_memory_spark.operators import graph as GR
+
+    adj = GR.symmetrize(_copurchase_edges(spark, sf))
+    out = GR.hyper_anf(adj, hops=2, p=5)
+    return out.select(
+        "h",
+        F.col("node").alias("part"),
+        F.round("est_ball", 6).alias("est_ball"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2476,6 +2494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 late wave: builder-gate now, driver window in r6 ---
         "assoc_rules_orders": assoc_rules_orders,
         "ranking_eval_events": ranking_eval_events,
+        "hyperanf_parts": hyperanf_parts,
     }
 
 
@@ -2557,6 +2576,52 @@ def _pagerank_sql(iterations: int = 3) -> str:
     parts.append(
         f"SELECT node AS part, ROUND(rank, 6) AS rank FROM r{iterations}"
     )
+    return "\n".join(parts)
+
+
+def _hyperanf_sql(hops: int = 2, p: int = 5) -> str:
+    """Unrolled HyperANF CTE chain mirroring operators/graph.hyper_anf:
+    same md5 register construction as the HLL oracle, one union+max CTE
+    per hop, estimator literals written in the same association order
+    as the Python floats."""
+    m = 2 ** p
+    parts = [
+        _GRAPH_CTE.rstrip(),
+        ", n0 AS (SELECT DISTINCT src AS node FROM adj)",
+        f""", hsh AS (SELECT node,
+      ('0x' || substr(md5('hll|' || CAST(node AS VARCHAR)), 1, 8))::BIGINT
+          % {m} AS bucket,
+      ('0x' || substr(md5('hll|' || CAST(node AS VARCHAR)), 9, 8))::BIGINT
+          AS h2
+  FROM n0)""",
+        """, r0 AS (SELECT node, bucket,
+      CASE WHEN h2 = 0 THEN 33
+           ELSE 32 - CAST(floor(log2(h2)) AS BIGINT) END AS max_rank
+  FROM hsh)""",
+    ]
+    for i in range(1, hops + 1):
+        parts.append(f""", r{i} AS (
+  SELECT node, bucket, MAX(max_rank) AS max_rank FROM (
+    SELECT node, bucket, max_rank FROM r{i - 1}
+    UNION ALL
+    SELECT a.src AS node, r.bucket, r.max_rank
+    FROM adj a JOIN r{i - 1} r ON r.node = a.dst)
+  GROUP BY node, bucket)""")
+    per = "\n    UNION ALL\n    ".join(
+        f"""SELECT {i} AS h, node,
+       CAST(COUNT(*) AS BIGINT) AS n, SUM(power(2.0, -max_rank)) AS s
+    FROM r{i} GROUP BY node"""
+        for i in range(0, hops + 1)
+    )
+    raw = (
+        f"(0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} / (s + ({m} - n))"
+    )
+    parts.append(f""", per AS ({per})
+SELECT h, node AS part,
+       round(CASE WHEN {raw} <= 2.5 * {m} AND {m} - n > 0
+                  THEN {m}.0 * ln({m}.0 / ({m} - n))
+                  ELSE {raw} END, 6) AS est_ball
+FROM per""")
     return "\n".join(parts)
 
 
@@ -5319,6 +5384,7 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                        AS n_lines_dropped
             FROM flagged GROUP BY doc_id
         """,
+        "hyperanf_parts": _hyperanf_sql(2, 5),
         "assoc_rules_orders": """
             WITH items AS (
                 SELECT DISTINCT l_orderkey AS b, l_partkey AS i

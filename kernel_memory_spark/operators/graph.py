@@ -1468,3 +1468,79 @@ def temporal_khop(
     return srcs.unionByName(
         non_source.join(srcs.select("node"), "node", "left_anti")
     )
+
+
+def hyper_anf(
+    edges: DataFrame,
+    hops: int = 2,
+    p: int = 5,
+) -> DataFrame:
+    """Approximate neighborhood function via per-node HyperLogLog
+    register propagation (Boldi, Rosa & Vigna 2011, "HyperANF") ->
+    (h, node, est_ball) for h = 0..hops: the estimated number of nodes
+    within h hops of each node — the primitive behind effective-diameter
+    and centrality estimates on graphs where exact per-node BFS closure
+    (|V| x |V| pairs) is unpayable.
+
+    Why it scales: node v's state is <= 2^p HLL registers (32 for p=5),
+    and one hop is ONE equi-join (edge x register) + ONE max-aggregate —
+    registers merge by MAX, so map-side combine collapses fan-in before
+    the shuffle, and per-hop state is bounded by |V| * 2^p rows no
+    matter how dense the balls get. Contrast k_hop, which is exact but
+    carries one row per (source, reached) pair — quadratic on small-
+    diameter graphs.
+
+    Determinism: registers use the repo's md5-hex-window idiom
+    (sketch.hll_build) — bucket and rank from two 32-bit md5 windows —
+    and the estimator (alpha_m m^2 / sum 2^-M_j with linear-counting
+    small-range correction) is closed-form, so ball estimates replay
+    bit-for-bit in any engine with md5 + log2. `edges` must be the
+    symmetrized directed adjacency (see `symmetrize`)."""
+    m = 2 ** p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    k = F.col("node").cast("string")
+    hx = F.md5(F.concat(F.lit("hll|"), k))
+    h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    rank = F.when(h2 == 0, F.lit(33)).otherwise(
+        F.lit(32) - F.floor(F.log2(h2))
+    )
+    regs = nodes.select(
+        "node",
+        F.pmod(h1, F.lit(m)).alias("bucket"),
+        rank.cast("long").alias("max_rank"),
+    ).localCheckpoint()
+
+    def _estimate(r: DataFrame, h: int) -> DataFrame:
+        per = r.groupBy("node").agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("__s"),
+        )
+        raw = F.lit(alpha * m * m) / (
+            F.col("__s") + (F.lit(m) - F.col("__n"))
+        )
+        v = F.lit(m) - F.col("__n")
+        linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+        est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), linear).otherwise(
+            raw
+        )
+        return per.select(
+            F.lit(h).alias("h"), "node", est.alias("est_ball")
+        )
+
+    out = _estimate(regs, 0)
+    for h in range(1, hops + 1):
+        prop = edges.join(
+            regs, edges["dst"] == regs["node"], "inner"
+        ).select(
+            edges["src"].alias("node"), "bucket", "max_rank"
+        )
+        regs = (
+            regs.unionByName(prop)
+            .groupBy("node", "bucket")
+            .agg(F.max("max_rank").alias("max_rank"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(_estimate(regs, h))
+    return out

@@ -1243,3 +1243,38 @@ class TestTemporalKhop:
         got = self._run(spark, [(1, 2, 1), (2, 1, 2)], [1], k=2)
         assert got[1] == (0, None)
         assert got[2] == (1, 1)
+
+
+class TestHyperAnf:
+    def _edges(self, spark, pairs):
+        und = spark.createDataFrame(pairs, "src long, dst long")
+        return GR.symmetrize(und)
+
+    def test_ball_estimates_track_exact_sizes(self, spark):
+        # path graph 1-2-3-4-5: exact |B(v,h)| known in closed form
+        adj = self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        out = GR.hyper_anf(adj, hops=2, p=5)
+        got = {(r.h, r.node): r.est_ball for r in out.collect()}
+        exact = {}
+        for v in range(1, 6):
+            for h in range(3):
+                exact[(h, v)] = sum(
+                    1 for u in range(1, 6) if abs(u - v) <= h
+                )
+        assert set(got) == set(exact)
+        # m=32 linear counting on tiny sets: within 20% of truth
+        for k, e in exact.items():
+            assert got[k] == pytest.approx(e, rel=0.2)
+
+    def test_monotone_in_h_and_partition_invariant(self, spark):
+        adj = self._edges(
+            spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+        ).cache()
+        out = GR.hyper_anf(adj, hops=2, p=5)
+        got = {(r.h, r.node): r.est_ball for r in out.collect()}
+        for v in [1, 2, 3, 4, 5, 6]:
+            assert got[(0, v)] <= got[(1, v)] + 1e-9
+            assert got[(1, v)] <= got[(2, v)] + 1e-9
+        re_out = GR.hyper_anf(adj.repartition(7), hops=2, p=5)
+        re_got = {(r.h, r.node): r.est_ball for r in re_out.collect()}
+        assert re_got == got

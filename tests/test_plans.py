@@ -120,6 +120,7 @@ PURE_JVM = [
     "funnel_events",
     "assoc_rules_orders",
     "ranking_eval_events",
+    "hyperanf_parts",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
