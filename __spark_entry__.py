@@ -2348,6 +2348,37 @@ def hyperanf_parts(spark, sf):
     )
 
 
+def dimsum_part_pairs(spark, sf):
+    """DIMSUM all-pairs item-item cosine similarity (Zadeh & Goel 2013,
+    the MLlib columnSimilarities estimator) over the customer x part
+    quantity matrix: hot columns are down-sampled with probability
+    sqrt(gamma)/||c|| and re-scaled so E[sum] = cosine — shuffle size
+    independent of hot-column magnitude, the property that makes
+    all-pairs similarity feasible at 10^12 rows. Deterministic md5
+    coins, so the SAMPLED estimates are pinned next to the exact
+    cosines (est >= 0.15)."""
+    from kernel_memory_spark.operators import similarity as SIM
+
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    r = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "o_custkey", "l_partkey", "l_quantity"
+    )
+    est = SIM.column_similarities(
+        r, "o_custkey", "l_partkey", "l_quantity",
+        gamma=19600.0, min_sim=0.15,
+    )
+    exact = SIM.column_similarities(
+        r, "o_custkey", "l_partkey", "l_quantity", gamma=None
+    ).select("src", "dst", F.col("sim_est").alias("sim_exact"))
+    return est.join(exact, ["src", "dst"]).select(
+        "src",
+        "dst",
+        F.round("sim_est", 6).alias("sim_est"),
+        F.round("sim_exact", 6).alias("sim_exact"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2495,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules_orders": assoc_rules_orders,
         "ranking_eval_events": ranking_eval_events,
         "hyperanf_parts": hyperanf_parts,
+        "dimsum_part_pairs": dimsum_part_pairs,
     }
 
 
@@ -5385,6 +5417,39 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
             FROM flagged GROUP BY doc_id
         """,
         "hyperanf_parts": _hyperanf_sql(2, 5),
+        "dimsum_part_pairs": """
+            WITH r AS (
+                SELECT o_custkey AS rw, l_partkey AS cl,
+                       CAST(l_quantity AS DOUBLE) AS v
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            vals AS (SELECT rw, cl, SUM(v) AS v FROM r GROUP BY rw, cl),
+            norms AS (SELECT cl, sqrt(SUM(v * v)) AS nrm
+                      FROM vals GROUP BY cl),
+            ent AS (SELECT rw, cl, v, nrm FROM vals JOIN norms USING (cl)),
+            kept AS (
+                SELECT rw, cl, v / least(140.0, nrm) AS w
+                FROM ent
+                WHERE ('0x' || substr(md5('ds|' || CAST(rw AS VARCHAR)
+                          || '|' || CAST(cl AS VARCHAR)), 1, 8))::BIGINT
+                      / 4294967296.0
+                      < least(1.0, 140.0 / nrm)),
+            est AS (
+                SELECT a.cl AS src, b.cl AS dst, SUM(a.w * b.w) AS sim_est
+                FROM kept a JOIN kept b
+                  ON a.rw = b.rw AND a.cl < b.cl
+                GROUP BY 1, 2
+                HAVING SUM(a.w * b.w) >= 0.15),
+            ex_kept AS (SELECT rw, cl, v / nrm AS w FROM ent),
+            ex AS (
+                SELECT a.cl AS src, b.cl AS dst,
+                       SUM(a.w * b.w) AS sim_exact
+                FROM ex_kept a JOIN ex_kept b
+                  ON a.rw = b.rw AND a.cl < b.cl
+                GROUP BY 1, 2)
+            SELECT e.src, e.dst, round(e.sim_est, 6) AS sim_est,
+                   round(x.sim_exact, 6) AS sim_exact
+            FROM est e JOIN ex x ON e.src = x.src AND e.dst = x.dst
+        """,
         "assoc_rules_orders": """
             WITH items AS (
                 SELECT DISTINCT l_orderkey AS b, l_partkey AS i

@@ -523,3 +523,102 @@ def query_ivf_index(
     cands = index.filter(F.col("centroid").isin(order))
     cands = _dequantize_candidates(cands, vec_col)
     return brute_force_topk(cands, query_vector, k, id_col, vec_col)
+
+
+def column_similarities(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    val_col: str,
+    gamma: float | None = None,
+    min_sim: float = 0.0,
+    max_row: int | None = None,
+) -> DataFrame:
+    """All-pairs column cosine similarity over a sparse (row, col, value)
+    matrix -> (src, dst, sim_est) with src < dst — DIMSUM (Zadeh & Goel
+    2013, the estimator behind MLlib RowMatrix.columnSimilarities).
+
+    `gamma=None` computes EXACT cosine: entries are scaled to
+    value/||col|| and pairs summed within each row. With `gamma` set,
+    each (row, col) entry survives an independent coin with probability
+    p_i = min(1, sqrt(gamma)/||c_i||) and is scaled by
+    d_i = min(sqrt(gamma), ||c_i||) instead of the full norm; then
+    E[sum] = cosine exactly, but the number of entries any single
+    HIGH-NORM column contributes is ~sqrt(gamma) * (its row count /
+    ||c_i||) — the shuffle no longer depends on the magnitude of hot
+    columns, which is what makes all-pairs similarity feasible at
+    10^12 rows (MapReduce-shuffle-size independent of the dimension
+    causing the skew).
+
+    Coins are the repo's md5-uniform idiom (u32 window / 2^32 <
+    p, sampling.py:25-30) keyed by 'ds|row|col' — deterministic,
+    layout-independent, replayable in any SQL engine, so even the
+    SAMPLED estimates hash-match cross-engine.
+
+    `max_row` drops rows with more than that many distinct columns
+    BEFORE sampling (the mega-row fan-out guard, same containment idea
+    as cooccur's max_basket; the per-row pair join is quadratic in row
+    length). One shuffle to aggregate entries, one keyed norm join
+    (|cols| rows), one within-row self-join, one pair aggregate."""
+    vals = (
+        df.groupBy(
+            F.col(row_col).alias("__r"), F.col(col_col).alias("__c")
+        )
+        .agg(F.sum(F.col(val_col).cast("double")).alias("__v"))
+    )
+    if max_row is not None:
+        sizes = vals.groupBy("__r").agg(F.count("*").alias("__len"))
+        vals = (
+            vals.join(sizes, "__r")
+            .filter(F.col("__len") <= max_row)
+            .drop("__len")
+        )
+    norms = vals.groupBy(F.col("__c").alias("col")).agg(
+        F.sqrt(F.sum(F.col("__v") * F.col("__v"))).alias("norm")
+    )
+    ent = vals.join(norms, vals["__c"] == norms["col"]).select(
+        "__r", "__c", "__v", "norm"
+    )
+    if gamma is None:
+        kept = ent.select(
+            "__r", "__c", (F.col("__v") / F.col("norm")).alias("__w")
+        )
+    else:
+        sq = math.sqrt(gamma)
+        p = F.least(F.lit(1.0), F.lit(sq) / F.col("norm"))
+        d = F.least(F.lit(sq), F.col("norm"))
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ds|"),
+                            F.col("__r").cast("string"),
+                            F.lit("|"),
+                            F.col("__c").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+        )
+        kept = ent.filter(u < p).select(
+            "__r", "__c", (F.col("__v") / d).alias("__w")
+        )
+    a = kept.select(
+        F.col("__r"), F.col("__c").alias("src"), F.col("__w").alias("__wa")
+    )
+    b = kept.select(
+        F.col("__r"), F.col("__c").alias("dst"), F.col("__w").alias("__wb")
+    )
+    return (
+        a.join(b, "__r")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("sim_est"))
+        .filter(F.col("sim_est") >= min_sim)
+    )

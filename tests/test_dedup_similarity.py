@@ -618,3 +618,65 @@ class TestPrefixJaccardJoin:
             for r in prefix_jaccard_join(df, threshold=0.6).collect()
         }
         assert got == set()  # jaccard = 3/7 < 0.6 for every pair
+
+
+class TestColumnSimilarities:
+    def _mat(self, spark):
+        # 3 rows x 3 cols dense-ish matrix, hand-checkable
+        rows = [
+            (1, "x", 1.0), (1, "y", 2.0),
+            (2, "x", 2.0), (2, "y", 1.0), (2, "z", 2.0),
+            (3, "y", 2.0), (3, "z", 1.0),
+        ]
+        return spark.createDataFrame(rows, "r long, c string, v double")
+
+    def test_exact_matches_hand_cosine(self, spark):
+        import math
+        got = {
+            (r.src, r.dst): r.sim_est
+            for r in SIM.column_similarities(
+                self._mat(spark), "r", "c", "v"
+            ).collect()
+        }
+        nx, ny, nz = math.sqrt(5.0), 3.0, math.sqrt(5.0)
+        exp = {
+            ("x", "y"): (1 * 2 + 2 * 1) / (nx * ny),
+            ("x", "z"): (2 * 2) / (nx * nz),
+            ("y", "z"): (1 * 2 + 2 * 1) / (ny * nz),
+        }
+        assert set(got) == set(exp)
+        for k in exp:
+            assert got[k] == pytest.approx(exp[k], abs=1e-12)
+
+    def test_huge_gamma_degenerates_to_exact(self, spark):
+        # sqrt(gamma) above every norm -> p = 1, d = norm: identical to
+        # the exact path, coins never drop anything
+        m = self._mat(spark)
+        exact = {
+            (r.src, r.dst): r.sim_est
+            for r in SIM.column_similarities(m, "r", "c", "v").collect()
+        }
+        est = {
+            (r.src, r.dst): r.sim_est
+            for r in SIM.column_similarities(
+                m, "r", "c", "v", gamma=1e6
+            ).collect()
+        }
+        assert est == exact
+
+    def test_max_row_guard_and_partition_invariance(self, spark):
+        m = self._mat(spark)
+        capped = SIM.column_similarities(
+            m, "r", "c", "v", max_row=2
+        ).collect()
+        # row 2 (3 distinct cols) dropped: only pairs from rows 1 and 3
+        assert sorted((r.src, r.dst) for r in capped) == [
+            ("x", "y"), ("y", "z")
+        ]
+        a = SIM.column_similarities(m.repartition(5), "r", "c", "v",
+                                    gamma=4.0).collect()
+        b = SIM.column_similarities(m.coalesce(1), "r", "c", "v",
+                                    gamma=4.0).collect()
+        assert sorted(map(tuple, a)) == pytest.approx(
+            sorted(map(tuple, b))
+        )

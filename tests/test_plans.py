@@ -121,6 +121,7 @@ PURE_JVM = [
     "assoc_rules_orders",
     "ranking_eval_events",
     "hyperanf_parts",
+    "dimsum_part_pairs",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
