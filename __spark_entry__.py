@@ -2379,6 +2379,38 @@ def dimsum_part_pairs(spark, sf):
     )
 
 
+def landmark_dist_parts(spark, sf):
+    """Landmark-sketch distance estimation (Potamias et al. 2009) over
+    the repeat co-purchase graph: 8 md5-ranked landmarks, one L x |V|
+    bounded BFS, then d(u,v) <= min_l d(u,l)+d(l,v) for all query pairs
+    among parts <= 25 — next to the exact bounded distance, so the
+    upper-bound contract (est >= exact, est = exact through a landmark)
+    is pinned cross-engine."""
+    from kernel_memory_spark.operators import graph as GR
+
+    adj = GR.symmetrize(_repeat_copurchase_edges(spark, sf))
+    nodes = adj.select("src").distinct()
+    qn = nodes.filter(F.col("src") <= 25)
+    pairs = (
+        qn.select(F.col("src").alias("u"))
+        .join(qn.select(F.col("src").alias("v")))
+        .filter(F.col("u") < F.col("v"))
+    )
+    est = GR.landmark_distances(
+        adj, pairs, n_landmarks=8, max_hops=3
+    )
+    exact = GR.bounded_distances(
+        adj, qn.select(F.col("src").alias("u")), 3
+    ).select(
+        F.col("root").alias("u"),
+        F.col("node").alias("v"),
+        F.col("dist").alias("exact_dist"),
+    )
+    return est.join(exact, ["u", "v"], "left").select(
+        "u", "v", "est_dist", "exact_dist"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2527,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_eval_events": ranking_eval_events,
         "hyperanf_parts": hyperanf_parts,
         "dimsum_part_pairs": dimsum_part_pairs,
+        "landmark_dist_parts": landmark_dist_parts,
     }
 
 
@@ -5417,6 +5450,64 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
             FROM flagged GROUP BY doc_id
         """,
         "hyperanf_parts": _hyperanf_sql(2, 5),
+        "landmark_dist_parts": _REPEAT_GRAPH_CTE
+        + """
+            , nds AS (SELECT DISTINCT src AS node FROM adj)
+            , lm AS (SELECT node FROM nds
+                     ORDER BY md5('lm|' || CAST(node AS VARCHAR))
+                     LIMIT 8)
+            , v0 AS (SELECT node AS root, node, 0 AS dist FROM lm)
+            , v1 AS (SELECT root, node, MIN(dist) AS dist FROM (
+                    SELECT root, node, dist FROM v0
+                    UNION ALL
+                    SELECT r.root, a.dst, r.dist + 1
+                    FROM v0 r JOIN adj a ON a.src = r.node)
+                GROUP BY root, node)
+            , v2 AS (SELECT root, node, MIN(dist) AS dist FROM (
+                    SELECT root, node, dist FROM v1
+                    UNION ALL
+                    SELECT r.root, a.dst, r.dist + 1
+                    FROM v1 r JOIN adj a ON a.src = r.node)
+                GROUP BY root, node)
+            , v3 AS (SELECT root, node, MIN(dist) AS dist FROM (
+                    SELECT root, node, dist FROM v2
+                    UNION ALL
+                    SELECT r.root, a.dst, r.dist + 1
+                    FROM v2 r JOIN adj a ON a.src = r.node)
+                GROUP BY root, node)
+            , qn AS (SELECT node FROM nds WHERE node <= 25)
+            , prs AS (SELECT a.node AS u, b.node AS v
+                      FROM qn a JOIN qn b ON a.node < b.node)
+            , est AS (
+                SELECT p.u, p.v, MIN(x.dist + y.dist) AS est_dist
+                FROM prs p
+                JOIN v3 x ON x.node = p.u
+                JOIN v3 y ON y.node = p.v AND y.root = x.root
+                GROUP BY p.u, p.v)
+            , e0 AS (SELECT node AS root, node, 0 AS dist FROM qn)
+            , e1 AS (SELECT root, node, MIN(dist) AS dist FROM (
+                    SELECT root, node, dist FROM e0
+                    UNION ALL
+                    SELECT r.root, a.dst, r.dist + 1
+                    FROM e0 r JOIN adj a ON a.src = r.node)
+                GROUP BY root, node)
+            , e2 AS (SELECT root, node, MIN(dist) AS dist FROM (
+                    SELECT root, node, dist FROM e1
+                    UNION ALL
+                    SELECT r.root, a.dst, r.dist + 1
+                    FROM e1 r JOIN adj a ON a.src = r.node)
+                GROUP BY root, node)
+            , e3 AS (SELECT root, node, MIN(dist) AS dist FROM (
+                    SELECT root, node, dist FROM e2
+                    UNION ALL
+                    SELECT r.root, a.dst, r.dist + 1
+                    FROM e2 r JOIN adj a ON a.src = r.node)
+                GROUP BY root, node)
+            SELECT p.u, p.v, s.est_dist, x.dist AS exact_dist
+            FROM prs p
+            LEFT JOIN est s ON s.u = p.u AND s.v = p.v
+            LEFT JOIN e3 x ON x.root = p.u AND x.node = p.v
+        """,
         "dimsum_part_pairs": """
             WITH r AS (
                 SELECT o_custkey AS rw, l_partkey AS cl,

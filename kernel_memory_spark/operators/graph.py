@@ -1544,3 +1544,75 @@ def hyper_anf(
         )
         out = out.unionByName(_estimate(regs, h))
     return out
+
+
+def bounded_distances(
+    edges: DataFrame,
+    roots: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source bounded BFS -> (root, node, dist), dist in [0, k]:
+    the public face of `_bounded_reach_pairs` (one frontier join +
+    anti-join per level, state = reached (root, node) pairs only)."""
+    e = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nxt")
+    ).localCheckpoint()
+    return _bounded_reach_pairs(e, roots, k)
+
+
+def landmark_distances(
+    edges: DataFrame,
+    pairs: DataFrame,
+    n_landmarks: int = 8,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Landmark-based shortest-distance estimation (Potamias, Bonchi,
+    Castillo & Gionis 2009; the simplest deterministic member of Cohen's
+    distance-sketch family) -> (u, v, est_dist) for the query pairs:
+    est_dist = min over landmarks l of d(u,l) + d(l,v), an UPPER bound
+    on d(u,v), exact whenever some shortest path passes a landmark;
+    NULL when u and v share no landmark within max_hops.
+
+    Why this is the 10^10-node shape: exact all-pairs distance is
+    |V|^2 state, but the sketch is ONE multi-source bounded BFS whose
+    state is L x |V| (root, node, dist) rows, built once and then
+    served to ANY number of queries by two keyed joins + a min — the
+    same build-once/probe-many economics as the ANN and FTS indexes.
+    Landmarks are the L nodes of smallest md5 rank: deterministic,
+    engine-replayable, degree-agnostic (no collect of a degree table).
+    `pairs` must have columns (u, v); `edges` symmetrized."""
+    e = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nxt")
+    ).localCheckpoint()
+    nodes = e.select("node").distinct()
+    lm = (
+        nodes.withColumn(
+            "__rk",
+            F.md5(F.concat(F.lit("lm|"), F.col("node").cast("string"))),
+        )
+        .orderBy("__rk")
+        .limit(n_landmarks)
+        .select("node")
+    )
+    reach = _bounded_reach_pairs(e, lm, max_hops)
+    du = reach.select(
+        F.col("root").alias("__l"),
+        F.col("node").alias("u"),
+        F.col("dist").alias("__du"),
+    )
+    dv = reach.select(
+        F.col("root").alias("__l"),
+        F.col("node").alias("v"),
+        F.col("dist").alias("__dv"),
+    )
+    est = (
+        pairs.join(du, "u")
+        .join(dv, ["__l", "v"])
+        .groupBy("u", "v")
+        .agg(F.min(F.col("__du") + F.col("__dv")).alias("est_dist"))
+    )
+    return pairs.join(est, ["u", "v"], "left")

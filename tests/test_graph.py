@@ -1278,3 +1278,46 @@ class TestHyperAnf:
         re_out = GR.hyper_anf(adj.repartition(7), hops=2, p=5)
         re_got = {(r.h, r.node): r.est_ball for r in re_out.collect()}
         assert re_got == got
+
+
+class TestLandmarkDistances:
+    def _adj(self, spark, und_pairs):
+        return GR.symmetrize(
+            spark.createDataFrame(und_pairs, "src long, dst long")
+        )
+
+    def _pairs(self, spark, ps):
+        return spark.createDataFrame(ps, "u long, v long")
+
+    def test_all_landmarks_is_exact(self, spark):
+        # landmark l = u gives d(u,u)+d(u,v) = d(u,v): with every node a
+        # landmark the sketch collapses to the exact bounded distance
+        adj = self._adj(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (2, 5)])
+        pairs = self._pairs(
+            spark, [(1, 3), (1, 5), (2, 4), (3, 5), (1, 4)]
+        )
+        est = {
+            (r.u, r.v): r.est_dist
+            for r in GR.landmark_distances(
+                adj, pairs, n_landmarks=5, max_hops=4
+            ).collect()
+        }
+        exact = {(1, 3): 2, (1, 5): 2, (2, 4): 2, (3, 5): 2, (1, 4): 3}
+        assert est == exact
+
+    def test_upper_bound_and_uncovered_null(self, spark):
+        # two components: pairs across them get NULL; within-component
+        # estimates are >= exact and >= the direct hop count
+        adj = self._adj(spark, [(1, 2), (2, 3), (10, 11)])
+        pairs = self._pairs(spark, [(1, 3), (1, 10)])
+        out = {
+            (r.u, r.v): r.est_dist
+            for r in GR.landmark_distances(
+                adj, pairs, n_landmarks=1, max_hops=3
+            ).collect()
+        }
+        assert out[(1, 10)] is None
+        est13 = out[(1, 3)]
+        # single landmark lies in one component only; if it is in
+        # {1,2,3} the estimate must be >= d(1,3) = 2
+        assert est13 is None or est13 >= 2

@@ -122,6 +122,7 @@ PURE_JVM = [
     "ranking_eval_events",
     "hyperanf_parts",
     "dimsum_part_pairs",
+    "landmark_dist_parts",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
