@@ -2391,9 +2391,12 @@ def landmark_dist_parts(spark, sf):
     adj = GR.symmetrize(_repeat_copurchase_edges(spark, sf))
     nodes = adj.select("src").distinct()
     qn = nodes.filter(F.col("src") <= 25)
+    # query workload: all pairs among <= 26 low-id parts — the small
+    # side is broadcast, so this plans as a bounded BNLJ, never an
+    # unbroadcast CartesianProduct
     pairs = (
         qn.select(F.col("src").alias("u"))
-        .join(qn.select(F.col("src").alias("v")))
+        .join(F.broadcast(qn.select(F.col("src").alias("v"))))
         .filter(F.col("u") < F.col("v"))
     )
     est = GR.landmark_distances(

@@ -174,6 +174,9 @@ SCALAR_CROSS = {
     "hll_orders",
     # join-size: 1-row estimate crossed with the 1-row true join count
     "cms_join_size_est",
+    # landmark query workload: all pairs among <= 26 low-id parts,
+    # small side broadcast (BNLJ), never an unbroadcast cartesian
+    "landmark_dist_parts",
 }
 
 
