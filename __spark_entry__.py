@@ -2414,6 +2414,18 @@ def landmark_dist_parts(spark, sf):
     )
 
 
+def gopher_gates_docs(spark, sf):
+    """Gopher-style rule-based quality gates (Rae et al. 2021 Table A1
+    subset) over the documents corpus: per-doc measurements + one
+    boolean per gate + keep — the standard pre-training filter, one
+    narrow scan, zero UDF (min_stopword_hits=1: the synthetic corpus'
+    closed vocabulary carries at most one stopword per doc)."""
+    from kernel_memory_spark.operators import textstats as TS
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return TS.gopher_gates(docs, min_stopword_hits=1).drop("text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2563,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperanf_parts": hyperanf_parts,
         "dimsum_part_pairs": dimsum_part_pairs,
         "landmark_dist_parts": landmark_dist_parts,
+        "gopher_gates_docs": gopher_gates_docs,
     }
 
 
@@ -5453,6 +5466,79 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
             FROM flagged GROUP BY doc_id
         """,
         "hyperanf_parts": _hyperanf_sql(2, 5),
+        "gopher_gates_docs": """
+            WITH m AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\\s+'))
+                           AS n_words,
+                       length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                           AS swc,
+                       len(list_filter(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           w -> regexp_matches(w, '[A-Za-z]')))
+                           AS n_alpha_words,
+                       length(text) - length(replace(text, '#', ''))
+                           AS n_hash,
+                       (length(text) - length(replace(text, '...', '')))
+                           / 3 AS n_ellipsis,
+                       len(string_split(text, chr(10))) AS n_lines,
+                       len(list_filter(string_split(text, chr(10)),
+                           ln -> regexp_matches(trim(ln), '^[-*•]')))
+                           AS n_bullet,
+                       len(list_filter(string_split(text, chr(10)),
+                           ln -> regexp_matches(trim(ln), '\\.\\.\\.$')))
+                           AS n_ell_end,
+                       list_distinct(regexp_split_to_array(
+                           lower(trim(text)), '[^a-z0-9]+')) AS lw
+                FROM documents),
+            r AS (
+                SELECT doc_id, n_words,
+                       round(CASE WHEN n_words > 0
+                                  THEN swc / n_words ELSE 0.0 END, 4)
+                           AS mean_word_len,
+                       round(CASE WHEN n_words > 0
+                                  THEN n_alpha_words / n_words
+                                  ELSE 0.0 END, 4) AS alpha_word_frac,
+                       round(CASE WHEN n_words > 0
+                                  THEN (n_hash + n_ellipsis) / n_words
+                                  ELSE 0.0 END, 4) AS symbol_ratio,
+                       round(CASE WHEN n_lines > 0
+                                  THEN n_bullet / n_lines
+                                  ELSE 0.0 END, 4) AS bullet_line_frac,
+                       round(CASE WHEN n_lines > 0
+                                  THEN n_ell_end / n_lines
+                                  ELSE 0.0 END, 4) AS ellipsis_line_frac,
+                       list_contains(lw, 'the')::INT
+                       + list_contains(lw, 'and')::INT
+                       + list_contains(lw, 'of')::INT
+                       + list_contains(lw, 'to')::INT
+                       + list_contains(lw, 'is')::INT
+                       + list_contains(lw, 'in')::INT
+                       + list_contains(lw, 'that')::INT
+                       + list_contains(lw, 'it')::INT
+                       + list_contains(lw, 'was')::INT
+                       + list_contains(lw, 'for')::INT AS stopword_hits
+                FROM m)
+            SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+                   symbol_ratio, bullet_line_frac, ellipsis_line_frac,
+                   stopword_hits,
+                   (n_words >= 50 AND n_words <= 100000) AS g_word_count,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                       AS g_mean_word_len,
+                   (alpha_word_frac >= 0.80) AS g_alpha_words,
+                   (symbol_ratio <= 0.10) AS g_symbol_ratio,
+                   (bullet_line_frac <= 0.90) AS g_bullet_lines,
+                   (ellipsis_line_frac <= 0.30) AS g_ellipsis_lines,
+                   (stopword_hits >= 1) AS g_stopwords,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                    AND alpha_word_frac >= 0.80
+                    AND symbol_ratio <= 0.10
+                    AND bullet_line_frac <= 0.90
+                    AND ellipsis_line_frac <= 0.30
+                    AND stopword_hits >= 1) AS keep
+            FROM r
+        """,
         "landmark_dist_parts": _REPEAT_GRAPH_CTE
         + """
             , nds AS (SELECT DISTINCT src AS node FROM adj)

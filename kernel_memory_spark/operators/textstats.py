@@ -102,3 +102,110 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic content fingerprint for dedup/lineage."""
     return df.withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
+
+
+def gopher_gates(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.80,
+    max_symbol_ratio: float = 0.10,
+    max_bullet_line_frac: float = 0.90,
+    max_ellipsis_line_frac: float = 0.30,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality gates (Rae et al. 2021, Table A1
+    subset) -> per-document measurements + one boolean per gate +
+    `keep` (AND of all gates). The standard pre-training corpus filter:
+    each gate is a closed-form column expression over ONE narrow scan —
+    no UDF, no shuffle, fully engine-replayable — so filtering 10^12
+    documents costs exactly one pass.
+
+    Measurement definitions (pinned for the cross-engine oracle):
+    words = whitespace-split of trim(text); mean word length =
+    len(text minus whitespace) / n_words; alpha word = word containing
+    at least one A-Za-z; symbol ratio = (#'#' + #'...') / n_words;
+    bullet line = line starting with '-', '*', or bullet dot after
+    trim; ellipsis line = line ending with '...' after trim; stopword
+    hits = how many of the 10 closed English stopwords appear."""
+    txt = F.col(text_col)
+    trimmed = F.trim(txt)
+    words = F.split(trimmed, r"\s+")
+    n_words = F.size(words)
+    sum_word_chars = F.length(F.regexp_replace(trimmed, r"\s+", ""))
+    mean_wl = F.when(
+        n_words > 0, sum_word_chars / n_words
+    ).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    )
+    alpha_frac = F.when(
+        n_words > 0, n_alpha_words / n_words
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#")))
+    n_ellipsis = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("...")))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis) / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.split(txt, r"\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).rlike(r"^[-*•]"),
+        )
+    )
+    n_ell_end = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$"))
+    )
+    bullet_frac = F.when(
+        n_lines > 0, n_bullet / n_lines
+    ).otherwise(F.lit(0.0))
+    ell_frac = F.when(
+        n_lines > 0, n_ell_end / n_lines
+    ).otherwise(F.lit(0.0))
+    lowered = F.array_distinct(
+        F.split(F.lower(trimmed), r"[^a-z0-9]+")
+    )
+    stop_hits = sum(
+        (
+            F.array_contains(lowered, w).cast("int")
+            for w in _LANG_STOPWORDS["en"]
+        ),
+        F.lit(0),
+    )
+    out = df.select(
+        "*",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ell_frac, 4).alias("ellipsis_line_frac"),
+        stop_hits.alias("stopword_hits"),
+    )
+    gates = {
+        "g_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "g_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "g_alpha_words": F.col("alpha_word_frac")
+        >= min_alpha_word_frac,
+        "g_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "g_bullet_lines": F.col("bullet_line_frac")
+        <= max_bullet_line_frac,
+        "g_ellipsis_lines": F.col("ellipsis_line_frac")
+        <= max_ellipsis_line_frac,
+        "g_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+    }
+    for name, cond in gates.items():
+        out = out.withColumn(name, cond)
+    keep = None
+    for name in gates:
+        keep = F.col(name) if keep is None else (keep & F.col(name))
+    return out.withColumn("keep", keep)

@@ -146,3 +146,48 @@ class TestNgramNovelty:
         r = ngram_novelty(df, n=3).collect()[0]
         # 7 positional trigrams but only 3 distinct ("x y z","y z x","z x y")
         assert r.n_grams == 3 and r.novel_frac == 1.0
+
+
+class TestGopherGates:
+    def test_gate_semantics(self, spark):
+        from kernel_memory_spark.operators import textstats as TS
+
+        long_ok = "the quick brown fox jumps over the lazy dog " * 12
+        rows = [
+            (1, long_ok),                        # passes everything
+            (2, "short text only"),              # fails word count
+            (3, ("### " * 60) + "the a b"),      # symbol + alpha fails
+            (4, "\n".join(["- item ok the"] * 60)),  # bullet frac fails
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in TS.gopher_gates(
+                df, min_stopword_hits=1
+            ).collect()
+        }
+        assert out[1].keep is True
+        assert out[2].g_word_count is False and out[2].keep is False
+        assert out[3].g_symbol_ratio is False
+        assert out[3].g_alpha_words is False
+        assert out[4].g_bullet_lines is False and out[4].keep is False
+
+    def test_measurements_exact(self, spark):
+        from kernel_memory_spark.operators import textstats as TS
+
+        df = spark.createDataFrame(
+            [(1, "aa bb... cc#dd\n- the end...")],
+            "doc_id long, text string",
+        )
+        r = TS.gopher_gates(df).collect()[0]
+        # words: aa bb... cc#dd - the end...  -> 7 words? split on \s+:
+        # ['aa','bb...','cc#dd','-','the','end...'] = 6
+        assert r.n_words == 6
+        # chars minus whitespace = len('aabb...cc#dd-theend...') = 22
+        assert r.mean_word_len == pytest.approx(22 / 6, abs=1e-4)
+        assert r.stopword_hits == 1
+        # 1 '#', 2 '...' occurrences -> (1 + 2) / 6
+        assert r.symbol_ratio == pytest.approx(0.5, abs=1e-4)
+        # 2 lines, second is a bullet AND ends with ellipsis
+        assert r.bullet_line_frac == pytest.approx(0.5, abs=1e-4)
+        assert r.ellipsis_line_frac == pytest.approx(0.5, abs=1e-4)

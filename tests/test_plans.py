@@ -123,6 +123,7 @@ PURE_JVM = [
     "hyperanf_parts",
     "dimsum_part_pairs",
     "landmark_dist_parts",
+    "gopher_gates_docs",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
