@@ -2426,6 +2426,19 @@ def gopher_gates_docs(spark, sf):
     return TS.gopher_gates(docs, min_stopword_hits=1).drop("text")
 
 
+def frequent_triples_orders(spark, sf):
+    """Frequent 3-itemsets over the order baskets (Apriori level 3 with
+    anti-monotone pruning at L1 and L2): the classical market-basket /
+    motif mining primitive — the prune is result-invariant, so the
+    oracle is the plain three-way join."""
+    from kernel_memory_spark.operators import cooccur as CO
+
+    l = load_table(spark, sf, "lineitem")
+    return CO.frequent_triples(
+        l, "l_orderkey", "l_partkey", min_support=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2576,6 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dimsum_part_pairs": dimsum_part_pairs,
         "landmark_dist_parts": landmark_dist_parts,
         "gopher_gates_docs": gopher_gates_docs,
+        "frequent_triples_orders": frequent_triples_orders,
     }
 
 
@@ -5466,6 +5480,18 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
             FROM flagged GROUP BY doc_id
         """,
         "hyperanf_parts": _hyperanf_sql(2, 5),
+        "frequent_triples_orders": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                FROM lineitem)
+            SELECT a.i AS i1, c.i AS i2, d.i AS i3,
+                   CAST(COUNT(*) AS BIGINT) AS support
+            FROM items a
+            JOIN items c ON a.b = c.b AND a.i < c.i
+            JOIN items d ON a.b = d.b AND c.i < d.i
+            GROUP BY 1, 2, 3
+            HAVING COUNT(*) >= 2
+        """,
         "gopher_gates_docs": """
             WITH m AS (
                 SELECT doc_id,

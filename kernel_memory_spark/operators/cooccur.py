@@ -334,3 +334,56 @@ def association_rules(
             / (F.col("__n_ante").cast("double") * F.col("__n_cons"))
         ).alias("lift"),
     )
+
+
+def frequent_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket: Optional[int] = None,
+) -> DataFrame:
+    """Frequent 3-itemsets (i1 < i2 < i3, basket support >= min_support)
+    -> (i1, i2, i3, support) — the size-3 level of Apriori (Agrawal &
+    Srikant 1994) with the anti-monotone prune applied at every level.
+
+    Why the prune is the 10^12-basket shape, not an optimization
+    nicety: the naive three-way within-basket self-join fans out
+    |basket|^3 per basket, but every subset of a frequent itemset is
+    frequent — so items below min_support are dropped BEFORE the first
+    join (F1), and only (a, b) occurrences matching a frequent pair
+    (F2, a semi-join) extend to a third item. On heavy-tailed corpora
+    this collapses the candidate space by orders of magnitude while
+    provably never changing the answer (pruned candidates cannot reach
+    min_support) — a property the test suite pins by running with the
+    prune disabled. `max_basket` is the same mega-basket fan-out guard
+    as pmi_edges."""
+    items = _basket_items(df, basket_col, item_col, max_basket)
+    # L1 prune: items themselves must be frequent
+    f1 = (
+        items.groupBy("__i")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_support)
+        .select("__i")
+    )
+    it = items.join(f1, "__i").select("__b", "__i")
+    # per-basket ordered pair occurrences among frequent items
+    a = it.select("__b", F.col("__i").alias("i1"))
+    b = it.select("__b", F.col("__i").alias("i2"))
+    pair_occ = a.join(b, "__b").filter(F.col("i1") < F.col("i2"))
+    # L2 prune: keep only occurrences of globally frequent pairs
+    f2 = (
+        pair_occ.groupBy("i1", "i2")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_support)
+        .select("i1", "i2")
+    )
+    pruned = pair_occ.join(f2, ["i1", "i2"], "left_semi")
+    c = it.select("__b", F.col("__i").alias("i3"))
+    return (
+        pruned.join(c, "__b")
+        .filter(F.col("i2") < F.col("i3"))
+        .groupBy("i1", "i2", "i3")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

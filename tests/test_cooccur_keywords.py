@@ -652,3 +652,49 @@ class TestAssociationRules:
         ).collect()
         pairs = {(r.antecedent, r.consequent) for r in capped}
         assert ("c", "d") not in pairs and ("b", "d") not in pairs
+
+
+class TestFrequentTriples:
+    def _baskets(self, spark):
+        # {a,b,c} x3, {a,b,d} x2, {x,y,z} x1
+        rows = []
+        for b, items in enumerate(
+            [("a", "b", "c")] * 3 + [("a", "b", "d")] * 2
+            + [("x", "y", "z")]
+        ):
+            rows += [(b, i) for i in items]
+        return spark.createDataFrame(rows, "b long, i string")
+
+    def test_exact_supports(self, spark):
+        out = {
+            (r.i1, r.i2, r.i3): r.support
+            for r in CO.frequent_triples(
+                self._baskets(spark), "b", "i", min_support=2
+            ).collect()
+        }
+        assert out == {("a", "b", "c"): 3, ("a", "b", "d"): 2}
+
+    def test_prune_is_result_invariant(self, spark):
+        # the naive unpruned three-way join must agree with the
+        # Apriori-pruned operator (anti-monotonicity)
+        df = self._baskets(spark)
+        items = df.distinct()
+        a = items.select("b", F.col("i").alias("i1"))
+        c = items.select("b", F.col("i").alias("i2"))
+        d = items.select("b", F.col("i").alias("i3"))
+        naive = (
+            a.join(c, "b").filter(F.col("i1") < F.col("i2"))
+            .join(d, "b").filter(F.col("i2") < F.col("i3"))
+            .groupBy("i1", "i2", "i3").count()
+            .filter(F.col("count") >= 2)
+        )
+        nv = {
+            (r.i1, r.i2, r.i3): r["count"] for r in naive.collect()
+        }
+        pr = {
+            (r.i1, r.i2, r.i3): r.support
+            for r in CO.frequent_triples(
+                df, "b", "i", min_support=2
+            ).collect()
+        }
+        assert pr == nv

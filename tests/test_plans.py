@@ -124,6 +124,7 @@ PURE_JVM = [
     "dimsum_part_pairs",
     "landmark_dist_parts",
     "gopher_gates_docs",
+    "frequent_triples_orders",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
