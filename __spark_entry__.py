@@ -2439,6 +2439,23 @@ def frequent_triples_orders(spark, sf):
     )
 
 
+def node2vec_walks_parts(spark, sf):
+    """Second-order node2vec-biased walks (Grover & Leskovec 2016) over
+    the co-purchase graph (2 walks/node, length 3, weights 2:4:8 ≡
+    p=2, q=0.5, md5-ranked neighbor cap 8): the skip-gram corpus
+    generator whose per-step bias depends on the PREVIOUS node —
+    weighted choice realized as an exact integer-unit md5 draw (no
+    transcendentals), so every chosen step replays bit-for-bit in the
+    SQL mirror."""
+    from kernel_memory_spark.operators import graph as GR
+    from kernel_memory_spark.operators import kg_train as KT
+
+    adj = GR.symmetrize(_copurchase_edges(spark, sf))
+    return KT.node2vec_walks(
+        adj, walks_per_node=2, length=3, neighbor_cap=8
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2590,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_dist_parts": landmark_dist_parts,
         "gopher_gates_docs": gopher_gates_docs,
         "frequent_triples_orders": frequent_triples_orders,
+        "node2vec_walks_parts": node2vec_walks_parts,
     }
 
 
@@ -2717,6 +2735,73 @@ SELECT h, node AS part,
                   THEN {m}.0 * ln({m}.0 / ({m} - n))
                   ELSE {raw} END, 6) AS est_ball
 FROM per""")
+    return "\n".join(parts)
+
+
+def _node2vec_sql(length: int = 3) -> str:
+    """Unrolled node2vec-walk mirror of kg_train.node2vec_walks over the
+    capped co-purchase adjacency: per step one adjacency join, one
+    (prev, cand) edge-class LEFT JOIN, an integer-unit unnest, and an
+    arg_min over the md5 draws (draw keys are unique md5 strings, so
+    arg_min == Spark's min(struct(sc, nxt)))."""
+    parts = [
+        """
+            WITH pairs AS (
+                SELECT DISTINCT
+                       least(a.l_partkey, b.l_partkey) AS src,
+                       greatest(a.l_partkey, b.l_partkey) AS dst
+                FROM lineitem a JOIN lineitem b
+                     ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey <> b.l_partkey),
+            adj0 AS (
+                SELECT src, dst FROM pairs
+                UNION ALL SELECT dst, src FROM pairs),
+            adj AS (
+                SELECT src, dst FROM (
+                    SELECT src, dst,
+                           row_number() OVER (
+                               PARTITION BY src
+                               ORDER BY md5('n2v:' || CAST(src AS VARCHAR)
+                                            || ':' || CAST(dst AS VARCHAR)),
+                                        dst) AS rn
+                    FROM adj0)
+                WHERE rn <= 8),
+            f0 AS (
+                SELECT CAST(node AS VARCHAR) || '#' || CAST(i AS VARCHAR)
+                           AS walk_id,
+                       node AS start, node AS cur,
+                       CAST(NULL AS BIGINT) AS prev,
+                       CAST(node AS VARCHAR) AS path
+                FROM (SELECT DISTINCT src AS node FROM adj),
+                     unnest(range(2)) AS t(i))"""
+    ]
+    for i in range(1, length + 1):
+        parts.append(f""",
+            s{i} AS (
+                SELECT f.walk_id, f.start, f.cur, f.path, a.dst AS nxt,
+                       CASE WHEN f.prev IS NULL THEN 4
+                            WHEN a.dst = f.prev THEN 2
+                            WHEN e.src IS NOT NULL THEN 4
+                            ELSE 8 END AS units
+                FROM f{i - 1} f
+                JOIN adj a ON a.src = f.cur
+                LEFT JOIN adj e ON e.src = f.prev AND e.dst = a.dst),
+            d{i} AS (
+                SELECT walk_id, start, cur, path, nxt,
+                       md5('n2v:' || walk_id || ':{i}:'
+                           || CAST(nxt AS VARCHAR) || ':'
+                           || CAST(j AS VARCHAR)) AS sc
+                FROM s{i}, unnest(range(units)) AS t(j)),
+            f{i} AS (
+                SELECT walk_id, start,
+                       cur AS prev,
+                       arg_min(nxt, sc) AS cur,
+                       path || '->' || CAST(arg_min(nxt, sc) AS VARCHAR)
+                           AS path
+                FROM d{i} GROUP BY walk_id, start, cur, path)""")
+    parts.append(f"""
+            SELECT walk_id, start, path, {length} AS n_steps
+            FROM f{length}""")
     return "\n".join(parts)
 
 
@@ -5480,6 +5565,7 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
             FROM flagged GROUP BY doc_id
         """,
         "hyperanf_parts": _hyperanf_sql(2, 5),
+        "node2vec_walks_parts": _node2vec_sql(3),
         "frequent_triples_orders": """
             WITH items AS (
                 SELECT DISTINCT l_orderkey AS b, l_partkey AS i

@@ -223,3 +223,161 @@ def negative_samples(
     # the surviving (kept-entity, pred, replacement) IS the negative
     # triple; the corrupted original column is dropped
     return filtered.select(keep, pred, "neg_ix", out_name)
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    length: int = 3,
+    return_units: int = 2,
+    base_units: int = 4,
+    out_units: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    neighbor_cap: Optional[int] = None,
+    seed: str = "n2v",
+) -> DataFrame:
+    """Second-order (node2vec-biased) random walks (Grover & Leskovec
+    2016) -> (walk_id, start, path, n_steps): at each step the candidate
+    class is decided by the PREVIOUS node — return to prev, stay at
+    distance 1 from prev (candidate adjacent to prev), or move outward —
+    and classes are weighted return_units : base_units : out_units
+    (node2vec's 1/p : 1 : 1/q with the weights cleared to small
+    integers; defaults 2:4:8 ≡ p=2, q=0.5, the outward/DFS-ish regime).
+
+    Exact integer-weighted choice WITHOUT transcendentals: candidate v
+    in class with w units enters w independent md5 draws
+    (seed:walk:step:v:j) and the walk moves to the candidate owning the
+    MINIMUM draw — the minimum of N iid uniforms is equally likely to
+    be each one, so P(v) = w_v / sum(w), exactly proportional, and the
+    whole step is string hashing + comparisons: bit-identical in any
+    engine (no ln(), whose last-ulp is libm-specific). Draw fan-out per
+    candidate is <= max units (a small constant).
+
+    Scale shape = random_walks plus the node2vec tax: ONE extra keyed
+    join per step, (prev, candidate) against the edge set, to classify
+    candidates — the unavoidable cost of second-order bias in any
+    distributed walker (the alias-table trick is per-machine, not
+    per-cluster). First step has no prev: all candidates weigh
+    base_units. `edges` directed; symmetrize() first for undirected."""
+    adj = edges.select(
+        F.col(src).cast("long").alias("__cur"),
+        F.col(dst).cast("long").alias("__nxt"),
+    )
+    if neighbor_cap is not None:
+        rank_w = Window.partitionBy("__cur").orderBy(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    F.col("__cur").cast("string"),
+                    F.col("__nxt").cast("string"),
+                )
+            ),
+            "__nxt",
+        )
+        adj = (
+            adj.withColumn("__rn", F.row_number().over(rank_w))
+            .filter(F.col("__rn") <= neighbor_cap)
+            .drop("__rn")
+        )
+    adj = adj.localCheckpoint()
+    adj_e = adj.select(
+        F.col("__cur").alias("__p"),
+        F.col("__nxt").alias("__v"),
+        F.lit(True).alias("__is_adj"),
+    )
+
+    starts = adj.select(F.col("__cur").alias("node")).distinct()
+    frontier = starts.select(
+        "node",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(walks_per_node)])
+        ).alias("__w"),
+    ).select(
+        F.concat_ws(
+            "#",
+            F.col("node").cast("string"),
+            F.col("__w").cast("string"),
+        ).alias("walk_id"),
+        F.col("node").alias("start"),
+        F.col("node").alias("cur"),
+        F.lit(None).cast("long").alias("prev"),
+        F.col("node").cast("string").alias("path"),
+        F.lit(0).alias("n_steps"),
+    )
+
+    for step in range(1, length + 1):
+        cands = frontier.join(
+            adj, frontier["cur"] == adj["__cur"], "left"
+        ).select(
+            "walk_id", "start", "cur", "prev", "path", "n_steps",
+            F.col("__nxt").alias("nxt"),
+        )
+        cands = cands.join(
+            adj_e,
+            (cands["prev"] == adj_e["__p"])
+            & (cands["nxt"] == adj_e["__v"]),
+            "left",
+        ).select(
+            "walk_id", "start", "cur", "prev", "path", "n_steps", "nxt",
+            F.when(F.col("prev").isNull(), F.lit(base_units))
+            .when(F.col("nxt") == F.col("prev"), F.lit(return_units))
+            .when(F.col("__is_adj"), F.lit(base_units))
+            .otherwise(F.lit(out_units))
+            .alias("__units"),
+        )
+        drawn = cands.select(
+            "walk_id", "start", "cur", "path", "n_steps", "nxt",
+            # sink walks (nxt null) keep one row with __j = null via
+            # explode_outer of a null array
+            F.explode_outer(
+                F.when(
+                    F.col("nxt").isNotNull(),
+                    F.sequence(F.lit(0), F.col("__units") - 1),
+                )
+            ).alias("__j"),
+        ).select(
+            "walk_id", "start", "cur", "path", "n_steps", "nxt",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    F.col("walk_id"),
+                    F.lit(str(step)),
+                    F.col("nxt").cast("string"),
+                    F.col("__j").cast("string"),
+                )
+            ).alias("sc"),
+        )
+        picked = drawn.groupBy(
+            "walk_id", "start", "cur", "path", "n_steps"
+        ).agg(
+            F.min(
+                F.when(
+                    F.col("nxt").isNotNull(), F.struct("sc", "nxt")
+                )
+            ).alias("__pick")
+        )
+        nxt = F.col("__pick.nxt")
+        frontier = picked.select(
+            "walk_id",
+            "start",
+            F.coalesce(nxt, F.col("cur")).alias("cur"),
+            F.when(nxt.isNotNull(), F.col("cur"))
+            .otherwise(F.lit(None).cast("long"))
+            .alias("prev"),
+            F.when(
+                nxt.isNotNull(),
+                F.concat_ws("->", F.col("path"), nxt.cast("string")),
+            )
+            .otherwise(F.col("path"))
+            .alias("path"),
+            (
+                F.col("n_steps") + F.when(nxt.isNotNull(), 1).otherwise(0)
+            ).cast("int").alias("n_steps"),
+        )
+        if step % _CHECKPOINT_EVERY == 0 and step < length:
+            frontier = frontier.localCheckpoint()
+
+    return frontier.select("walk_id", "start", "path", "n_steps")

@@ -135,3 +135,56 @@ class TestNegativeSamples:
         b = sorted(map(tuple,
                        KT.negative_samples(t.repartition(5), k=2).collect()))
         assert a == b
+
+
+class TestNode2vecWalks:
+    def _ring(self, spark, n=12):
+        from kernel_memory_spark.operators import graph as GR
+
+        und = spark.createDataFrame(
+            [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+        )
+        return GR.symmetrize(und)
+
+    def test_return_bias_controls_step2(self, spark):
+        from kernel_memory_spark.operators import kg_train as KT
+
+        adj = self._ring(spark).cache()
+        # return-heavy: step 2 should overwhelmingly go back to start
+        back = KT.node2vec_walks(
+            adj, walks_per_node=4, length=2,
+            return_units=64, base_units=1, out_units=1,
+        ).collect()
+        frac_back = sum(
+            1 for r in back
+            if r.path.split("->")[0] == r.path.split("->")[2]
+        ) / len(back)
+        assert frac_back > 0.9
+        # outward-heavy: returns should be rare
+        out = KT.node2vec_walks(
+            adj, walks_per_node=4, length=2,
+            return_units=1, base_units=1, out_units=64,
+        ).collect()
+        frac_back2 = sum(
+            1 for r in out
+            if r.path.split("->")[0] == r.path.split("->")[2]
+        ) / len(out)
+        assert frac_back2 < 0.1
+
+    def test_paths_follow_edges_and_deterministic(self, spark):
+        from kernel_memory_spark.operators import kg_train as KT
+
+        adj = self._ring(spark, 8).cache()
+        a = KT.node2vec_walks(adj, walks_per_node=2, length=3)
+        edge_set = {(r.src, r.dst) for r in adj.collect()}
+        rows = a.collect()
+        assert len(rows) == 16 and all(r.n_steps == 3 for r in rows)
+        for r in rows:
+            p = [int(x) for x in r.path.split("->")]
+            for u, v in zip(p, p[1:]):
+                assert (u, v) in edge_set
+        b = KT.node2vec_walks(adj.repartition(5), walks_per_node=2,
+                              length=3)
+        assert sorted(map(tuple, rows)) == sorted(
+            map(tuple, b.collect())
+        )

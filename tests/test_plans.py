@@ -125,6 +125,7 @@ PURE_JVM = [
     "landmark_dist_parts",
     "gopher_gates_docs",
     "frequent_triples_orders",
+    "node2vec_walks_parts",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
