@@ -2456,6 +2456,22 @@ def node2vec_walks_parts(spark, sf):
     )
 
 
+def fuzzy_name_pairs(spark, sf):
+    """Blocked edit-distance fuzzy self-join over customer names
+    (custkey < 500): 15-char prefix blocks + length band + levenshtein
+    <= 1 — the classic typo-tolerant ER comparison, one equi-join on
+    the block key, never all-pairs."""
+    from kernel_memory_spark.operators import matching as MT
+
+    c = load_table(spark, sf, "customer").filter(
+        F.col("c_custkey") < 500
+    )
+    return MT.edit_distance_pairs(
+        c, "c_custkey", "c_name",
+        max_distance=1, block_len=15, len_band=1,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2608,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_gates_docs": gopher_gates_docs,
         "frequent_triples_orders": frequent_triples_orders,
         "node2vec_walks_parts": node2vec_walks_parts,
+        "fuzzy_name_pairs": fuzzy_name_pairs,
     }
 
 
@@ -5566,6 +5583,20 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
         """,
         "hyperanf_parts": _hyperanf_sql(2, 5),
         "node2vec_walks_parts": _node2vec_sql(3),
+        "fuzzy_name_pairs": """
+            WITH k AS (
+                SELECT c_custkey AS id, c_name AS t,
+                       substr(c_name, 1, 15) AS blk,
+                       length(c_name) AS ln
+                FROM customer WHERE c_custkey < 500)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.t AS text_a, b.t AS text_b,
+                   CAST(levenshtein(a.t, b.t) AS INT) AS dist
+            FROM k a JOIN k b
+              ON a.blk = b.blk AND a.id < b.id
+             AND abs(a.ln - b.ln) <= 1
+            WHERE levenshtein(a.t, b.t) <= 1
+        """,
         "frequent_triples_orders": """
             WITH items AS (
                 SELECT DISTINCT l_orderkey AS b, l_partkey AS i

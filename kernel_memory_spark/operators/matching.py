@@ -102,3 +102,66 @@ def match_scores(
         .when(F.col("score") >= _T_POSSIBLE, F.lit("possible"))
         .otherwise(F.lit("non_match")),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 1,
+    block_len: int = 4,
+    len_band: int = 1,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Blocked edit-distance self-join -> (id_a, id_b, text_a, text_b,
+    dist): candidate pairs share their first `block_len` characters and
+    differ in length by <= len_band, and survivors have
+    levenshtein(text_a, text_b) <= max_distance.
+
+    The length band is a NECESSARY condition for lev <= k (each edit
+    changes length by at most 1); the shared prefix is the lossy
+    candidate-generation step, part of the operator's contract exactly
+    like LSH banding in dedup.py — an edit inside the prefix is missed,
+    recall is documented, and the blocking replays deterministically in
+    any engine. Cost shape: one equi-join on the block key (never an
+    all-pairs comparison), per-pair work is one bounded levenshtein;
+    `max_block` drops blocks larger than the cap before the join (the
+    hot-bucket guard), so a degenerate key ('', 'unknown', ...) cannot
+    fan out quadratically at 10^12 rows."""
+    keys = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.substring(F.col(text_col), 1, block_len).alias("__blk"),
+        F.length(F.col(text_col)).alias("__len"),
+    )
+    if max_block is not None:
+        sizes = keys.groupBy("__blk").agg(F.count("*").alias("__n"))
+        keys = (
+            keys.join(sizes, "__blk")
+            .filter(F.col("__n") <= max_block)
+            .drop("__n")
+        )
+    a = keys.select(
+        F.col("__blk"),
+        F.col("__id").alias("id_a"),
+        F.col("__t").alias("text_a"),
+        F.col("__len").alias("__la"),
+    )
+    b = keys.select(
+        F.col("__blk"),
+        F.col("__id").alias("id_b"),
+        F.col("__t").alias("text_b"),
+        F.col("__len").alias("__lb"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.col("__la") - F.col("__lb")) <= len_band
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("text_a"), F.col("text_b"))
+        )
+        .filter(F.col("dist") <= max_distance)
+        .select("id_a", "id_b", "text_a", "text_b", "dist")
+    )

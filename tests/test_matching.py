@@ -86,3 +86,45 @@ class TestMatchScores:
         )
         for bad in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
             assert bad not in plan
+
+
+class TestEditDistancePairs:
+    def test_blocking_and_distance_semantics(self, spark):
+        from kernel_memory_spark.operators import matching as MT
+
+        rows = [
+            (1, "smith"), (2, "smyth"),      # same block 'smi'? no: smy
+            (3, "smith"), (4, "smiths"),     # dist 1, same 3-prefix
+            (5, "jones"), (6, "janes"),      # differ inside prefix
+            (7, "jones"),
+        ]
+        df = spark.createDataFrame(rows, "id long, name string")
+        out = {
+            (r.id_a, r.id_b): r.dist
+            for r in MT.edit_distance_pairs(
+                df, "id", "name", max_distance=1, block_len=3
+            ).collect()
+        }
+        # (1,3) identical, (3,4) one insert, (1,4)/(3,4) via 'smi';
+        # 'smyth' blocked apart from 'smith' (prefix smy != smi);
+        # 'janes' blocked apart from 'jones' (jan != jon)
+        assert out == {(1, 3): 0, (1, 4): 1, (3, 4): 1, (5, 7): 0}
+
+    def test_len_band_and_hot_block_cap(self, spark):
+        from kernel_memory_spark.operators import matching as MT
+
+        rows = [(1, "aaa"), (2, "aaaaa"), (3, "aaa"), (4, "aaa")]
+        df = spark.createDataFrame(rows, "id long, name string")
+        out = MT.edit_distance_pairs(
+            df, "id", "name", max_distance=2, block_len=2, len_band=1
+        ).collect()
+        # (1,2) length diff 2 > band, excluded even though lev = 2
+        assert sorted((r.id_a, r.id_b) for r in out) == [
+            (1, 3), (1, 4), (3, 4)
+        ]
+        capped = MT.edit_distance_pairs(
+            df, "id", "name", max_distance=2, block_len=2,
+            len_band=1, max_block=3,
+        ).collect()
+        # block 'aa' holds 4 records > cap -> dropped entirely
+        assert capped == []

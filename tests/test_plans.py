@@ -126,6 +126,7 @@ PURE_JVM = [
     "gopher_gates_docs",
     "frequent_triples_orders",
     "node2vec_walks_parts",
+    "fuzzy_name_pairs",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
