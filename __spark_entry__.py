@@ -2472,6 +2472,25 @@ def fuzzy_name_pairs(spark, sf):
     )
 
 
+def hll_group_suppliers(spark, sf):
+    """Per-supplier approx-distinct part counts via grouped HyperLogLog
+    (p=6: 64 registers per supplier regardless of cardinality), next to
+    the exact distinct count — the approx-distinct-per-key table that
+    replaces a per-group COUNT(DISTINCT) shuffle at 10^12 rows; both
+    estimator branches (raw + linear counting) pinned cross-engine."""
+    from kernel_memory_spark.operators import sketch as SK
+
+    l = load_table(spark, sf, "lineitem")
+    regs = SK.hll_build_grouped(l, "l_suppkey", "l_partkey", p=6)
+    est = SK.hll_estimate_grouped(regs, "l_suppkey", p=6)
+    true = l.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").cast("long").alias("true_distinct")
+    )
+    return est.join(true, "l_suppkey").select(
+        "l_suppkey", "n_registers", "est_distinct", "true_distinct"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2625,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_triples_orders": frequent_triples_orders,
         "node2vec_walks_parts": node2vec_walks_parts,
         "fuzzy_name_pairs": fuzzy_name_pairs,
+        "hll_group_suppliers": hll_group_suppliers,
     }
 
 
@@ -5583,6 +5603,41 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
         """,
         "hyperanf_parts": _hyperanf_sql(2, 5),
         "node2vec_walks_parts": _node2vec_sql(3),
+        "hll_group_suppliers": """
+            WITH h AS (SELECT l_suppkey,
+                              md5('hll|' || CAST(l_partkey AS VARCHAR))
+                                  AS hx
+                       FROM lineitem),
+            r AS (SELECT l_suppkey,
+                         ('0x' || substr(hx, 1, 8))::BIGINT % 64
+                             AS bucket,
+                         ('0x' || substr(hx, 9, 8))::BIGINT AS h2
+                  FROM h),
+            regs AS (SELECT l_suppkey, bucket,
+                            MAX(CASE WHEN h2 = 0 THEN 33
+                                ELSE 32 - CAST(floor(log2(h2)) AS BIGINT)
+                                END) AS max_rank
+                     FROM r GROUP BY l_suppkey, bucket),
+            s AS (SELECT l_suppkey,
+                         CAST(COUNT(*) AS BIGINT) AS n_registers,
+                         SUM(power(2.0, -max_rank)) AS s
+                  FROM regs GROUP BY l_suppkey),
+            est AS (SELECT l_suppkey, n_registers,
+                           (0.7213 / (1.0 + 1.079 / 64)) * 64 * 64
+                               / (s + (64 - n_registers)) AS raw,
+                           64 - n_registers AS v
+                    FROM s),
+            tru AS (SELECT l_suppkey,
+                           CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+                               AS true_distinct
+                    FROM lineitem GROUP BY l_suppkey)
+            SELECT e.l_suppkey, e.n_registers,
+                   ROUND(CASE WHEN raw <= 2.5 * 64 AND v > 0
+                              THEN 64.0 * ln(64.0 / v)
+                              ELSE raw END, 6) AS est_distinct,
+                   t.true_distinct
+            FROM est e JOIN tru t ON t.l_suppkey = e.l_suppkey
+        """,
         "fuzzy_name_pairs": """
             WITH k AS (
                 SELECT c_custkey AS id, c_name AS t,

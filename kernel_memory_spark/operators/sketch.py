@@ -257,3 +257,64 @@ def cms_join_size(
     return prods.agg(
         F.min("__dot").cast("long").alias("est_join_size")
     )
+
+
+def hll_build_grouped(
+    df: DataFrame, group_cols, key_col: str, p: int = 6
+) -> DataFrame:
+    """Per-group HyperLogLog registers -> (group..., bucket, max_rank):
+    <= 2^p rows per group no matter how many distinct keys the group
+    holds. Same md5 register construction as hll_build, same MAX-merge
+    property — so per-group sketches from different partitions/days
+    combine by a plain groupBy-max, which is the whole point: the
+    approx-distinct-per-key table for 10^9 keys x 10^12 rows is ONE
+    hash aggregate with map-side combine, no per-group distinct."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    k = F.col(key_col).cast("string")
+    h = F.md5(F.concat(F.lit("hll|"), k))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    rank = F.when(F.col("__h2") == 0, F.lit(33)).otherwise(
+        F.lit(32) - F.floor(F.log2(F.col("__h2")))
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.pmod(h1, F.lit(2 ** p)).alias("bucket"),
+            h2.alias("__h2"),
+        )
+        .select(*group_cols, "bucket", rank.cast("long").alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, group_cols, p: int = 6
+) -> DataFrame:
+    """-> (group..., n_registers, est_distinct): the hll_estimate
+    estimator applied per group (same alpha, same linear-counting
+    small-range correction, both branches mirrored in SQL)."""
+    import math
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    m = 2 ** p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    sums = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("__s"),
+    )
+    full_sum = F.col("__s") + (F.lit(m) - F.col("n_registers"))
+    raw = F.lit(alpha * m * m) / full_sum
+    v = F.lit(m) - F.col("n_registers")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), linear).otherwise(
+        raw
+    )
+    return sums.select(
+        *group_cols,
+        "n_registers",
+        F.round(est, 6).alias("est_distinct"),
+    )

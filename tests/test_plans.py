@@ -127,6 +127,7 @@ PURE_JVM = [
     "frequent_triples_orders",
     "node2vec_walks_parts",
     "fuzzy_name_pairs",
+    "hll_group_suppliers",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must

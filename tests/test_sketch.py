@@ -212,3 +212,41 @@ class TestCmsJoinSize:
         )
         est = cms_join_size(sa, sb, depth=4).collect()[0].est_join_size
         assert est <= 5  # only hash collisions contribute
+
+
+class TestGroupedHll:
+    def test_estimates_within_hll_error_and_merge(self, spark):
+        from kernel_memory_spark.operators import sketch as SK
+
+        # group A: 500 distinct keys, group B: 30 distinct keys
+        rows = [("A", i) for i in range(500)] * 2 + [
+            ("B", i) for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "g string, k long")
+        regs = SK.hll_build_grouped(df, "g", "k", p=6)
+        est = {
+            r.g: r.est_distinct
+            for r in SK.hll_estimate_grouped(regs, "g", p=6).collect()
+        }
+        # m=64 -> relative error ~1.04/8 = 13%; allow 3 sigma
+        assert est["A"] == pytest.approx(500, rel=0.4)
+        assert est["B"] == pytest.approx(30, rel=0.4)
+        # MAX-merge property: sketch of two halves unions to the whole
+        h1 = SK.hll_build_grouped(
+            df.filter(F.col("k") < 250), "g", "k", p=6
+        )
+        h2 = SK.hll_build_grouped(
+            df.filter(F.col("k") >= 250), "g", "k", p=6
+        )
+        merged = (
+            h1.unionByName(h2)
+            .groupBy("g", "bucket")
+            .agg(F.max("max_rank").alias("max_rank"))
+        )
+        est_m = {
+            r.g: r.est_distinct
+            for r in SK.hll_estimate_grouped(
+                merged, "g", p=6
+            ).collect()
+        }
+        assert est_m == est
