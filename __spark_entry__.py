@@ -2491,6 +2491,26 @@ def hll_group_suppliers(spark, sf):
     )
 
 
+def mad_outliers_orders(spark, sf):
+    """Robust per-priority outlier profiling of order values via the
+    Hampel identifier (median + MAD, k=3): the 50%-breakdown-point
+    numeric quality gate — both medians exact discrete, so the verdicts
+    replay engine-neutrally."""
+    from kernel_memory_spark.operators import profile as PR
+
+    o = load_table(spark, sf, "orders")
+    out = PR.mad_outliers(
+        o, ["o_orderpriority"], "o_totalprice", k=3.0
+    )
+    return out.select(
+        "o_orderpriority",
+        F.round("median", 2).alias("median"),
+        F.round("mad", 2).alias("mad"),
+        "n",
+        "n_outliers",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2645,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks_parts": node2vec_walks_parts,
         "fuzzy_name_pairs": fuzzy_name_pairs,
         "hll_group_suppliers": hll_group_suppliers,
+        "mad_outliers_orders": mad_outliers_orders,
     }
 
 
@@ -5603,6 +5624,63 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
         """,
         "hyperanf_parts": _hyperanf_sql(2, 5),
         "node2vec_walks_parts": _node2vec_sql(3),
+        "mad_outliers_orders": """
+            WITH counts AS (
+                SELECT o_orderpriority AS g, o_totalprice AS value,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM orders GROUP BY 1, 2),
+            ranked AS (
+                SELECT g, value,
+                       SUM(cnt) OVER (PARTITION BY g ORDER BY value)
+                           AS cum,
+                       SUM(cnt) OVER (PARTITION BY g ORDER BY value)
+                           - cnt AS cum_prev,
+                       CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT)
+                           AS n
+                FROM counts),
+            med AS (
+                SELECT g, value AS median, n FROM ranked
+                WHERE cum >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                  AND cum_prev < greatest(1, CAST(ceil(0.5 * n)
+                                                  AS BIGINT))),
+            dev AS (
+                SELECT o.o_orderpriority AS g, m.median, m.n,
+                       abs(o.o_totalprice - m.median) AS absdev
+                FROM orders o JOIN med m ON m.g = o.o_orderpriority),
+            dcounts AS (
+                SELECT g, absdev AS value,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM dev GROUP BY 1, 2),
+            dranked AS (
+                SELECT g, value,
+                       SUM(cnt) OVER (PARTITION BY g ORDER BY value)
+                           AS cum,
+                       SUM(cnt) OVER (PARTITION BY g ORDER BY value)
+                           - cnt AS cum_prev,
+                       CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT)
+                           AS n
+                FROM dcounts),
+            mad AS (
+                SELECT g, value AS mad FROM dranked
+                WHERE cum >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                  AND cum_prev < greatest(1, CAST(ceil(0.5 * n)
+                                                  AS BIGINT))),
+            flagged AS (
+                SELECT d.g,
+                       CAST(SUM(CASE WHEN d.absdev > 3.0 * a.mad
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_outliers
+                FROM dev d JOIN mad a ON a.g = d.g
+                GROUP BY d.g)
+            SELECT m.g AS o_orderpriority,
+                   ROUND(m.median, 2) AS median,
+                   ROUND(a.mad, 2) AS mad,
+                   m.n,
+                   COALESCE(f.n_outliers, 0) AS n_outliers
+            FROM med m
+            JOIN mad a ON a.g = m.g
+            LEFT JOIN flagged f ON f.g = m.g
+        """,
         "hll_group_suppliers": """
             WITH h AS (SELECT l_suppkey,
                               md5('hll|' || CAST(l_partkey AS VARCHAR))

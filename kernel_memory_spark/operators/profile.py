@@ -145,3 +145,57 @@ def hot_keys(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .drop("__total")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier profiling via the median absolute
+    deviation (Hampel identifier) -> (*group_cols, median, mad, n,
+    n_outliers): x is an outlier iff |x - median| > k * MAD, with
+    MAD = median(|x - median|).
+
+    Unlike mean/stddev, the identifier has a 50% breakdown point — the
+    standard robust gate for numeric quality screening of 10^12-row
+    feeds where the contamination itself is what you're hunting. Both
+    medians are the exact DISCRETE group median (group_quantiles, rank
+    ceil(n/2) — always a real data value, no interpolation, so the
+    whole computation replays engine-neutrally). Cost: two
+    (group, value) hash-aggregate + distinct-value-window passes and
+    two keyed joins of per-group scalars — group count rows each, never
+    a full-table sort."""
+    gcols = list(group_cols)
+    med = group_quantiles(df, gcols, value_col, [0.5]).select(
+        *gcols, F.col("value").alias("median"), "n"
+    )
+    dev = df.join(med, gcols).select(
+        *gcols,
+        "median",
+        "n",
+        F.abs(F.col(value_col) - F.col("median")).alias("__absdev"),
+    )
+    mad = group_quantiles(dev, gcols, "__absdev", [0.5]).select(
+        *gcols, F.col("value").alias("mad")
+    )
+    flagged = (
+        dev.join(mad, gcols)
+        .filter(F.col("__absdev") > F.lit(float(k)) * F.col("mad"))
+        .groupBy(*gcols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_outliers"))
+    )
+    return (
+        med.join(mad, gcols)
+        .join(flagged, gcols, "left")
+        .select(
+            *gcols,
+            "median",
+            "mad",
+            "n",
+            F.coalesce("n_outliers", F.lit(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -128,6 +128,7 @@ PURE_JVM = [
     "node2vec_walks_parts",
     "fuzzy_name_pairs",
     "hll_group_suppliers",
+    "mad_outliers_orders",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must

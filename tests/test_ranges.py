@@ -230,3 +230,27 @@ class TestSkyline2d:
     def test_monotone_chain_all_kept(self, spark):
         pts = [(float(i), float(10 - i)) for i in range(5)]
         assert self._run(spark, pts) == set(pts)
+
+
+class TestMadOutliers:
+    def test_hand_computed(self, spark):
+        from kernel_memory_spark.operators import profile as PR
+
+        # group A: values 1..9 plus a wild 1000
+        # median (discrete, rank ceil(10/2)=5 ascending) = 5
+        # absdevs: 4,3,2,1,0,1,2,3,4,995 -> sorted 0,1,1,2,2,3,3,4,4,995
+        # MAD = rank-5 value = 2; outliers: |x-5| > 6 -> only 1000
+        rows = [("A", float(v)) for v in range(1, 10)] + [("A", 1000.0)]
+        rows += [("B", 7.0), ("B", 7.0), ("B", 7.0)]  # constant group
+        df = spark.createDataFrame(rows, "g string, x double")
+        out = {
+            r.g: r
+            for r in PR.mad_outliers(df, ["g"], "x", k=3.0).collect()
+        }
+        assert out["A"].median == 5.0
+        assert out["A"].mad == 2.0
+        assert out["A"].n == 10
+        assert out["A"].n_outliers == 1
+        # constant group: MAD = 0, nothing strictly exceeds 0 deviation
+        assert out["B"].mad == 0.0
+        assert out["B"].n_outliers == 0
