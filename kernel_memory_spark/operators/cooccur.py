@@ -301,38 +301,8 @@ def association_rules(
     pairs, marg, n_baskets = cooccur_counts(
         df, basket_col, item_col, max_basket
     )
-    pairs = pairs.filter(F.col("n_pairs") >= min_pair_count)
-    both = (
-        pairs.join(marg.select(F.col("item").alias("src"),
-                               F.col("n").alias("__na")), "src")
-        .join(marg.select(F.col("item").alias("dst"),
-                          F.col("n").alias("__nb")), "dst")
-    )
-    fwd = both.select(
-        F.col("src").alias("antecedent"),
-        F.col("dst").alias("consequent"),
-        F.col("n_pairs").alias("n_both"),
-        F.col("__na").alias("__n_ante"),
-        F.col("__nb").alias("__n_cons"),
-    )
-    rev = both.select(
-        F.col("dst").alias("antecedent"),
-        F.col("src").alias("consequent"),
-        F.col("n_pairs").alias("n_both"),
-        F.col("__nb").alias("__n_ante"),
-        F.col("__na").alias("__n_cons"),
-    )
-    n = float(n_baskets)
-    return fwd.unionByName(rev).select(
-        "antecedent",
-        "consequent",
-        "n_both",
-        (F.col("n_both") / F.lit(n)).alias("support"),
-        (F.col("n_both") / F.col("__n_ante")).alias("confidence"),
-        (
-            F.col("n_both").cast("double") * F.lit(n)
-            / (F.col("__n_ante").cast("double") * F.col("__n_cons"))
-        ).alias("lift"),
+    return _rules_join(
+        pairs.filter(F.col("n_pairs") >= min_pair_count), marg, n_baskets
     )
 
 
@@ -386,4 +356,62 @@ def frequent_triples(
         .groupBy("i1", "i2", "i3")
         .agg(F.count("*").cast("long").alias("support"))
         .filter(F.col("support") >= min_support)
+    )
+
+
+def rules_from_index(
+    spark, catalog, name: str, min_pair_count: int = 2
+) -> DataFrame:
+    """Association rules served from the PERSISTED co-occurrence count
+    tables (upsert_cooccur_index) — no corpus scan: identical output to
+    association_rules over the union of all upserted batches (the same
+    additive pair/marginal/basket contract pmi_from_index rides).
+    The serving cost is O(index), the maintenance cost O(touched
+    buckets) — build-once/probe-many, like the FTS and ANN indexes."""
+    pairs = catalog.read(spark, f"{name}__pairs").filter(
+        F.col("n_pairs") >= min_pair_count
+    )
+    marg = catalog.read(spark, f"{name}__marg")
+    n_baskets = catalog.read(spark, f"{name}__stats").collect()[0][
+        "n_baskets"
+    ]
+    return _rules_join(pairs, marg, n_baskets)
+
+
+def _rules_join(pairs: DataFrame, marg: DataFrame, n_baskets: int) -> DataFrame:
+    """Both rule directions from ONE unordered pair relation + keyed
+    marginal joins: support = n_ab/N, confidence = n_ab/n_a,
+    lift = n_ab*N/(n_a*n_b). Shared by association_rules (corpus scan)
+    and rules_from_index (persisted counts)."""
+    both = (
+        pairs.join(marg.select(F.col("item").alias("src"),
+                               F.col("n").alias("__na")), "src")
+        .join(marg.select(F.col("item").alias("dst"),
+                          F.col("n").alias("__nb")), "dst")
+    )
+    fwd = both.select(
+        F.col("src").alias("antecedent"),
+        F.col("dst").alias("consequent"),
+        F.col("n_pairs").alias("n_both"),
+        F.col("__na").alias("__n_ante"),
+        F.col("__nb").alias("__n_cons"),
+    )
+    rev = both.select(
+        F.col("dst").alias("antecedent"),
+        F.col("src").alias("consequent"),
+        F.col("n_pairs").alias("n_both"),
+        F.col("__nb").alias("__n_ante"),
+        F.col("__na").alias("__n_cons"),
+    )
+    n = float(n_baskets)
+    return fwd.unionByName(rev).select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        (F.col("n_both") / F.lit(n)).alias("support"),
+        (F.col("n_both") / F.col("__n_ante")).alias("confidence"),
+        (
+            F.col("n_both").cast("double") * F.lit(n)
+            / (F.col("__n_ante").cast("double") * F.col("__n_cons"))
+        ).alias("lift"),
     )

@@ -698,3 +698,36 @@ class TestFrequentTriples:
             ).collect()
         }
         assert pr == nv
+
+
+class TestRulesFromIndex:
+    def test_index_rules_match_one_shot(self, spark, tmp_path):
+        from kernel_memory_spark.sources.tables import TableCatalog
+
+        rows = [
+            (1, "a"), (1, "b"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"),
+            (4, "b"), (4, "c"), (4, "d"),
+        ]
+        df = spark.createDataFrame(rows, "b long, i string")
+        cat = TableCatalog(str(tmp_path / "idx"))
+        CO.upsert_cooccur_index(
+            spark, cat, "t", df.filter(F.col("b") <= 2), "b", "i"
+        )
+        CO.upsert_cooccur_index(
+            spark, cat, "t", df.filter(F.col("b") > 2), "b", "i"
+        )
+        got = sorted(
+            map(tuple,
+                CO.rules_from_index(
+                    spark, cat, "t", min_pair_count=1
+                ).collect())
+        )
+        exp = sorted(
+            map(tuple,
+                CO.association_rules(
+                    df, "b", "i", min_pair_count=1
+                ).collect())
+        )
+        assert got == exp

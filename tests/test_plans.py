@@ -129,6 +129,7 @@ PURE_JVM = [
     "fuzzy_name_pairs",
     "hll_group_suppliers",
     "mad_outliers_orders",
+    "assoc_rules_index",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
