@@ -2542,6 +2542,21 @@ def assoc_rules_index(spark, sf):
     )
 
 
+def effective_diameter_parts(spark, sf):
+    """Interpolated effective diameter of the co-purchase graph from the
+    HyperANF neighborhood function (Palmer 2002 / Boldi 2011): the
+    smallest hop fraction covering 90% of reachable pairs — the whole
+    post-propagation computation is a hops-row relation, driver-free."""
+    from kernel_memory_spark.operators import graph as GR
+
+    adj = GR.symmetrize(_copurchase_edges(spark, sf))
+    out = GR.effective_diameter(adj, hops=2, p=5, q=0.9)
+    return out.select(
+        F.round("eff_diameter", 6).alias("eff_diameter"),
+        F.round("n_pairs_max", 6).alias("n_pairs_max"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2698,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_group_suppliers": hll_group_suppliers,
         "mad_outliers_orders": mad_outliers_orders,
         "assoc_rules_index": assoc_rules_index,
+        "effective_diameter_parts": effective_diameter_parts,
     }
 
 
@@ -2815,7 +2831,9 @@ def _pagerank_sql(iterations: int = 3) -> str:
     return "\n".join(parts)
 
 
-def _hyperanf_sql(hops: int = 2, p: int = 5) -> str:
+def _hyperanf_sql(
+    hops: int = 2, p: int = 5, tail: str = "per_node"
+) -> str:
     """Unrolled HyperANF CTE chain mirroring operators/graph.hyper_anf:
     same md5 register construction as the HLL oracle, one union+max CTE
     per hop, estimator literals written in the same association order
@@ -2852,12 +2870,31 @@ def _hyperanf_sql(hops: int = 2, p: int = 5) -> str:
     raw = (
         f"(0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} / (s + ({m} - n))"
     )
-    parts.append(f""", per AS ({per})
-SELECT h, node AS part,
-       round(CASE WHEN {raw} <= 2.5 * {m} AND {m} - n > 0
+    est = (
+        f"""CASE WHEN {raw} <= 2.5 * {m} AND {m} - n > 0
                   THEN {m}.0 * ln({m}.0 / ({m} - n))
-                  ELSE {raw} END, 6) AS est_ball
+                  ELSE {raw} END"""
+    )
+    parts.append(f""", per AS ({per})""")
+    if tail == "per_node":
+        parts.append(f"""SELECT h, node AS part,
+       round({est}, 6) AS est_ball
 FROM per""")
+    else:  # effective diameter (q = 0.9)
+        parts.append(f""", nf AS (
+  SELECT h, SUM({est}) AS est_pairs FROM per GROUP BY h)
+, mx AS (SELECT MAX(est_pairs) AS mxp FROM nf)
+, st AS (SELECT h, est_pairs,
+                lag(est_pairs) OVER (ORDER BY h) AS prev, mxp
+         FROM nf CROSS JOIN mx)
+, sel AS (SELECT * FROM st
+          WHERE est_pairs >= 0.9 * mxp ORDER BY h LIMIT 1)
+SELECT round(CASE WHEN prev IS NULL THEN CAST(h AS DOUBLE)
+                  ELSE h - 1 + (0.9 * mxp - prev)
+                               / (est_pairs - prev) END, 6)
+           AS eff_diameter,
+       round(mxp, 6) AS n_pairs_max
+FROM sel""")
     return "\n".join(parts)
 
 
@@ -5688,6 +5725,7 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
             FROM flagged GROUP BY doc_id
         """,
         "hyperanf_parts": _hyperanf_sql(2, 5),
+        "effective_diameter_parts": _hyperanf_sql(2, 5, tail="effdiam"),
         "node2vec_walks_parts": _node2vec_sql(3),
         "mad_outliers_orders": """
             WITH counts AS (

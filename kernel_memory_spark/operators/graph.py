@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _CHECKPOINT_EVERY = 4
@@ -1616,3 +1616,64 @@ def landmark_distances(
         .agg(F.min(F.col("__du") + F.col("__dv")).alias("est_dist"))
     )
     return pairs.join(est, ["u", "v"], "left")
+
+
+def neighborhood_function(
+    edges: DataFrame, hops: int = 2, p: int = 5
+) -> DataFrame:
+    """HyperANF neighborhood function N(h) -> (h, est_pairs): estimated
+    number of (u, v) pairs with d(u, v) <= h, the sum of per-node ball
+    estimates. One row per hop."""
+    return (
+        hyper_anf(edges, hops=hops, p=p)
+        .groupBy("h")
+        .agg(F.sum("est_ball").alias("est_pairs"))
+    )
+
+
+def effective_diameter(
+    edges: DataFrame,
+    hops: int = 2,
+    p: int = 5,
+    q: float = 0.9,
+) -> DataFrame:
+    """Effective diameter estimate (Boldi, Rosa & Vigna 2011 §2; Palmer
+    et al. 2002's ANF definition) -> ONE row (eff_diameter, n_pairs_max):
+    the interpolated hop count h* at which the neighborhood function
+    first covers a fraction q of N(hops) —
+    h* = (h-1) + (q*N(hops) - N(h-1)) / (N(h) - N(h-1)) for the first
+    h with N(h) >= q*N(hops) (h* = 0 when N(0) already covers q).
+
+    Everything after the register propagation is a hops-row relation:
+    the interpolation is a window over <= hops+1 rows — driver-free,
+    closed-form, engine-replayable. On a 10^10-node graph the entire
+    computation is `hops` join+max rounds over |V| x 2^p register rows;
+    the exact alternative (all-pairs BFS) is |V|^2 and unpayable."""
+    nf = neighborhood_function(edges, hops=hops, p=p)
+    total = nf.agg(F.max("est_pairs").alias("__max"))
+    lagw = Window.orderBy("h")
+    steps = (
+        nf.crossJoin(F.broadcast(total))
+        .select(
+            "h",
+            "est_pairs",
+            (F.col("est_pairs") >= F.lit(q) * F.col("__max")).alias(
+                "__covered"
+            ),
+            F.lag("est_pairs").over(lagw).alias("__prev"),
+            F.col("__max"),
+        )
+        .filter(F.col("__covered"))
+        .orderBy("h")
+        .limit(1)
+    )
+    return steps.select(
+        F.when(F.col("__prev").isNull(), F.col("h").cast("double"))
+        .otherwise(
+            F.col("h") - 1
+            + (F.lit(q) * F.col("__max") - F.col("__prev"))
+            / (F.col("est_pairs") - F.col("__prev"))
+        )
+        .alias("eff_diameter"),
+        F.col("__max").alias("n_pairs_max"),
+    )

@@ -1321,3 +1321,39 @@ class TestLandmarkDistances:
         # single landmark lies in one component only; if it is in
         # {1,2,3} the estimate must be >= d(1,3) = 2
         assert est13 is None or est13 >= 2
+
+
+class TestEffectiveDiameter:
+    def test_clique_vs_path(self, spark):
+        # 5-clique: everything reached at h=1 -> eff diameter <= 1
+        clique = GR.symmetrize(
+            spark.createDataFrame(
+                [(a, b) for a in range(5) for b in range(a + 1, 5)],
+                "src long, dst long",
+            )
+        )
+        d_clique = GR.effective_diameter(
+            clique, hops=2, p=5
+        ).collect()[0]
+        assert d_clique.eff_diameter <= 1.0 + 1e-9
+        # path of 9 nodes: N(h) keeps growing past h=2 -> the truncated
+        # eff diameter must sit strictly above the clique's
+        path = GR.symmetrize(
+            spark.createDataFrame(
+                [(i, i + 1) for i in range(8)], "src long, dst long"
+            )
+        )
+        d_path = GR.effective_diameter(path, hops=2, p=5).collect()[0]
+        assert d_path.eff_diameter > d_clique.eff_diameter
+        # interpolation stays within the hop budget
+        assert 0.0 <= d_path.eff_diameter <= 2.0
+
+    def test_pairs_max_tracks_reachability(self, spark):
+        # two disjoint 3-cliques: N(2) ~= 2 * 9 = 18 pairs
+        tri = [(a, b) for a in range(3) for b in range(a + 1, 3)]
+        edges = tri + [(a + 10, b + 10) for a, b in tri]
+        adj = GR.symmetrize(
+            spark.createDataFrame(edges, "src long, dst long")
+        )
+        r = GR.effective_diameter(adj, hops=2, p=5).collect()[0]
+        assert r.n_pairs_max == pytest.approx(18, rel=0.25)

@@ -130,6 +130,7 @@ PURE_JVM = [
     "hll_group_suppliers",
     "mad_outliers_orders",
     "assoc_rules_index",
+    "effective_diameter_parts",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
@@ -184,6 +185,8 @@ SCALAR_CROSS = {
     # landmark query workload: all pairs among <= 26 low-id parts,
     # small side broadcast (BNLJ), never an unbroadcast cartesian
     "landmark_dist_parts",
+    # effective diameter: 1-row N(hops) max crossed into the hops rows
+    "effective_diameter_parts",
 }
 
 
