@@ -2557,6 +2557,20 @@ def effective_diameter_parts(spark, sf):
     )
 
 
+def winnow_docs(spark, sf):
+    """MOSS winnowing fingerprints (Schleimer 2003) over documents with
+    doc_id < 200: char-8-gram hashes, window-8 rightmost-min selection —
+    the local fingerprint set guaranteeing any shared substring of
+    length >= 15 yields a shared fingerprint; integer-packed argmin so
+    selections replay exactly cross-engine."""
+    from kernel_memory_spark.operators import textstats as TS
+
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    return TS.winnow_fingerprints(docs, k=8, w=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2714,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_orders": mad_outliers_orders,
         "assoc_rules_index": assoc_rules_index,
         "effective_diameter_parts": effective_diameter_parts,
+        "winnow_docs": winnow_docs,
     }
 
 
@@ -5726,6 +5741,34 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
         """,
         "hyperanf_parts": _hyperanf_sql(2, 5),
         "effective_diameter_parts": _hyperanf_sql(2, 5, tail="effdiam"),
+        "winnow_docs": """
+            WITH c AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '[^a-z0-9]', '', 'g')
+                           AS cc
+                FROM documents WHERE doc_id < 200),
+            g AS (
+                SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+                       substr(cc, CAST(i AS INT), 8) AS gram
+                FROM c, unnest(range(1, length(cc) - 8 + 2)) AS t(i)
+                WHERE length(cc) >= 8),
+            keyed AS (
+                SELECT doc_id, pos,
+                       ('0x' || substr(md5(gram), 1, 8))::BIGINT
+                           * 2097152 + (2097151 - pos) AS key
+                FROM g),
+            sel AS (
+                SELECT DISTINCT doc_id,
+                       MIN(key) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+                           AS s
+                FROM keyed)
+            SELECT doc_id,
+                   CAST(2097151 - (s % 2097152) AS INT) AS pos,
+                   CAST(floor(s / 2097152) AS BIGINT) AS gram_hash
+            FROM sel
+        """,
         "node2vec_walks_parts": _node2vec_sql(3),
         "mad_outliers_orders": """
             WITH counts AS (

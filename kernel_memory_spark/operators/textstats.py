@@ -5,7 +5,7 @@ expressions (JVM-side, codegen-friendly) so they cost one narrow scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kernel_memory_spark.functions.text import (
@@ -209,3 +209,75 @@ def gopher_gates(
     for name in gates:
         keep = F.col(name) if keep is None else (keep & F.col(name))
     return out.withColumn("keep", keep)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm) -> distinct (id, pos, gram_hash): from
+    the char k-gram hash sequence of the normalized text, every length-w
+    window contributes its MINIMUM hash (rightmost on ties), then
+    selections are deduplicated. Guarantees: any shared substring of
+    length >= k + w - 1 between two documents yields at least one
+    shared fingerprint (the local-fingerprint contract whole-document
+    hashing lacks), while keeping ~2/(w+1) of positions.
+
+    Scale shape: normalization + gram hashing is one narrow projection
+    with a posexplode fan-out linear in text length; the window minimum
+    is ONE per-document ordered window (rows between CURRENT ROW and
+    w-1 FOLLOWING — document-local, so partitions never exchange rows);
+    dedup is a hash aggregate. Tail windows (< w grams) participate,
+    documented as part of the contract.
+
+    Engine determinism: the (hash asc, pos desc) argmin is packed into
+    a single BIGINT key hash * 2^21 + (2^21 - 1 - pos) — exact integer
+    comparisons, no struct-in-window support required of the mirroring
+    engine; positions must be < 2^21 (2M chars — cap or pre-chunk
+    longer docs)."""
+    clean = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"), clean.alias("__c")
+        )
+        .filter(F.length("__c") >= k)
+        .select(
+            "id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length(__c) - {k} + 1), "
+                    f"i -> substring(__c, i, {k}))"
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    keyed = grams.select(
+        "id",
+        "pos",
+        (
+            h * F.lit(2 ** 21)
+            + (F.lit(2 ** 21 - 1) - F.col("pos"))
+        ).alias("__key"),
+    )
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    picked = keyed.select(
+        "id", F.min("__key").over(win).alias("__sel")
+    ).distinct()
+    return picked.select(
+        F.col("id").alias(id_col),
+        (
+            F.lit(2 ** 21 - 1) - F.pmod(F.col("__sel"), F.lit(2 ** 21))
+        ).cast("int").alias("pos"),
+        F.floor(F.col("__sel") / F.lit(2 ** 21)).alias("gram_hash"),
+    )

@@ -191,3 +191,42 @@ class TestGopherGates:
         # 2 lines, second is a bullet AND ends with ellipsis
         assert r.bullet_line_frac == pytest.approx(0.5, abs=1e-4)
         assert r.ellipsis_line_frac == pytest.approx(0.5, abs=1e-4)
+
+
+class TestWinnowFingerprints:
+    def test_shared_substring_guarantee_and_density(self, spark):
+        from kernel_memory_spark.operators import textstats as TS
+
+        # docs share a long substring; winnowing guarantees a shared
+        # fingerprint for any common run >= k + w - 1 = 8 chars
+        common = "identicalsharedblockoftext"
+        rows = [
+            (1, "prefix one " + common + " tail alpha"),
+            (2, "another beginning " + common + " ending"),
+            (3, "completely different content here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = TS.winnow_fingerprints(df, k=5, w=4).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, set()).add(r.gram_hash)
+        assert by_doc[1] & by_doc[2]          # shared block detected
+        assert not (by_doc[1] & by_doc[2] & by_doc[3])
+        # density: roughly 2/(w+1) of gram positions selected
+        n_grams = len("".join(
+            ch for ch in rows[0][1].lower() if ch.isalnum()
+        )) - 5 + 1
+        assert len([r for r in out if r.doc_id == 1]) < n_grams
+
+    def test_positions_are_rightmost_minima(self, spark):
+        from kernel_memory_spark.operators import textstats as TS
+
+        df = spark.createDataFrame(
+            [(1, "abcdefghij")], "doc_id long, text string"
+        )
+        out = TS.winnow_fingerprints(df, k=3, w=2).collect()
+        # every selected pos must be a valid gram start (0-based)
+        n = len("abcdefghij") - 3 + 1
+        assert all(0 <= r.pos < n for r in out)
+        # dedup: no repeated (pos, hash)
+        assert len(out) == len({(r.pos, r.gram_hash) for r in out})

@@ -131,6 +131,7 @@ PURE_JVM = [
     "mad_outliers_orders",
     "assoc_rules_index",
     "effective_diameter_parts",
+    "winnow_docs",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
