@@ -2571,6 +2571,21 @@ def winnow_docs(spark, sf):
     return TS.winnow_fingerprints(docs, k=8, w=8)
 
 
+def hashed_tf_docs(spark, sf):
+    """Feature-hashing sparse TF vectors (Weinberger 2009) over the
+    documents corpus: signed 64-bucket hashing, per-doc L2
+    normalization — the vocabulary-free, fit-free, pure-column text
+    vectorizer (no dictionary broadcast at 10^12 docs), exact vectors
+    pinned cross-engine."""
+    from kernel_memory_spark.operators import embeddings as EM
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    out = EM.hashing_tf_sparse(docs, dim=64)
+    return out.select(
+        "doc_id", "pos", F.round("val", 6).alias("val")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2729,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules_index": assoc_rules_index,
         "effective_diameter_parts": effective_diameter_parts,
         "winnow_docs": winnow_docs,
+        "hashed_tf_docs": hashed_tf_docs,
     }
 
 
@@ -5741,6 +5757,33 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
         """,
         "hyperanf_parts": _hyperanf_sql(2, 5),
         "effective_diameter_parts": _hyperanf_sql(2, 5, tail="effdiam"),
+        "hashed_tf_docs": """
+            WITH w AS (
+                SELECT doc_id, w FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text),
+                                                        '[^a-z0-9]+'))
+                               AS w
+                    FROM documents)
+                WHERE w <> ''),
+            v AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('fh|' || w), 1, 8))::BIGINT
+                           % 64 AS pos,
+                       SUM(CASE WHEN ('0x' || substr(md5('fh|' || w),
+                                                     9, 8))::BIGINT % 2
+                                     = 0
+                                THEN 1.0 ELSE -1.0 END) AS val
+                FROM w GROUP BY 1, 2
+                HAVING SUM(CASE WHEN ('0x' || substr(md5('fh|' || w),
+                                                     9, 8))::BIGINT % 2
+                                     = 0
+                                THEN 1.0 ELSE -1.0 END) <> 0.0),
+            n AS (SELECT doc_id, sqrt(SUM(val * val)) AS nn
+                  FROM v GROUP BY doc_id)
+            SELECT v.doc_id, v.pos, round(v.val / n.nn, 6) AS val
+            FROM v JOIN n ON n.doc_id = v.doc_id
+        """,
         "winnow_docs": """
             WITH c AS (
                 SELECT doc_id,

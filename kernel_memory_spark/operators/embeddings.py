@@ -83,3 +83,72 @@ def gen_embeddings(
         F.lit(PROVIDER).alias("vector_provider"),
         F.lit(GENERATOR).alias("vector_generator"),
     )
+
+
+def hashing_tf_sparse(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    signed: bool = True,
+    l2_normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) sparse TF vectors -> exploded
+    (id, pos, val) rows (Weinberger et al. 2009): each word lands in
+    bucket md5('fh|'+word) % dim, optionally with a +/-1 sign from an
+    independent md5 window so collisions cancel in expectation
+    (E[<phi(a), phi(b)>] = <tf_a, tf_b>); per-document L2 normalization
+    makes downstream cosine a plain dot product.
+
+    Unlike the pipeline's mapInPandas embedder (gen_embeddings, which
+    stands in for a model endpoint), this is PURE column algebra — no
+    Python anywhere, vocabulary-free (no fit step, no dictionary to
+    broadcast at 10^12 docs), and md5-replayable, so the exact vectors
+    are pinned cross-engine. One explode (linear in tokens) + two hash
+    aggregates."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fh|"), F.col("w"))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(dim),
+    )
+    if signed:
+        sign_bit = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("fh|"), F.col("w"))), 9, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        contrib = F.when(sign_bit == 0, F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        )
+    else:
+        contrib = F.lit(1.0)
+    vals = (
+        words.select("id", bucket.alias("pos"), contrib.alias("__c"))
+        .groupBy("id", "pos")
+        .agg(F.sum("__c").alias("val"))
+        .filter(F.col("val") != 0.0)
+    )
+    if not l2_normalize:
+        return vals.select(F.col("id").alias(id_col), "pos", "val")
+    norms = vals.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("__n")
+    )
+    return vals.join(norms, "id").select(
+        F.col("id").alias(id_col),
+        "pos",
+        (F.col("val") / F.col("__n")).alias("val"),
+    )

@@ -230,3 +230,43 @@ class TestWinnowFingerprints:
         assert all(0 <= r.pos < n for r in out)
         # dedup: no repeated (pos, hash)
         assert len(out) == len({(r.pos, r.gram_hash) for r in out})
+
+
+class TestHashingTfSparse:
+    def test_inner_product_preserved_and_unit_norm(self, spark):
+        from kernel_memory_spark.operators import embeddings as EM
+
+        rows = [
+            (1, "apple banana apple"),
+            (2, "apple banana apple"),      # identical -> cosine 1
+            (3, "totally different words"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = EM.hashing_tf_sparse(df, dim=32).collect()
+        vecs = {}
+        for r in out:
+            vecs.setdefault(r.doc_id, {})[r.pos] = r.val
+        # unit norm per doc
+        for d, v in vecs.items():
+            assert sum(x * x for x in v.values()) == pytest.approx(1.0)
+        dot12 = sum(
+            vecs[1][p] * vecs[2].get(p, 0.0) for p in vecs[1]
+        )
+        assert dot12 == pytest.approx(1.0)
+        dot13 = sum(
+            vecs[1][p] * vecs[3].get(p, 0.0) for p in vecs[1]
+        )
+        assert abs(dot13) < 1.0  # different docs, not identical
+
+    def test_unsigned_counts_and_no_normalize(self, spark):
+        from kernel_memory_spark.operators import embeddings as EM
+
+        df = spark.createDataFrame(
+            [(1, "x x y")], "doc_id long, text string"
+        )
+        out = EM.hashing_tf_sparse(
+            df, dim=1024, signed=False, l2_normalize=False
+        ).collect()
+        # dim large enough that x and y almost surely don't collide:
+        # raw term frequencies survive
+        assert sorted(r.val for r in out) == [1.0, 2.0]

@@ -132,6 +132,7 @@ PURE_JVM = [
     "assoc_rules_index",
     "effective_diameter_parts",
     "winnow_docs",
+    "hashed_tf_docs",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
