@@ -6083,7 +6083,7 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
                 FROM kept a JOIN kept b
                   ON a.rw = b.rw AND a.cl < b.cl
                 GROUP BY 1, 2
-                HAVING SUM(a.w * b.w) >= 0.15),
+                HAVING round(SUM(a.w * b.w), 6) >= 0.15),
             ex_kept AS (SELECT rw, cl, v / nrm AS w FROM ent),
             ex AS (
                 SELECT a.cl AS src, b.cl AS dst,

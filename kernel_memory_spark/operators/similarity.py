@@ -615,10 +615,15 @@ def column_similarities(
     b = kept.select(
         F.col("__r"), F.col("__c").alias("dst"), F.col("__w").alias("__wb")
     )
+    # threshold on the 6-dp ROUNDED sum: float addition isn't
+    # associative, so the raw sum of a pair sitting within an ulp of
+    # min_sim can flicker across task-completion orders (observed as a
+    # one-row diff between runs); rounding first pins the cut
+    # deterministically in every engine
     return (
         a.join(b, "__r")
         .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("sim_est"))
-        .filter(F.col("sim_est") >= min_sim)
+        .filter(F.round(F.col("sim_est"), 6) >= min_sim)
     )
