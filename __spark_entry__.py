@@ -2586,6 +2586,29 @@ def hashed_tf_docs(spark, sf):
     )
 
 
+def rrf_fuse_customers(spark, sf):
+    """Reciprocal Rank Fusion (Cormack 2009, k=60) of two customer
+    rankings — total spend and order count: the score-free fusion that
+    needs no cross-index calibration (the alternative to the weighted
+    diminishing merge when scores aren't comparable). Top-20 fused."""
+    from kernel_memory_spark.operators import search_service as SVC
+
+    o = load_table(spark, sf, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("record_id")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("score")
+    )
+    cnt = o.groupBy(F.col("o_custkey").alias("record_id")).agg(
+        F.count(F.lit(1)).cast("double").alias("score")
+    )
+    # pre-cut each list to its top-1000 (TakeOrdered) so rrf_fuse's
+    # rank window is bounded by construction at any corpus size — the
+    # retrieval contract: fusion consumes top-N lists, never full tables
+    cut = lambda df: df.orderBy(
+        F.desc("score"), F.asc("record_id")
+    ).limit(1000)
+    return SVC.rrf_fuse([cut(spend), cut(cnt)], k=20, rrf_k=60)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2745,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_diameter_parts": effective_diameter_parts,
         "winnow_docs": winnow_docs,
         "hashed_tf_docs": hashed_tf_docs,
+        "rrf_fuse_customers": rrf_fuse_customers,
     }
 
 
@@ -5757,6 +5781,36 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
         """,
         "hyperanf_parts": _hyperanf_sql(2, 5),
         "effective_diameter_parts": _hyperanf_sql(2, 5, tail="effdiam"),
+        "rrf_fuse_customers": """
+            WITH spend AS (
+                SELECT o_custkey AS record_id,
+                       round(SUM(o_totalprice), 2) AS score
+                FROM orders GROUP BY 1),
+            cnt AS (
+                SELECT o_custkey AS record_id,
+                       CAST(COUNT(*) AS DOUBLE) AS score
+                FROM orders GROUP BY 1),
+            r1 AS (SELECT record_id,
+                          row_number() OVER (
+                              ORDER BY score DESC, record_id ASC)
+                              AS rnk
+                   FROM spend),
+            r2 AS (SELECT record_id,
+                          row_number() OVER (
+                              ORDER BY score DESC, record_id ASC)
+                              AS rnk
+                   FROM cnt),
+            c AS (SELECT record_id, 1.0 / (60.0 + rnk) AS contrib
+                  FROM r1 WHERE rnk <= 1000
+                  UNION ALL
+                  SELECT record_id, 1.0 / (60.0 + rnk)
+                  FROM r2 WHERE rnk <= 1000)
+            SELECT record_id, round(SUM(contrib), 6) AS rrf_score,
+                   CAST(COUNT(*) AS INT) AS n_lists
+            FROM c GROUP BY record_id
+            ORDER BY rrf_score DESC, record_id ASC
+            LIMIT 20
+        """,
         "hashed_tf_docs": """
             WITH w AS (
                 SELECT doc_id, w FROM (

@@ -42,7 +42,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kernel_memory_spark.operators import citations as cit
@@ -525,3 +525,54 @@ def search_memories(
         ).drop("score")
     )
     return cit.build_citations(deduped, index=index)
+
+
+def rrf_fuse(
+    ranked_lists: Sequence[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "record_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) ->
+    (record_id, rrf_score, n_lists) top-k: each input ranking
+    contributes 1 / (rrf_k + rank) per record and contributions sum.
+
+    RRF is the standard score-free fusion — it needs NO cross-index
+    score calibration (BM25 raw scores and cosine live on different
+    scales; the weighted-diminishing merge above must normalize them,
+    RRF only consumes ranks), which is why it wins when fusing engines
+    you don't control. rrf_k=60 is the paper's constant.
+
+    Each list is ranked by (score desc, id asc) — the deterministic
+    total order the rest of the search stack pins — with ONE window per
+    list over its own <= max_results rows, then a bounded hash
+    aggregate; the final top-k is a TakeOrdered, never a full sort."""
+    ranked = []
+    for i, df in enumerate(ranked_lists):
+        w = Window.orderBy(
+            F.desc(score_col), F.asc(id_col)
+        )
+        ranked.append(
+            df.select(
+                F.col(id_col).alias("record_id"),
+                F.row_number().over(w).alias("__rank"),
+            ).select(
+                "record_id",
+                (
+                    F.lit(1.0)
+                    / (F.lit(float(rrf_k)) + F.col("__rank"))
+                ).alias("__contrib"),
+            )
+        )
+    allc = ranked[0]
+    for r in ranked[1:]:
+        allc = allc.unionByName(r)
+    fused = allc.groupBy("record_id").agg(
+        F.round(F.sum("__contrib"), 6).alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc("record_id"))
+        .limit(k)
+    )

@@ -133,6 +133,7 @@ PURE_JVM = [
     "effective_diameter_parts",
     "winnow_docs",
     "hashed_tf_docs",
+    "rrf_fuse_customers",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must

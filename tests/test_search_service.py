@@ -370,3 +370,37 @@ class TestSearchDiagnostics:
         )
         assert results.count() == 0
         assert [r.error is not None for r in diag.collect()] == [True]
+
+
+class TestRrfFuse:
+    def test_hand_computed_fusion(self, spark):
+        from kernel_memory_spark.operators import search_service as SVC
+
+        # list A ranks: x=1, y=2, z=3 ; list B ranks: y=1, x=2
+        a = spark.createDataFrame(
+            [("x", 9.0), ("y", 5.0), ("z", 1.0)],
+            "record_id string, score double",
+        )
+        b = spark.createDataFrame(
+            [("y", 100.0), ("x", 50.0)],
+            "record_id string, score double",
+        )
+        out = {
+            r.record_id: (r.rrf_score, r.n_lists)
+            for r in SVC.rrf_fuse([a, b], k=10, rrf_k=60).collect()
+        }
+        assert out["x"] == (round(1 / 61 + 1 / 62, 6), 2)
+        assert out["y"] == (round(1 / 62 + 1 / 61, 6), 2)
+        assert out["z"] == (round(1 / 63, 6), 1)
+
+    def test_ties_broken_by_id_and_topk(self, spark):
+        from kernel_memory_spark.operators import search_service as SVC
+
+        # equal scores: id ASC wins rank 1
+        a = spark.createDataFrame(
+            [("b", 1.0), ("a", 1.0)], "record_id string, score double"
+        )
+        out = SVC.rrf_fuse([a], k=1, rrf_k=60).collect()
+        assert len(out) == 1
+        assert out[0].record_id == "a"
+        assert out[0].rrf_score == round(1 / 61, 6)
