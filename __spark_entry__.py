@@ -2609,6 +2609,20 @@ def rrf_fuse_customers(spark, sf):
     return SVC.rrf_fuse([cut(spend), cut(cnt)], k=20, rrf_k=60)
 
 
+def katz_scores_parts(spark, sf):
+    """Truncated Katz link-prediction index (beta=0.05, paths up to
+    length 3) over the repeat co-purchase graph — Liben-Nowell &
+    Kleinberg's strongest unsupervised predictor; beta^L inlined as
+    driver-side literals so no libm pow() enters either engine."""
+    from kernel_memory_spark.operators import graph as GR
+
+    adj = GR.symmetrize(_repeat_copurchase_edges(spark, sf))
+    out = GR.katz_index(adj, max_len=3, beta=0.05)
+    return out.select(
+        "src", "dst", F.round("katz", 9).alias("katz")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2769,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_docs": winnow_docs,
         "hashed_tf_docs": hashed_tf_docs,
         "rrf_fuse_customers": rrf_fuse_customers,
+        "katz_scores_parts": katz_scores_parts,
     }
 
 
@@ -5781,6 +5796,29 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
         """,
         "hyperanf_parts": _hyperanf_sql(2, 5),
         "effective_diameter_parts": _hyperanf_sql(2, 5, tail="effdiam"),
+        "katz_scores_parts": _REPEAT_GRAPH_CTE
+        + f"""
+            , w1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS n FROM adj)
+            , w2 AS (SELECT a.src, b.dst,
+                            CAST(COUNT(*) AS BIGINT) AS n
+                     FROM adj a JOIN adj b ON a.dst = b.src
+                     GROUP BY a.src, b.dst)
+            , w3 AS (SELECT w.src, b.dst,
+                            CAST(SUM(w.n) AS BIGINT) AS n
+                     FROM w2 w JOIN adj b ON w.dst = b.src
+                     GROUP BY w.src, b.dst)
+            , terms AS (
+                SELECT src, dst,
+                       CAST({0.05 ** 1!r} AS DOUBLE) * n AS t FROM w1
+                UNION ALL
+                SELECT src, dst,
+                       CAST({0.05 ** 2!r} AS DOUBLE) * n FROM w2
+                UNION ALL
+                SELECT src, dst,
+                       CAST({0.05 ** 3!r} AS DOUBLE) * n FROM w3)
+            SELECT src, dst, round(SUM(t), 9) AS katz
+            FROM terms GROUP BY src, dst
+        """,
         "rrf_fuse_customers": """
             WITH spend AS (
                 SELECT o_custkey AS record_id,

@@ -1357,3 +1357,29 @@ class TestEffectiveDiameter:
         )
         r = GR.effective_diameter(adj, hops=2, p=5).collect()[0]
         assert r.n_pairs_max == pytest.approx(18, rel=0.25)
+
+
+class TestKatzIndex:
+    def test_matches_matrix_power_reference(self, spark):
+        import numpy as np
+
+        und = [(0, 1), (1, 2), (2, 3), (0, 2)]
+        adj = GR.symmetrize(
+            spark.createDataFrame(und, "src long, dst long")
+        )
+        got = {
+            (r.src, r.dst): r.katz
+            for r in GR.katz_index(adj, max_len=3, beta=0.05).collect()
+        }
+        A = np.zeros((4, 4))
+        for a, b in und:
+            A[a][b] = A[b][a] = 1.0
+        K = 0.05 * A + 0.05 ** 2 * (A @ A) + 0.05 ** 3 * (A @ A @ A)
+        for u in range(4):
+            for v in range(4):
+                if K[u][v] > 0:
+                    assert got[(u, v)] == pytest.approx(
+                        K[u][v], rel=1e-12
+                    ), (u, v)
+        # support = nonzero entries only
+        assert all(K[u][v] > 0 for (u, v) in got)

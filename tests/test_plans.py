@@ -134,6 +134,7 @@ PURE_JVM = [
     "winnow_docs",
     "hashed_tf_docs",
     "rrf_fuse_customers",
+    "katz_scores_parts",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
