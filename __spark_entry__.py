@@ -2623,6 +2623,24 @@ def katz_scores_parts(spark, sf):
     )
 
 
+def decayed_activity_users(spark, sf):
+    """Per-user exponentially time-decayed activity score (half-life 7
+    days, T = corpus max ts): the recency-weighted counter that replaces
+    sliding-window recount jobs — one narrow scan + one map-combined
+    aggregate, mergeable across batches at shared T."""
+    from kernel_memory_spark.operators import temporal as TMP
+
+    e = load_table(spark, sf, "events")
+    out = TMP.decayed_scores(
+        e, "user_id", "ts", "value", half_life_seconds=7 * 86400.0
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("decayed_score", 6).alias("decayed_score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2784,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_tf_docs": hashed_tf_docs,
         "rrf_fuse_customers": rrf_fuse_customers,
         "katz_scores_parts": katz_scores_parts,
+        "decayed_activity_users": decayed_activity_users,
     }
 
 
@@ -5796,6 +5815,18 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
         """,
         "hyperanf_parts": _hyperanf_sql(2, 5),
         "effective_diameter_parts": _hyperanf_sql(2, 5, tail="effdiam"),
+        "decayed_activity_users": """
+            WITH t AS (SELECT CAST(MAX(floor(epoch(ts))) AS DOUBLE)
+                                  AS T
+                       FROM events)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   round(SUM(value * power(2.0,
+                       -(t.T - CAST(floor(epoch(ts)) AS DOUBLE))
+                           / 604800.0)), 6) AS decayed_score
+            FROM events CROSS JOIN t
+            GROUP BY user_id, t.T
+        """,
         "katz_scores_parts": _REPEAT_GRAPH_CTE
         + f"""
             , w1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS n FROM adj)

@@ -113,3 +113,52 @@ def scd2_apply(
         tiebreak_cols=tiebreak_cols, change_cols=change_cols,
     )
     return untouched.unionByName(redone)
+
+
+def decayed_scores(
+    df: DataFrame,
+    group_cols,
+    ts_col: str,
+    value_col: str,
+    half_life_seconds: float,
+    now=None,
+) -> DataFrame:
+    """Exponentially time-decayed activity score per group ->
+    (*group_cols, n_events, decayed_score): score = sum over events of
+    value * 2^(-(T - ts) / half_life), the standard recency-weighted
+    counter (Cormode, Shkapenyuk, Srivastava & Xu 2009's forward-decay
+    view: a half-life h means an event loses half its weight every h
+    seconds of age).
+
+    T (`now`) defaults to the corpus max timestamp — ONE 1-row
+    aggregate broadcast into the scoring projection, so the whole
+    operator is a narrow scan + one hash aggregate with map-side
+    combine; no window, no per-group sort. Decayed counters are also
+    mergeable across batches at a shared T (weights depend only on
+    event age), which is what makes them the streaming-friendly
+    replacement for sliding-window recount jobs at 10^12 events."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    # whole-second ages: unix_timestamp truncates to epoch seconds
+    # (mirror engines with floor(epoch(ts))). Only DIFFERENCES T - ts
+    # enter the weight, so any constant timezone offset between
+    # engines' epoch conventions cancels; sub-second fractions are
+    # deliberately dropped so both engines age events identically.
+    ep = F.unix_timestamp(F.col(ts_col)).cast("double")
+    if now is None:
+        mx = df.agg(
+            F.max(F.unix_timestamp(F.col(ts_col)))
+            .cast("double")
+            .alias("__T")
+        )
+        base = df.crossJoin(F.broadcast(mx))
+    else:
+        base = df.withColumn("__T", F.lit(float(now)))
+    w = F.pow(
+        F.lit(2.0),
+        -(F.col("__T") - ep) / F.lit(float(half_life_seconds)),
+    )
+    return base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col(value_col) * w).alias("decayed_score"),
+    )

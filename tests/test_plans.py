@@ -135,6 +135,7 @@ PURE_JVM = [
     "hashed_tf_docs",
     "rrf_fuse_customers",
     "katz_scores_parts",
+    "decayed_activity_users",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
@@ -191,6 +192,8 @@ SCALAR_CROSS = {
     "landmark_dist_parts",
     # effective diameter: 1-row N(hops) max crossed into the hops rows
     "effective_diameter_parts",
+    # decayed counters: 1-row corpus-max-T crossed into the scan
+    "decayed_activity_users",
 }
 
 

@@ -195,3 +195,51 @@ class TestScd2Apply:
         )
         v = {r.k: r.is_current for r in merged.collect()}
         assert v == {"a": True, "b": True}
+
+
+class TestDecayedScores:
+    def test_half_life_semantics(self, spark):
+        from kernel_memory_spark.operators import temporal as TMP
+
+        rows = [
+            ("u", "2024-01-08 00:00:00", 10.0),  # T (newest): weight 1
+            ("u", "2024-01-01 00:00:00", 10.0),  # 7 days old: weight .5
+            ("v", "2023-12-25 00:00:00", 8.0),   # 14 days old: .25
+        ]
+        df = spark.createDataFrame(
+            rows, "g string, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = {
+            r.g: (r.n_events, r.decayed_score)
+            for r in TMP.decayed_scores(
+                df, "g", "ts", "value", half_life_seconds=7 * 86400.0
+            ).collect()
+        }
+        assert out["u"][0] == 2
+        assert out["u"][1] == pytest.approx(10.0 + 5.0, abs=1e-9)
+        assert out["v"][1] == pytest.approx(2.0, abs=1e-9)
+
+    def test_explicit_now_and_merge_property(self, spark):
+        from kernel_memory_spark.operators import temporal as TMP
+        import datetime as dt
+
+        rows = [("u", "2024-01-01 00:00:00", 4.0),
+                ("u", "2024-01-08 00:00:00", 4.0)]
+        df = spark.createDataFrame(
+            rows, "g string, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        T = dt.datetime(2024, 1, 15).timestamp()
+        whole = TMP.decayed_scores(
+            df, "g", "ts", "value", 7 * 86400.0, now=T
+        ).collect()[0].decayed_score
+        # decayed counters merge by addition at a shared T
+        parts = [
+            TMP.decayed_scores(
+                df.limit(1), "g", "ts", "value", 7 * 86400.0, now=T
+            ).collect()[0].decayed_score,
+            TMP.decayed_scores(
+                df.subtract(df.limit(1)), "g", "ts", "value",
+                7 * 86400.0, now=T,
+            ).collect()[0].decayed_score,
+        ]
+        assert whole == pytest.approx(sum(parts), abs=1e-9)
