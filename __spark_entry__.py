@@ -2647,6 +2647,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-checked) + the two entries rotated out in r4 lead the dict;
     # long-stable driver-green entries sit at the tail and rotate back into
     # the window in round 6 so every entry earns a driver CORRECTNESS row.
+    # ROUND-6 ROTATION QUEUE (never driver-checked; all builder-gate green
+    # at sf0.01, several also at sf1.0): the session-B block from
+    # assoc_rules_orders through decayed_activity_users (20 entries), then
+    # bcubed_dedup_docs .. quantiles_orders (the r4/r5 entries at positions
+    # 51-77 that fell outside this round's window).
     return {
         # --- round-4 wave: first driver exposure (positions 1-28) ---
         "pagerank_copurchase": pagerank_copurchase,
