@@ -2641,6 +2641,32 @@ def decayed_activity_users(spark, sf):
     )
 
 
+def referential_sample_customers(spark, sf):
+    """FK-consistent 10% co-sample of the customer/orders family: the
+    same hash gate on c_custkey and o_custkey keeps every surviving
+    order's FK resolvable WITHOUT joining or broadcasting a key set —
+    the relational-corpus downscaling primitive; output is the sampled
+    per-customer order rollup (customers with zero surviving orders
+    included)."""
+    from kernel_memory_spark.operators import sampling as SMP
+
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    sc, kids = SMP.referential_sample(
+        c, {"orders": (o, "o_custkey")}, "c_custkey", 0.10
+    )
+    so = kids["orders"]
+    agg = so.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+    return sc.select("c_custkey").join(agg, "c_custkey", "left").select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2808,6 +2834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fuse_customers": rrf_fuse_customers,
         "katz_scores_parts": katz_scores_parts,
         "decayed_activity_users": decayed_activity_users,
+        "referential_sample_customers": referential_sample_customers,
     }
 
 
@@ -5820,6 +5847,27 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
         """,
         "hyperanf_parts": _hyperanf_sql(2, 5),
         "effective_diameter_parts": _hyperanf_sql(2, 5, tail="effdiam"),
+        "referential_sample_customers": """
+            WITH sc AS (
+                SELECT c_custkey FROM customer
+                WHERE ('0x' || substr(md5('refsample|'
+                          || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                      % 1000000 < 100000),
+            so AS (
+                SELECT * FROM orders
+                WHERE ('0x' || substr(md5('refsample|'
+                          || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+                      % 1000000 < 100000),
+            agg AS (
+                SELECT o_custkey AS c_custkey,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders,
+                       round(SUM(o_totalprice), 2) AS total_spend
+                FROM so GROUP BY 1)
+            SELECT s.c_custkey,
+                   COALESCE(a.n_orders, 0) AS n_orders,
+                   COALESCE(a.total_spend, 0.0) AS total_spend
+            FROM sc s LEFT JOIN agg a ON a.c_custkey = s.c_custkey
+        """,
         "decayed_activity_users": """
             WITH t AS (SELECT CAST(MAX(floor(epoch(ts))) AS DOUBLE)
                                   AS T

@@ -198,3 +198,36 @@ def weighted_sample(
         .filter(F.col("__rn") <= k)
         .drop("__race", "__rn")
     )
+
+
+def referential_sample(
+    parent: DataFrame,
+    children: dict,
+    parent_key: str,
+    fraction: float,
+    salt: str = "refsample",
+):
+    """Referential-integrity-preserving co-sample of a table family ->
+    (sampled_parent, {name: sampled_child}): the PARENT keys are chosen
+    by the deterministic hash gate (md5 position < fraction), each
+    child keeps exactly the rows whose foreign key survived. Every FK
+    in every sampled child resolves, join cardinalities scale ~linearly
+    with `fraction`, and re-running with the same salt reproduces the
+    identical sample — the correct way to downscale a relational corpus
+    for dev/CI (per-table independent sampling breaks every join).
+
+    `children` maps name -> (DataFrame, fk_col). Children are filtered
+    by the SAME hash predicate applied to their fk column — a pure
+    column gate, no join, no broadcast of a key set (at 10^12 rows the
+    sampled-key set itself may not be broadcastable); parent and child
+    agree because the gate is a pure function of the key value."""
+    gate_pos = int(fraction * _M)
+
+    def gate(col_name):
+        return _hash_pos(col_name, salt) < F.lit(gate_pos)
+
+    sp = parent.filter(gate(parent_key))
+    out = {
+        name: df.filter(gate(fk)) for name, (df, fk) in children.items()
+    }
+    return sp, out

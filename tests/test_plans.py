@@ -136,6 +136,7 @@ PURE_JVM = [
     "rrf_fuse_customers",
     "katz_scores_parts",
     "decayed_activity_users",
+    "referential_sample_customers",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must

@@ -189,3 +189,35 @@ class TestLayoutInvariance:
         reparts = SMP.split(df.repartition(n), "k", (0.7, 0.2, 0.1))
         for a, b in zip(parts, reparts):
             assert {r.k for r in a.collect()} == {r.k for r in b.collect()}
+
+
+class TestReferentialSample:
+    def test_fk_integrity_and_determinism(self, spark):
+        from kernel_memory_spark.operators import sampling as SMP
+
+        parent = spark.createDataFrame(
+            [(i,) for i in range(200)], "pk long"
+        )
+        child = spark.createDataFrame(
+            [(i, i % 200) for i in range(1000)], "id long, fk long"
+        )
+        sp, kids = SMP.referential_sample(
+            parent, {"c": (child, "fk")}, "pk", 0.25
+        )
+        pks = {r.pk for r in sp.collect()}
+        crows = kids["c"].collect()
+        # every surviving FK resolves to a surviving parent
+        assert all(r.fk in pks for r in crows)
+        # child keeps EXACTLY the rows of surviving parents (no loss)
+        assert len(crows) == 5 * len(pks)
+        # deterministic under re-run and repartition
+        sp2, kids2 = SMP.referential_sample(
+            parent.repartition(7), {"c": (child.repartition(5), "fk")},
+            "pk", 0.25,
+        )
+        assert {r.pk for r in sp2.collect()} == pks
+        assert sorted(map(tuple, kids2["c"].collect())) == sorted(
+            map(tuple, crows)
+        )
+        # fraction lands in the statistical ballpark
+        assert 0.10 < len(pks) / 200 < 0.45
