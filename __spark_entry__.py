@@ -2667,6 +2667,21 @@ def referential_sample_customers(spark, sf):
     )
 
 
+def powerlaw_fit_parts(spark, sf):
+    """Hill estimator of the co-purchase degree-distribution tail
+    exponent (top-100 tail): the skew diagnostic that decides whether a
+    graph needs salting (alpha < 2: unbounded mean degree) or AQE skew
+    joins (alpha < 3) — one TakeOrdered + a 100-row aggregate."""
+    from kernel_memory_spark.operators import graph as GR
+
+    adj = GR.symmetrize(_copurchase_edges(spark, sf))
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    out = GR.powerlaw_tail_fit(deg, "degree", k_tail=100)
+    return out.select(
+        "k_tail", "d_min", F.round("alpha", 6).alias("alpha")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2835,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_scores_parts": katz_scores_parts,
         "decayed_activity_users": decayed_activity_users,
         "referential_sample_customers": referential_sample_customers,
+        "powerlaw_fit_parts": powerlaw_fit_parts,
     }
 
 
@@ -5847,6 +5863,22 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
         """,
         "hyperanf_parts": _hyperanf_sql(2, 5),
         "effective_diameter_parts": _hyperanf_sql(2, 5, tail="effdiam"),
+        "powerlaw_fit_parts": _GRAPH_CTE
+        + """
+            , deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d
+                      FROM adj GROUP BY src)
+            , top AS (SELECT d FROM deg ORDER BY d DESC LIMIT 101)
+            , r AS (SELECT d, row_number() OVER (ORDER BY d DESC)
+                              AS rn
+                    FROM top)
+            , dm AS (SELECT d AS dmin FROM r WHERE rn = 101)
+            , t AS (SELECT d FROM r WHERE rn <= 100)
+            SELECT CAST(COUNT(*) AS BIGINT) AS k_tail,
+                   MIN(dmin) AS d_min,
+                   round(1.0 + COUNT(*) / SUM(ln(d / dmin)), 6)
+                       AS alpha
+            FROM t CROSS JOIN dm
+        """,
         "referential_sample_customers": """
             WITH sc AS (
                 SELECT c_custkey FROM customer

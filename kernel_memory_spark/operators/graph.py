@@ -1713,3 +1713,47 @@ def katz_index(
     return acc.groupBy("src", "dst").agg(
         F.sum("__t").alias("katz")
     )
+
+
+def powerlaw_tail_fit(
+    degrees: DataFrame,
+    deg_col: str = "degree",
+    k_tail: int = 100,
+) -> DataFrame:
+    """Hill estimator of the power-law tail exponent (Hill 1975; the
+    standard degree-distribution diagnostic, Clauset-Shalizi-Newman
+    2009 §3.1 for the discrete caveats) -> ONE row (k_tail, d_min,
+    alpha): alpha = 1 + k / sum over the k largest degrees of
+    ln(d_i / d_min), with d_min = the (k+1)-th largest degree.
+
+    Why you fit this at all: hub-driven skew is what breaks naive
+    joins/aggregations at 10^12 edges — alpha < 2 means unbounded mean
+    degree (salting mandatory), 2 < alpha < 3 unbounded variance (AQE
+    skew handling recommended). Cost: ONE top-(k+1) TakeOrdered over
+    the degree relation (per-partition heaps, no global sort) + one
+    k-row aggregate on the driver-side-free plan."""
+    top = (
+        degrees.select(F.col(deg_col).cast("double").alias("d"))
+        .orderBy(F.desc("d"))
+        .limit(k_tail + 1)
+    )
+    w = Window.orderBy(F.desc("d"))
+    ranked = top.select(
+        "d", F.row_number().over(w).alias("__rn")
+    )
+    dmin = ranked.filter(F.col("__rn") == k_tail + 1).select(
+        F.col("d").alias("__dmin")
+    )
+    tail = ranked.filter(F.col("__rn") <= k_tail)
+    return (
+        tail.crossJoin(F.broadcast(dmin))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_tail"),
+            F.min("__dmin").alias("d_min"),
+            (
+                F.lit(1.0)
+                + F.count(F.lit(1))
+                / F.sum(F.log(F.col("d") / F.col("__dmin")))
+            ).alias("alpha"),
+        )
+    )

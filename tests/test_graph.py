@@ -1383,3 +1383,39 @@ class TestKatzIndex:
                     ), (u, v)
         # support = nonzero entries only
         assert all(K[u][v] > 0 for (u, v) in got)
+
+
+class TestPowerlawTailFit:
+    def test_recovers_planted_exponent(self, spark):
+        import math
+
+        # plant a tail with DENSITY exponent alpha (CSN convention:
+        # p(x) ~ x^-alpha, so CCDF ~ x^-(alpha-1)): quantile inversion
+        # over a deterministic grid gives d = dmin * u^(-1/(alpha-1))
+        alpha_true, dmin_true, n = 3.5, 10.0, 400
+        degs = [
+            (
+                i,
+                dmin_true
+                * ((i + 0.5) / n) ** (-1.0 / (alpha_true - 1.0)),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(degs, "node long, degree double")
+        r = GR.powerlaw_tail_fit(df, "degree", k_tail=100).collect()[0]
+        assert r.k_tail == 100
+        # Hill on the top-100 of a clean Pareto tail: close to truth
+        assert r.alpha == pytest.approx(alpha_true, rel=0.15)
+        # d_min is the 101st largest planted value
+        expected_dmin = sorted((d for _, d in degs), reverse=True)[100]
+        assert r.d_min == pytest.approx(expected_dmin, rel=1e-12)
+
+    def test_tail_smaller_than_k(self, spark):
+        # fewer than k_tail+1 rows: the estimator has no d_min row ->
+        # empty result rather than a wrong fit
+        df = spark.createDataFrame(
+            [(i, float(i + 1)) for i in range(5)],
+            "node long, degree double",
+        )
+        out = GR.powerlaw_tail_fit(df, "degree", k_tail=100).collect()
+        assert len(out) == 1 and out[0].k_tail == 0

@@ -137,6 +137,7 @@ PURE_JVM = [
     "katz_scores_parts",
     "decayed_activity_users",
     "referential_sample_customers",
+    "powerlaw_fit_parts",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
@@ -195,6 +196,8 @@ SCALAR_CROSS = {
     "effective_diameter_parts",
     # decayed counters: 1-row corpus-max-T crossed into the scan
     "decayed_activity_users",
+    # Hill fit: 1-row d_min crossed into the 100-row tail
+    "powerlaw_fit_parts",
 }
 
 
