@@ -2682,6 +2682,25 @@ def powerlaw_fit_parts(spark, sf):
     )
 
 
+def source_percentile_docs(spark, sf):
+    """Within-source percentile rank of document length (percent_rank
+    semantics, distinct-value window): the cross-source quality
+    calibrator — mixing gates on the per-source percentile because raw
+    scores aren't comparable across sources."""
+    from kernel_memory_spark.operators import profile as PR
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = PR.group_percentile_rank(
+        docs, ["source"], "n_chars", out_col="pct_rank"
+    )
+    return out.select(
+        "doc_id", "source", "n_chars",
+        F.round("pct_rank", 6).alias("pct_rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
     # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
@@ -2851,6 +2870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_activity_users": decayed_activity_users,
         "referential_sample_customers": referential_sample_customers,
         "powerlaw_fit_parts": powerlaw_fit_parts,
+        "source_percentile_docs": source_percentile_docs,
     }
 
 
@@ -5863,6 +5883,13 @@ def _oracle_sql_dict(stopset: str) -> dict[str, str]:
         """,
         "hyperanf_parts": _hyperanf_sql(2, 5),
         "effective_diameter_parts": _hyperanf_sql(2, 5, tail="effdiam"),
+        "source_percentile_docs": """
+            SELECT doc_id, source, n_chars,
+                   round(percent_rank() OVER (
+                       PARTITION BY source ORDER BY n_chars), 6)
+                       AS pct_rank
+            FROM documents
+        """,
         "powerlaw_fit_parts": _GRAPH_CTE
         + """
             , deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d

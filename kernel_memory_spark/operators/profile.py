@@ -199,3 +199,51 @@ def mad_outliers(
             .alias("n_outliers"),
         )
     )
+
+
+def group_percentile_rank(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Per-group percentile rank of every row's value -> input columns
+    + `out_col` = (min_rank(value) - 1) / (n - 1) in [0, 1] (exactly
+    SQL percent_rank(): ties share their group's minimum rank; n = 1
+    groups get 0.0).
+
+    The cross-source score calibrator: raw quality scores are not
+    comparable across sources (each source has its own scale), so
+    mixing pipelines gate on the WITHIN-source percentile instead
+    (e.g. keep every source's top 30%). Scale shape = group_quantiles'
+    trick: collapse to (group, value, count) FIRST, rank the DISTINCT
+    values in the per-group window, then join the rank back on
+    (group, value) — a 10^9-row group with 10^4 distinct scores costs a
+    10^4-row window, never a full-group sort."""
+    gcols = list(group_cols)
+    counts = (
+        df.groupBy(*gcols, F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = Window.partitionBy(*gcols).orderBy("__v")
+    ranked = counts.select(
+        *gcols,
+        "__v",
+        (F.sum("__c").over(w) - F.col("__c") + 1).alias("__minrank"),
+        F.sum("__c").over(Window.partitionBy(*gcols)).alias("__n"),
+    )
+    pr = ranked.select(
+        *gcols,
+        F.col("__v"),
+        F.when(F.col("__n") > 1,
+               (F.col("__minrank") - 1)
+               / (F.col("__n") - 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias(out_col),
+    )
+    join_cond = gcols + ["__v"]
+    return (
+        df.withColumn("__v", F.col(value_col))
+        .join(pr, join_cond)
+        .drop("__v")
+    )

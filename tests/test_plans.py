@@ -138,6 +138,7 @@ PURE_JVM = [
     "decayed_activity_users",
     "referential_sample_customers",
     "powerlaw_fit_parts",
+    "source_percentile_docs",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must

@@ -254,3 +254,35 @@ class TestMadOutliers:
         # constant group: MAD = 0, nothing strictly exceeds 0 deviation
         assert out["B"].mad == 0.0
         assert out["B"].n_outliers == 0
+
+
+class TestGroupPercentileRank:
+    def test_matches_native_percent_rank_with_ties(self, spark):
+        from pyspark.sql import Window as W
+
+        from kernel_memory_spark.operators import profile as PR
+
+        rows = [
+            ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 20.0),
+            ("a", 4, 30.0), ("b", 5, 7.0), ("b", 6, 7.0),
+            ("c", 7, 99.0),  # singleton group -> 0.0
+        ]
+        df = spark.createDataFrame(rows, "g string, id long, v double")
+        got = {
+            r.id: r.pct_rank
+            for r in PR.group_percentile_rank(
+                df, ["g"], "v"
+            ).collect()
+        }
+        native = {
+            r.id: r.pr
+            for r in df.select(
+                "id",
+                F.percent_rank()
+                .over(W.partitionBy("g").orderBy("v"))
+                .alias("pr"),
+            ).collect()
+        }
+        assert got == native
+        assert got[7] == 0.0
+        assert got[2] == got[3]  # ties share min rank
