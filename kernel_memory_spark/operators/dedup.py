@@ -592,3 +592,82 @@ def prefix_jaccard_join(
             "a", "b", "n_common", F.round(jac, 6).alias("jaccard")
         )
     )
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    gram_df_cap: int = GRAM_DF_CAP,
+) -> DataFrame:
+    """IDF-weighted (soft) n-gram Jaccard -> (a, b, wjaccard):
+    wsim(A,B) = W(A∩B) / (W(A) + W(B) - W(A∩B)) with each gram g
+    weighted idf(g) = ln(N / df(g)) — Broder Jaccard where rare shared
+    grams count for more and boilerplate counts for almost nothing (the
+    standard fix when plain Jaccard is dominated by template text;
+    Chowdhury et al. 2002's collection statistics for duplicate
+    detection).
+
+    Same scale skeleton as ngram_jaccard_pairs: distinct grams, hot-gram
+    cap BEFORE the self-join (the cap also bounds every df at
+    gram_df_cap, so idf is bounded below by ln(N/cap) > 0), weights
+    joined keyed on the gram (|vocab| rows), ONE self-join summing
+    intersection weight map-side. The threshold compares the 6-dp
+    ROUNDED ratio (float sum order lesson from dimsum)."""
+    inter_ids, sizes, wexp = _weighted_gram_parts(
+        df, id_col, text_col, n, gram_df_cap
+    )
+    wa = sizes.select(F.col("id").alias("a"), F.col("w").alias("wa"))
+    wb = sizes.select(F.col("id").alias("b"), F.col("w").alias("wb"))
+    wsim = F.col("iw") / (F.col("wa") + F.col("wb") - F.col("iw"))
+    return (
+        inter_ids.join(wa, "a")
+        .join(wb, "b")
+        .select("a", "b", wsim.alias("wjaccard"))
+        .filter(F.round(F.col("wjaccard"), 6) >= threshold)
+    )
+
+
+def _weighted_gram_parts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    gram_df_cap: int,
+):
+    """(pair intersection weights, per-doc weight sums, weighted gram
+    relation) over the capped gram space."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(words) - n, F.lit(0))
+                ),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            )
+        ).alias("grams"),
+    )
+    exploded = grams.select("id", F.explode("grams").alias("g"))
+    cool = _drop_hot_buckets(
+        exploded, ["g"], gram_df_cap
+    ).localCheckpoint()
+    n_docs = float(df.select(F.col(id_col)).distinct().count())
+    idf = cool.groupBy("g").agg(
+        F.log(F.lit(n_docs) / F.count("*")).alias("idf")
+    )
+    wexp = cool.join(idf, "g").localCheckpoint()
+    sizes = wexp.groupBy("id").agg(F.sum("idf").alias("w"))
+    l, r = wexp.alias("l"), wexp.alias("r")
+    inter = (
+        l.join(r, F.col("l.g") == F.col("r.g"))
+        .filter(F.col("l.id") < F.col("r.id"))
+        .groupBy(
+            F.col("l.id").alias("a"), F.col("r.id").alias("b")
+        )
+        .agg(F.sum("l.idf").alias("iw"))
+    )
+    return inter, sizes, wexp

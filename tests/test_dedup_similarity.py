@@ -680,3 +680,47 @@ class TestColumnSimilarities:
         assert sorted(map(tuple, a)) == pytest.approx(
             sorted(map(tuple, b))
         )
+
+
+class TestWeightedJaccard:
+    def test_rare_grams_dominate(self, spark):
+        import math
+
+        from kernel_memory_spark.operators import dedup as D
+
+        # A and B share a RARE trigram run; A and C share only a gram
+        # that appears in every doc (common -> low idf)
+        common = "alpha beta gamma delta"
+        rows = [
+            (1, "unique shard signal one " + common),
+            (2, "unique shard signal two " + common),
+            (3, "totally different words here " + common),
+            (4, "yet another separate body text " + common),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        pairs = {
+            (r.a, r.b): r.wjaccard
+            for r in D.weighted_jaccard_pairs(
+                df, threshold=0.0, gram_df_cap=64
+            ).collect()
+        }
+        # the pair sharing rare grams scores far above pairs sharing
+        # only the ubiquitous run
+        assert pairs[("1", "2")] > 2 * pairs.get(("3", "4"), 0.0)
+        # identity bound: weighted jaccard <= 1, symmetric-input pairs
+        assert all(v <= 1.0 + 1e-9 for v in pairs.values())
+
+    def test_exact_clone_scores_one(self, spark):
+        from kernel_memory_spark.operators import dedup as D
+
+        rows = [(1, "quick brown fox jumps over dog"),
+                (2, "quick brown fox jumps over dog"),
+                (3, "some other unrelated sentence body")]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        pairs = {
+            (r.a, r.b): r.wjaccard
+            for r in D.weighted_jaccard_pairs(
+                df, threshold=0.5
+            ).collect()
+        }
+        assert pairs == {("1", "2"): pytest.approx(1.0)}

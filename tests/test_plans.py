@@ -139,6 +139,7 @@ PURE_JVM = [
     "referential_sample_customers",
     "powerlaw_fit_parts",
     "source_percentile_docs",
+    "weighted_jaccard_docs",
 ]
 
 # queries that MAY use Arrow-batched Python (signature UDFs) but must
