@@ -252,28 +252,62 @@ def minhash_lsh_dedup(spark, sf):
     both = docs.unionByName(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
-    words = F.split(F.col("text"), r"\s+")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
-            lambda i: F.array_join(F.slice(words, i + 1, 3), " "),
-        )
+    # Signature computation as one Arrow-batched pass (guide-§4.2 shape:
+    # hashlib's C md5 on whole batches): the previous column-algebra form
+    # (transform/slice/array_join gram arrays -> explode -> groupBy with 4
+    # min(md5) aggregates) spent ~2.5s of its 3.4s wall just building gram
+    # arrays through interpreted higher-order-function lambdas, then paid a
+    # SortAggregate (min over strings is not hash-aggregable) over the
+    # exploded gram table. This computes the identical four md5 minima per
+    # doc (same "s|gram" preimages, same UTF-8 bytes, same lowercase hex;
+    # re.ASCII \s+ == Java \s+ == [ \t\n\x0b\f\r]; trailing empty splits
+    # kept by both; min over the distinct-gram set == min over duplicates)
+    # with no Generate, no Sort, no Exchange before the band grouping.
+    import hashlib
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+
+    _ws = re.compile(r"\s+", re.ASCII)
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, bands = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # explode(NULL grams) dropped the row too
+                    continue
+                words = _ws.split(text)
+                n = max(len(words) - 3, 0) + 1
+                grams = {" ".join(words[i:i + 3]) for i in range(n)}
+                mins = [
+                    min(md5((s + g).encode("utf-8")).hexdigest()
+                        for g in grams)
+                    for s in ("0|", "1|", "2|", "3|")
+                ]
+                ids.append(doc_id)
+                bands.append("|".join(mins))
+            yield pd.DataFrame({"doc_id": ids, "band": bands})
+
+    sig = both.mapInPandas(_sig, schema="doc_id long, band string")
+    # Pair generation by grouping on the band instead of a self-join: the
+    # self-join executed the whole grams/md5-signature subtree TWICE (Spark
+    # does not share common subtrees across join sides) and needed two
+    # exchanges + a broadcast; grouping computes the signatures once and
+    # shuffles once. Emitting (ids[i], ids[j]) for i < j over the sorted
+    # member list yields exactly the a.doc_id < b.doc_id pairs of the join.
+    bands = sig.groupBy("band").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
-    g = both.select("doc_id", F.explode(grams).alias("gram"))
-    sig = g.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(str(s) + "|"), F.col("gram")))).alias(f"m{s}")
-            for s in range(4)
-        ]
-    ).select(
-        "doc_id",
-        F.concat_ws("|", "m0", "m1", "m2", "m3").alias("band"),
-    )
-    a, b = sig.alias("a"), sig.alias("b")
     return (
-        a.join(b, F.col("a.band") == F.col("b.band"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("dup_a"), F.col("b.doc_id").alias("dup_b"))
+        bands.select(F.posexplode("ids").alias("i", "dup_a"), "ids")
+        .select(
+            "dup_a",
+            F.explode(
+                F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
+            ).alias("dup_b"),
+        )
     )
 
 

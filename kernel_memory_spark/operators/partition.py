@@ -95,7 +95,15 @@ def chunk_udf(
         options = PlainTextChunkerOptions(**opts)
         return texts.map(lambda t: chunker.split(t or "", options))
 
-    return _chunk
+    # The chunker IS deterministic, but marking it non-deterministic stops
+    # the optimizer from duplicating the (expensive) UDF around the
+    # `size(chunks) > 0` filter that InferFiltersFromGenerate inserts below
+    # posexplode: with the default marking every consumer's plan carried TWO
+    # ArrowEvalPython chunker nodes per scan (one under the pushed filter,
+    # one in the projection), doubling the dominant Python cost of the
+    # partition stage. Generate itself skips null/empty arrays, so dropping
+    # the inferred filter changes nothing about the output.
+    return _chunk.asNondeterministic()
 
 
 def partition(

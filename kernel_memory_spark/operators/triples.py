@@ -42,41 +42,38 @@ def lineage_triples(
     doc_tags: DataFrame | None,
     execution_id: str,
 ) -> DataFrame:
-    """Exact tag/lineage triple set from the record structure."""
-    p = partitions
-    doc_file = extracted.select(
-        F.col("doc_id").alias("subj"),
-        F.lit("has_file").alias("pred"),
-        F.col("file_id").alias("obj"),
+    """Exact tag/lineage triple set from the record structure.
+
+    One scan per source frame: the two extracted-derived kinds and the three
+    partition-derived kinds are emitted via explode-of-struct-array instead
+    of a five-branch union. Spark re-executes a subtree once per union
+    branch, so the old shape ran the partitions lineage (which may contain
+    the chunker pandas UDF when `partitions` is unmaterialized, as in the
+    kg_triples_sf entry) three times; this shape runs it once. Output rows
+    are identical."""
+    def _t(subj, pred, obj):
+        return F.struct(
+            subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj")
+        )
+
+    ex_triples = extracted.select(
+        F.explode(F.array(
+            _t(F.col("doc_id"), "has_file", F.col("file_id")),
+            _t(F.col("file_id"), "file_type", F.col("mime_type")),
+        )).alias("t"),
         F.col("doc_id"),
-    )
-    file_type = extracted.select(
-        F.col("file_id").alias("subj"),
-        F.lit("file_type").alias("pred"),
-        F.col("mime_type").alias("obj"),
+    ).select("t.subj", "t.pred", "t.obj", "doc_id")
+    p_triples = partitions.select(
+        F.explode(F.array(
+            _t(F.col("file_id"), "has_part", F.col("partition_id")),
+            _t(F.col("partition_id"), "part_n",
+               F.col("partition_number").cast("string")),
+            _t(F.col("partition_id"), "sect_n",
+               F.col("section_number").cast("string")),
+        )).alias("t"),
         F.col("doc_id"),
-    )
-    file_part = p.select(
-        F.col("file_id").alias("subj"),
-        F.lit("has_part").alias("pred"),
-        F.col("partition_id").alias("obj"),
-        F.col("doc_id"),
-    )
-    part_n = p.select(
-        F.col("partition_id").alias("subj"),
-        F.lit("part_n").alias("pred"),
-        F.col("partition_number").cast("string").alias("obj"),
-        F.col("doc_id"),
-    )
-    sect_n = p.select(
-        F.col("partition_id").alias("subj"),
-        F.lit("sect_n").alias("pred"),
-        F.col("section_number").cast("string").alias("obj"),
-        F.col("doc_id"),
-    )
-    out = doc_file.unionByName(file_type).unionByName(file_part).unionByName(
-        part_n
-    ).unionByName(sect_n)
+    ).select("t.subj", "t.pred", "t.obj", "doc_id")
+    out = ex_triples.unionByName(p_triples)
 
     if doc_tags is not None:
         tag_triples = (

@@ -255,14 +255,20 @@ class TableCatalog:
         # balanced wave, still one file per bucket. Buckets outside [0, n)
         # (identity layouts with sparse values) fall back to hashing the
         # raw id; NULL-keyed rows ride along unchanged.
-        inv = df.sparkSession.createDataFrame(
-            [(b, c) for b, c in enumerate(bucket_preimages(n_buckets))],
-            "__bucket int, __pkey int",
-        )
+        # bucket -> preimage as a literal-array lookup (F.get is 0-indexed
+        # and NULL-safe on out-of-range), not a broadcast join: the join
+        # cost a createDataFrame round-trip + BroadcastExchange +
+        # BroadcastHashJoin per bucketed write for what is a pure
+        # per-row int mapping. Buckets outside [0, n) (identity layouts
+        # with sparse values) and NULL keys fall through to the raw id,
+        # exactly as the old coalesce did.
+        pre = F.lit(bucket_preimages(n_buckets))
         (
             df.withColumn("__bucket", bucket_expr)
-            .join(F.broadcast(inv), "__bucket", "left")
-            .withColumn("__pkey", F.coalesce("__pkey", "__bucket"))
+            .withColumn(
+                "__pkey",
+                F.coalesce(F.get(pre, F.col("__bucket")), F.col("__bucket")),
+            )
             .repartition(n_buckets, "__pkey")
             .drop("__pkey")
             .write.mode("overwrite").partitionBy("__bucket").parquet(d)
