@@ -9,6 +9,7 @@ sides (the driver hashes values with columns sorted by name).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -22,6 +23,28 @@ from kernel_memory_spark.operators import triples as TRI
 from kernel_memory_spark.sources.corpus import corpus_from_documents, load_table
 
 STOPSET = ["the", "a", "value", "table", "row"]
+
+_TMP_ROOT: str | None = None
+
+
+def _query_tmpdir(prefix: str) -> str:
+    """Fresh per-invocation scratch dir for entries that build a persisted
+    index/catalog, under ONE session root that is removed at interpreter
+    exit (the per-call mkdtemp dirs previously leaked across bench/gate
+    runs). Each call still returns a NEW empty dir — no state is ever
+    reused between invocations. Rooted on tmpfs when available, for the
+    same reason the bench scratch is (the sandbox's single shared disk is
+    a non-scaling co-tenant-contended resource)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _TMP_ROOT
+    if _TMP_ROOT is None:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        _TMP_ROOT = tempfile.mkdtemp(prefix="kms_entry_", dir=base)
+        atexit.register(shutil.rmtree, _TMP_ROOT, True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_TMP_ROOT)
 
 
 # ---------------------------------------------------------------------------
@@ -490,7 +513,7 @@ def ann_quantized_topk(spark, sf):
         for x in emb.filter(F.col("vec_id") == 0)
         .select("embedding").first()[0]
     ]
-    cat = TableCatalog(tempfile.mkdtemp(prefix="kms_annq_"))
+    cat = TableCatalog(_query_tmpdir("kms_annq_"))
     SIM.build_lsh_index(
         spark, cat, emb.filter(F.col("vec_id") != 0),
         dim=64, n_planes=6, quantize=True,
@@ -683,7 +706,7 @@ def fts_index_topk(spark, sf):
     from kernel_memory_spark.sources.tables import TableCatalog
 
     docs = load_table(spark, sf, "documents")
-    cat = TableCatalog(tempfile.mkdtemp(prefix="kms_fts_"))
+    cat = TableCatalog(_query_tmpdir("kms_fts_"))
     ST.build_fts_index(spark, cat, docs)
     return (
         ST.query_fts_index(spark, cat, ["spark", "vector", "merge"], k=1 << 20)
@@ -708,7 +731,7 @@ def fts_upsert_topk(spark, sf):
     from kernel_memory_spark.sources.tables import TableCatalog
 
     docs = load_table(spark, sf, "documents")
-    cat = TableCatalog(tempfile.mkdtemp(prefix="kms_ftsu_"))
+    cat = TableCatalog(_query_tmpdir("kms_ftsu_"))
     ST.build_fts_index(spark, cat, docs.filter(F.col("doc_id") % 2 == 0))
     redelivered = docs.filter(F.col("doc_id") % 100 == 0)  # already indexed
     ST.upsert_fts_index(
@@ -1844,7 +1867,7 @@ def pmi_index_edges(spark, sf):
     from kernel_memory_spark.sources.tables import TableCatalog
 
     l = load_table(spark, sf, "lineitem")
-    cat = TableCatalog(tempfile.mkdtemp(prefix="kms_coocc_"))
+    cat = TableCatalog(_query_tmpdir("kms_coocc_"))
     for batch in (
         l.filter(F.col("l_orderkey") % 2 == 0),
         l.filter(F.col("l_orderkey") % 2 == 1),
@@ -2557,7 +2580,7 @@ def assoc_rules_index(spark, sf):
     from kernel_memory_spark.sources.tables import TableCatalog
 
     l = load_table(spark, sf, "lineitem")
-    cat = TableCatalog(tempfile.mkdtemp(prefix="kms_rules_"))
+    cat = TableCatalog(_query_tmpdir("kms_rules_"))
     for batch in (
         l.filter(F.col("l_orderkey") % 2 == 0),
         l.filter(F.col("l_orderkey") % 2 == 1),

@@ -49,14 +49,19 @@ def connected_components(
     labels = vertices.withColumn("component", F.col("norm")).localCheckpoint()
 
     converged = False
-    updated = None
-    for it in range(max_iter):
+    for _it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["norm"])
             .select(sym["a"].alias("norm"), F.col("component"))
             .groupBy("norm")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # ONE driver action per round: the lazy localCheckpoint is
+        # materialized by the changed-count job itself, which doubles as
+        # the convergence probe — previously each round paid an eager
+        # checkpoint job PLUS a separate isEmpty probe every other round,
+        # and convergence was only detectable on probe rounds. Same labels,
+        # fewer driver round-trips, earliest possible exit.
         updated = (
             labels.join(neighbor_min, "norm", "left")
             .select(
@@ -68,18 +73,14 @@ def connected_components(
                     "changed"
                 ),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+        n_changed = updated.filter("changed").count()
         labels = updated.select("norm", "component")
-        # driver-side convergence check is one extra job per round; alias
-        # graphs converge in 2-3 rounds, so probe every other round only
-        if it % 2 == 1 or it == max_iter - 1:
-            if updated.filter("changed").isEmpty():
-                converged = True
-                break
+        if n_changed == 0:
+            converged = True
+            break
 
-    if not converged and updated is not None and not updated.filter(
-        "changed"
-    ).isEmpty():
+    if not converged:
         msg = (
             f"connected_components did not converge in {max_iter} rounds "
             "(a component's diameter exceeds max_iter); labels are stale "

@@ -1693,16 +1693,39 @@ def katz_index(
     the standard scalable variant (the closed form (I - beta*A)^-1 - I
     is a dense inverse no one materializes at 10^10 nodes).
 
-    Reuses walk_counts (A^L as L-1 join+agg rounds) per length; the
-    accumulator union + final aggregate keep only observed pairs, so
-    state is the nonzero support of A^1..A^max_len — bounded on sparse
-    graphs, the only regime the truncated index is meaningful in."""
+    Threads the running power A^L = A^(L-1) ⋈ A (the same join+agg
+    round walk_counts uses, checkpointed per round so the accumulator
+    union reads materialized results instead of re-deriving each power
+    from scratch — max_len-1 joins total rather than
+    max_len(max_len-1)/2); the accumulator union + final aggregate keep
+    only observed pairs, so state is the nonzero support of
+    A^1..A^max_len — bounded on sparse graphs, the only regime the
+    truncated index is meaningful in."""
+    e = (
+        edges.select(src, dst)
+        .distinct()
+        .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .localCheckpoint()
+    )
+    power = e.withColumn("n_walks", F.lit(1).cast("long"))
     acc = None
     for length in range(1, max_len + 1):
+        if length > 1:
+            power = (
+                power.alias("l")
+                .join(e.alias("r"), F.col("l.dst") == F.col("r.src"),
+                      "inner")
+                .groupBy(
+                    F.col("l.src").alias("src"),
+                    F.col("r.dst").alias("dst"),
+                )
+                .agg(F.sum("l.n_walks").alias("n_walks"))
+                .localCheckpoint()
+            )
         # beta^L computed driver-side and inlined as one double literal:
         # pow() last-ulp behavior is libm-specific, a decimal literal
         # parses to the identical double in every engine
-        term = walk_counts(edges, length, src=src, dst=dst).select(
+        term = power.select(
             "src",
             "dst",
             (F.lit(float(beta) ** length) * F.col("n_walks")).alias(

@@ -113,20 +113,15 @@ def extract_all_df(partitions: DataFrame) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from kernel_memory_spark.functions.extraction import extract_all
+        from kernel_memory_spark.functions.extraction import (
+            _norm_cached as norm,
+            extract_all,
+        )
 
-        # surface vocabulary is tiny relative to mention volume: memoize the
-        # normalization regex, and build columnar buffers (dict-of-lists is
-        # an order of magnitude cheaper than 10^7 row tuples)
-        norm_memo: dict = {}
-
-        def norm(m: str) -> str:
-            v = norm_memo.get(m)
-            if v is None:
-                v = normalize_mention(m)
-                norm_memo[m] = v
-            return v
-
+        # surface vocabulary is tiny relative to mention volume: memoized
+        # normalization (module-level, so a reused Python worker keeps it
+        # across tasks) + columnar buffers (dict-of-lists is an order of
+        # magnitude cheaper than 10^7 row tuples)
         for pdf in batches:
             c_doc, c_pid, c_kind, c_s, c_p, c_o = [], [], [], [], [], []
             for doc_id, pid, text in zip(
@@ -170,15 +165,27 @@ def extract_mentions_df(partitions: DataFrame) -> DataFrame:
     """-> MENTIONS (schema.MENTIONS), one row per detected mention."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kernel_memory_spark.functions.extraction import _norm_cached
+
+        # columnar buffers + memoized normalization, same shape as
+        # extract_all_df (row tuples cost ~an order of magnitude more to
+        # assemble at 10^7 mentions, and the surface vocabulary is tiny
+        # relative to mention volume)
         for pdf in batches:
-            rows = []
+            c_doc, c_pid, c_m, c_n = [], [], [], []
             for doc_id, pid, text in zip(
                 pdf["doc_id"], pdf["partition_id"], pdf["text"]
             ):
                 for m in extract_mentions(text or ""):
-                    rows.append((doc_id, pid, m, normalize_mention(m)))
+                    c_doc.append(doc_id)
+                    c_pid.append(pid)
+                    c_m.append(m)
+                    c_n.append(_norm_cached(m))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "partition_id", "mention", "norm"]
+                {
+                    "doc_id": c_doc, "partition_id": c_pid,
+                    "mention": c_m, "norm": c_n,
+                }
             )
 
     return partitions.select("doc_id", "partition_id", "text").mapInPandas(

@@ -83,10 +83,16 @@ class PipelineConfig:
 class Pipeline:
     def __init__(self, spark: SparkSession, catalog: TableCatalog,
                  config: Optional[PipelineConfig] = None):
+        import threading
+
         self.spark = spark
         self.catalog = catalog
         self.cfg = config or PipelineConfig()
         self.metrics: Dict[str, dict] = {}
+        # serializes ledger commits: the overlapped save_records step and
+        # the KG chain may finish concurrently, and append_rows_local's
+        # read-manifest/write-manifest/replace sequence is not atomic
+        self._commit_lock = threading.Lock()
         # (step_name, input_table, DataFrame -> DataFrame), run after the
         # built-in chain — the IPipelineStepHandler extension point
         self.custom_steps: List[tuple] = []
@@ -162,7 +168,8 @@ class Pipeline:
         )
         # ledger rows are driver-side metadata: written with pyarrow directly,
         # not a Spark job (9 stages x 1 job of pure scheduling otherwise)
-        tables.append_rows_local(self.catalog, LEDGER, rows, arrow_schema)
+        with self._commit_lock:
+            tables.append_rows_local(self.catalog, LEDGER, rows, arrow_schema)
         self.metrics[step] = {
             "rows_in": rows_in, "rows_out": rows_out, "wall_ms": wall_ms,
         }
@@ -255,7 +262,7 @@ class Pipeline:
             return self.metrics
         embeddings = cat.read(spark, "embeddings")
 
-        if "save_records" not in done:
+        def _save_records_step():
             t0 = time.time()
             # Fatal-row routing (ReturnType.FatalError analog): doc-tag rows
             # whose keys fail TagCollection.ValidateKey would throw in the
@@ -292,6 +299,26 @@ class Pipeline:
             rows_out = tables.table_row_count(cat, "records")
             self._commit_step("save_records", 0, rows_out,
                               int((time.time() - t0) * 1000))
+
+        # save_records touches only the records/quarantine tables; the
+        # triples -> link -> canonicalize -> materialize chain reads none of
+        # them. Submitting save_records on a worker thread lets its jobs
+        # back-fill executor capacity left by the KG chain's stage tails
+        # (guide §2.6 — on a real cluster the FAIR scheduler does the same),
+        # hiding its wall entirely. The serial path is kept whenever
+        # `stop_after` simulates a crash (commit order is then part of the
+        # contract) — resume semantics are unaffected either way because the
+        # ledger is a set, not a sequence. Ledger commits themselves are
+        # serialized by _commit_lock.
+        save_fut = save_pool = None
+        if "save_records" not in done:
+            if stop_after is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                save_pool = ThreadPoolExecutor(max_workers=1)
+                save_fut = save_pool.submit(_save_records_step)
+            else:
+                _save_records_step()
         if crashed("save_records"):
             return self.metrics
 
@@ -367,6 +394,12 @@ class Pipeline:
             self._run_step("materialize", _materialize, "edges")
         if crashed("materialize"):
             return self.metrics
+
+        if save_fut is not None:
+            # join the overlapped save_records before custom steps (which
+            # may read the records table) and before returning
+            save_fut.result()
+            save_pool.shutdown()
 
         # Custom steps (the IPipelineStepHandler surface, SURVEY §2.10): a
         # stage is a named DataFrame -> DataFrame function over a catalog
