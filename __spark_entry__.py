@@ -1168,7 +1168,15 @@ def kg_triples_sf(spark, sf):
     triples) over the span corpus derived from the documents table."""
     corpus = corpus_from_documents(load_table(spark, sf, "documents"))
     extracted = EX.extract(corpus)
-    parts = PRT.partition(extracted, max_tokens=200, overlap=20)
+    # lazy localCheckpoint: the partition lineage (chunker pandas UDF) feeds
+    # BOTH the lineage-triples branch and the mention-extraction branch of
+    # the union below; without materialization each branch re-executes the
+    # chunker (Spark does not share subtrees across union branches). The
+    # checkpoint is computed fresh inside every invocation — nothing is
+    # reused across runs.
+    parts = PRT.partition(
+        extracted, max_tokens=200, overlap=20
+    ).localCheckpoint(eager=False)
     lineage = TRI.lineage_triples(parts, extracted, None, "sf")
     mentions = TRI.extract_mentions_df(parts)
     return lineage.unionByName(TRI.mention_triples(mentions, "sf"))
@@ -2775,17 +2783,127 @@ def weighted_jaccard_docs(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness harness checks the first
-    # 50 entries only.  Round-5 rotation: the round-4 operator wave (never
-    # driver-checked) + the two entries rotated out in r4 lead the dict;
-    # long-stable driver-green entries sit at the tail and rotate back into
-    # the window in round 6 so every entry earns a driver CORRECTNESS row.
-    # ROUND-6 ROTATION QUEUE (never driver-checked; all builder-gate green
-    # at sf0.01, several also at sf1.0): the session-B block from
-    # assoc_rules_orders through decayed_activity_users (20 entries), then
-    # bcubed_dedup_docs .. quantiles_orders (the r4/r5 entries at positions
-    # 51-77 that fell outside this round's window).
+    # 50 entries only.  ROUND-6 ROTATION (per the r5 verdict's #1): the 50
+    # oracle-backed entries that have NEVER earned a driver CORRECTNESS row
+    # occupy positions 1-50 (the r4/r5 group that fell outside every prior
+    # window, then the round-5 session-B wave).  pca_project_embeddings
+    # (rows-only by design, no oracle) sits at 51 so the window holds only
+    # hash-checkable entries.  ROUND-7 QUEUE: facts_token_budget and
+    # summarize_docs (driver-green r3, the oldest stale rows) lead the
+    # remainder, followed by the r4-green search/dedup/km-v1 family;
+    # kg_triples_sf stays rows-only by design (pandas-UDF chunker, no SQL
+    # mirror).  The round-5-green wave sits at the tail: its rows are the
+    # freshest.
     return {
-        # --- round-4 wave: first driver exposure (positions 1-28) ---
+        # --- r6 window: first driver exposure (positions 1-50) ---
+        "bcubed_dedup_docs": bcubed_dedup_docs,
+        "novelty_docs": novelty_docs,
+        "dense_node_ids": dense_node_ids,
+        "degree_histogram_parts": degree_histogram_parts,
+        "graph_stats_parts": graph_stats_parts,
+        "profile_documents": profile_documents,
+        "cube_orders": cube_orders,
+        "skyline_orders": skyline_orders,
+        "cms_lineitem": cms_lineitem,
+        "hll_orders": hll_orders,
+        "bloom_probe_customers": bloom_probe_customers,
+        "cms_join_size_est": cms_join_size_est,
+        "quantiles_orders": quantiles_orders,
+        "ppr_parts": ppr_parts,
+        "pagerank_weighted_pmi": pagerank_weighted_pmi,
+        "link_graph_docs": link_graph_docs,
+        "host_graph_docs": host_graph_docs,
+        "lm_quality_docs": lm_quality_docs,
+        "bigram_lm_docs": bigram_lm_docs,
+        "hot_keys_lineitem": hot_keys_lineitem,
+        "quantized_embeddings": quantized_embeddings,
+        "embedding_gram": embedding_gram,
+        "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
+        "line_dedup_docs": line_dedup_docs,
+        "random_walks_parts": random_walks_parts,
+        "kg_negative_samples": kg_negative_samples,
+        "ppjoin_docs": ppjoin_docs,
+        "ann_quantized_topk": ann_quantized_topk,
+        "assoc_rules_orders": assoc_rules_orders,
+        "ranking_eval_events": ranking_eval_events,
+        "hyperanf_parts": hyperanf_parts,
+        "dimsum_part_pairs": dimsum_part_pairs,
+        "landmark_dist_parts": landmark_dist_parts,
+        "gopher_gates_docs": gopher_gates_docs,
+        "frequent_triples_orders": frequent_triples_orders,
+        "node2vec_walks_parts": node2vec_walks_parts,
+        "fuzzy_name_pairs": fuzzy_name_pairs,
+        "hll_group_suppliers": hll_group_suppliers,
+        "mad_outliers_orders": mad_outliers_orders,
+        "assoc_rules_index": assoc_rules_index,
+        "effective_diameter_parts": effective_diameter_parts,
+        "winnow_docs": winnow_docs,
+        "hashed_tf_docs": hashed_tf_docs,
+        "rrf_fuse_customers": rrf_fuse_customers,
+        "katz_scores_parts": katz_scores_parts,
+        "decayed_activity_users": decayed_activity_users,
+        "referential_sample_customers": referential_sample_customers,
+        "powerlaw_fit_parts": powerlaw_fit_parts,
+        "source_percentile_docs": source_percentile_docs,
+        "weighted_jaccard_docs": weighted_jaccard_docs,
+        # --- rows-only by design (no oracle): outside the window ---
+        "pca_project_embeddings": pca_project_embeddings,
+        # --- r7 queue head: oldest stale driver rows (r3-green) ---
+        "facts_token_budget": facts_token_budget,
+        "summarize_docs": summarize_docs,
+        # --- r4-green family: stale, refresh in r7 ---
+        "kg_triples_sf": kg_triples_sf,  # rows-only (pandas-UDF chunker)
+        "minhash_lsh_dedup": minhash_lsh_dedup,
+        "simhash_dup_pairs": simhash_dup_pairs,
+        "ngram_dup_pairs": ngram_dup_pairs,
+        "containment_docs": containment_docs,
+        "cosine_dup_pairs": cosine_dup_pairs,
+        "knn_topk": knn_topk,
+        "ann_recall": ann_recall,
+        "bm25_topk_docs": bm25_topk_docs,
+        "fts_index_topk": fts_index_topk,
+        "fts_upsert_topk": fts_upsert_topk,
+        "search_end_to_end": search_end_to_end,
+        "hybrid_search_topk": hybrid_search_topk,
+        "ask_prompt_facts": ask_prompt_facts,
+        "search_snippets": search_snippets,
+        "stratified_sample_docs": stratified_sample_docs,
+        "pii_scrub_docs": pii_scrub_docs,
+        "decontam_overlap": decontam_overlap,
+        "repetition_docs": repetition_docs,
+        "html_decode_docs": html_decode_docs,
+        "sessionized_events": sessionized_events,
+        "asof_purchase_attribution": asof_purchase_attribution,
+        "range_join_clicks": range_join_clicks,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_revenue_by_nation": q5_revenue_by_nation,
+        "tag_filter_and_or": tag_filter_and_or,
+        "mongo_query_filter": mongo_query_filter,
+        "resume_anti_join": resume_anti_join,
+        "purge_keepset": purge_keepset,
+        "latest_event_per_user": latest_event_per_user,
+        "rerank_events": rerank_events,
+        "paginate_customers": paginate_customers,
+        "citations_for_matches": citations_for_matches,
+        "record_ids": record_ids,
+        "record_scaffold": record_scaffold,
+        "sha256_hashes": sha256_hashes,
+        "index_name_normalize": index_name_normalize,
+        "dedup_exact_docs": dedup_exact_docs,
+        "stopword_hits": stopword_hits,
+        "text_quality_counts": text_quality_counts,
+        "token_counts": token_counts,
+        "fingerprints": fingerprints,
+        "media_span_stats": media_span_stats,
+        "lineage_triples_docs": lineage_triples_docs,
+        "events_hourly": events_hourly,
+        "top3_orders_per_customer": top3_orders_per_customer,
+        "union_distinct_customers": union_distinct_customers,
+        "connected_components_star": connected_components_star,
+        "salted_supplier_counts": salted_supplier_counts,
+        "time_rollup_events": time_rollup_events,
+        # --- tail: driver-green r5 (freshest rows) ---
         "pagerank_copurchase": pagerank_copurchase,
         "triangle_counts_parts": triangle_counts_parts,
         "khop_parts": khop_parts,
@@ -2801,7 +2919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_counts_parts": walk_counts_parts,
         "scc_parts": scc_parts,
         "kcore_parts": kcore_parts,
-        # --- round-5 additions (driver-checked immediately) ---
         "pagerank_warm_parts": pagerank_warm_parts,
         "transitive_closure_parts": transitive_closure_parts,
         "community_rollup_parts": community_rollup_parts,
@@ -2837,113 +2954,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "quota_cap_docs": quota_cap_docs,
         "dedup_collapse_docs": dedup_collapse_docs,
-        "bcubed_dedup_docs": bcubed_dedup_docs,
-        "novelty_docs": novelty_docs,
-        "dense_node_ids": dense_node_ids,
-        "degree_histogram_parts": degree_histogram_parts,
-        "graph_stats_parts": graph_stats_parts,
-        "profile_documents": profile_documents,
-        "cube_orders": cube_orders,
-        "skyline_orders": skyline_orders,
-        "cms_lineitem": cms_lineitem,
-        "hll_orders": hll_orders,
-        "bloom_probe_customers": bloom_probe_customers,
-        "cms_join_size_est": cms_join_size_est,
-        "quantiles_orders": quantiles_orders,
-        "ppr_parts": ppr_parts,
-        "pagerank_weighted_pmi": pagerank_weighted_pmi,
-        "link_graph_docs": link_graph_docs,
-        "host_graph_docs": host_graph_docs,
-        "lm_quality_docs": lm_quality_docs,
-        "bigram_lm_docs": bigram_lm_docs,
-        "hot_keys_lineitem": hot_keys_lineitem,
-        "quantized_embeddings": quantized_embeddings,
-        "embedding_gram": embedding_gram,
-        "pca_project_embeddings": pca_project_embeddings,
-        "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
-        "line_dedup_docs": line_dedup_docs,
-        "random_walks_parts": random_walks_parts,
-        "kg_negative_samples": kg_negative_samples,
-        "facts_token_budget": facts_token_budget,
-        "summarize_docs": summarize_docs,
-        "kg_triples_sf": kg_triples_sf,  # rows-only (pandas-UDF chunker)
-        # --- recent search/dedup family (driver-green r4, kept in-window) ---
-        "minhash_lsh_dedup": minhash_lsh_dedup,
-        "simhash_dup_pairs": simhash_dup_pairs,
-        "ngram_dup_pairs": ngram_dup_pairs,
-        "ppjoin_docs": ppjoin_docs,
-        "containment_docs": containment_docs,
-        "cosine_dup_pairs": cosine_dup_pairs,
-        "knn_topk": knn_topk,
-        "ann_recall": ann_recall,
-        "ann_quantized_topk": ann_quantized_topk,
-        "bm25_topk_docs": bm25_topk_docs,
-        "fts_index_topk": fts_index_topk,
-        "fts_upsert_topk": fts_upsert_topk,
-        "search_end_to_end": search_end_to_end,
-        "hybrid_search_topk": hybrid_search_topk,
-        "ask_prompt_facts": ask_prompt_facts,
-        "search_snippets": search_snippets,
-        "stratified_sample_docs": stratified_sample_docs,
-        "pii_scrub_docs": pii_scrub_docs,
-        "decontam_overlap": decontam_overlap,
-        "repetition_docs": repetition_docs,
-        "html_decode_docs": html_decode_docs,
-        "sessionized_events": sessionized_events,
-        "asof_purchase_attribution": asof_purchase_attribution,
-        "range_join_clicks": range_join_clicks,
-        # --- tail: long-stable driver-green entries (rotate back in r6) ---
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_revenue_by_nation": q5_revenue_by_nation,
-        "tag_filter_and_or": tag_filter_and_or,
-        "mongo_query_filter": mongo_query_filter,
-        "resume_anti_join": resume_anti_join,
-        "purge_keepset": purge_keepset,
-        "latest_event_per_user": latest_event_per_user,
-        "rerank_events": rerank_events,
-        "paginate_customers": paginate_customers,
-        "citations_for_matches": citations_for_matches,
-        "record_ids": record_ids,
-        "record_scaffold": record_scaffold,
-        "sha256_hashes": sha256_hashes,
-        "index_name_normalize": index_name_normalize,
-        "dedup_exact_docs": dedup_exact_docs,
-        "stopword_hits": stopword_hits,
-        "text_quality_counts": text_quality_counts,
-        "token_counts": token_counts,
-        "fingerprints": fingerprints,
-        "media_span_stats": media_span_stats,
-        "lineage_triples_docs": lineage_triples_docs,
-        "events_hourly": events_hourly,
-        "top3_orders_per_customer": top3_orders_per_customer,
-        "union_distinct_customers": union_distinct_customers,
-        "connected_components_star": connected_components_star,
-        "salted_supplier_counts": salted_supplier_counts,
-        "time_rollup_events": time_rollup_events,
-        # --- round-5 late wave: builder-gate now, driver window in r6 ---
-        "assoc_rules_orders": assoc_rules_orders,
-        "ranking_eval_events": ranking_eval_events,
-        "hyperanf_parts": hyperanf_parts,
-        "dimsum_part_pairs": dimsum_part_pairs,
-        "landmark_dist_parts": landmark_dist_parts,
-        "gopher_gates_docs": gopher_gates_docs,
-        "frequent_triples_orders": frequent_triples_orders,
-        "node2vec_walks_parts": node2vec_walks_parts,
-        "fuzzy_name_pairs": fuzzy_name_pairs,
-        "hll_group_suppliers": hll_group_suppliers,
-        "mad_outliers_orders": mad_outliers_orders,
-        "assoc_rules_index": assoc_rules_index,
-        "effective_diameter_parts": effective_diameter_parts,
-        "winnow_docs": winnow_docs,
-        "hashed_tf_docs": hashed_tf_docs,
-        "rrf_fuse_customers": rrf_fuse_customers,
-        "katz_scores_parts": katz_scores_parts,
-        "decayed_activity_users": decayed_activity_users,
-        "referential_sample_customers": referential_sample_customers,
-        "powerlaw_fit_parts": powerlaw_fit_parts,
-        "source_percentile_docs": source_percentile_docs,
-        "weighted_jaccard_docs": weighted_jaccard_docs,
     }
 
 

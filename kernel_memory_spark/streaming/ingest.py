@@ -120,7 +120,12 @@ def ingest_batch(
     ).localCheckpoint()
     _merge_doc_scoped(catalog, spark, "partitions", parts, nb)
 
-    vecs = emb.gen_embeddings(parts, cfg.embedding_dim).localCheckpoint()
+    # dedupe=False for the same reason as the batch pipeline: the hermetic
+    # hash embedder recomputes a duplicate chunk's vector cheaper than the
+    # distinct+join-back shuffle; flip on for remote-model generators
+    vecs = emb.gen_embeddings(
+        parts, cfg.embedding_dim, dedupe=False
+    ).localCheckpoint()
     _merge_doc_scoped(catalog, spark, "embeddings", vecs, nb)
 
     records = sav.build_records(

@@ -253,9 +253,18 @@ class Pipeline:
         partitions = prt.upgrade_partitions(cat.read(spark, "partitions"))
 
         if "gen_embeddings" not in done:
+            # dedupe=False: the distinct-texts + join-back path exists to
+            # avoid paying a REMOTE model endpoint twice for identical
+            # chunks; with the hermetic hash embedder it costs a shuffle +
+            # join to save a ~µs recomputation (measured 2.2x the stage wall
+            # at a 98.6% unique-chunk rate). A deployment that swaps in a
+            # model-endpoint generator should flip this back on — the
+            # operator keeps the parameter.
             self._run_step(
                 "gen_embeddings",
-                lambda: emb.gen_embeddings(partitions, cfg.embedding_dim),
+                lambda: emb.gen_embeddings(
+                    partitions, cfg.embedding_dim, dedupe=False
+                ),
                 "embeddings",
             )
         if crashed("gen_embeddings"):
@@ -322,21 +331,49 @@ class Pipeline:
         if crashed("save_records"):
             return self.metrics
 
+        triples_fut = triples_pool = None
         if "triples" not in done:
-            def _triples():
-                # one Arrow pass extracts mentions AND pattern triples
-                cat.overwrite(tri.extract_all_df(partitions), "extractions")
+            t_triples = time.time()
+            # one Arrow pass extracts mentions AND pattern triples; the
+            # extractions table is what the link/canonicalize chain reads,
+            # so it is written first and synchronously
+            cat.overwrite(tri.extract_all_df(partitions), "extractions")
+
+            def _triples_base():
                 lineage = tri.lineage_triples(
                     partitions, extracted, tags_t, cfg.execution_id
                 )
                 mentions = tri.mentions_from_extractions(
                     cat.read(spark, "extractions")
                 )
-                return lineage.unionByName(
+                df = lineage.unionByName(
                     tri.mention_triples(mentions, cfg.execution_id)
                 )
+                cat.overwrite(df, "triples_base")
+                file_counts = tables.table_file_counts(cat, "triples_base")
+                rows_out = sum(n for _, n in file_counts)
+                buckets = (
+                    [(i, 0, n) for i, (_, n) in enumerate(file_counts)]
+                    if self.cfg.per_bucket_metrics else None
+                )
+                self._commit_step(
+                    "triples", 0, rows_out,
+                    int((time.time() - t_triples) * 1000), buckets,
+                )
 
-            self._run_step("triples", _triples, "triples_base")
+            # triples_base is read by nothing until materialize's
+            # commit_union, so its write overlaps the link/canonicalize
+            # chain (guide §2.6 back-fill, same pattern as save_records);
+            # the "triples" ledger row still only commits once BOTH writes
+            # are durable, so crash/resume semantics are unchanged. Serial
+            # under stop_after, where commit order is part of the contract.
+            if stop_after is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                triples_pool = ThreadPoolExecutor(max_workers=1)
+                triples_fut = triples_pool.submit(_triples_base)
+            else:
+                _triples_base()
         if crashed("triples"):
             return self.metrics
 
@@ -364,6 +401,12 @@ class Pipeline:
             )
         if crashed("canonicalize"):
             return self.metrics
+
+        if triples_fut is not None:
+            # materialize's commit_union reads the triples_base manifest —
+            # join the overlapped write first
+            triples_fut.result()
+            triples_pool.shutdown()
 
         if "materialize" not in done:
             def _materialize():
