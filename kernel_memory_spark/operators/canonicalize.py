@@ -45,8 +45,19 @@ def connected_components(
     sym = edges.select("a", "b").unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
-    vertices = sym.select(F.col("a").alias("norm")).distinct()
-    labels = vertices.withColumn("component", F.col("norm")).localCheckpoint()
+    # Initialize labels at round 1's result directly: with identity labels,
+    # the first propagation round computes min(self, neighbors) — exactly
+    # this one aggregation. Fusing it into the init removes one full
+    # join+aggregate round (and the separate vertices.distinct shuffle);
+    # every vertex appears as `a` because sym is symmetrized.
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("__nb"))
+        .select(
+            F.col("a").alias("norm"),
+            F.least(F.col("a"), F.col("__nb")).alias("component"),
+        )
+    ).localCheckpoint()
 
     converged = False
     for _it in range(max_iter):

@@ -1754,7 +1754,14 @@ def powerlaw_tail_fit(
     degree (salting mandatory), 2 < alpha < 3 unbounded variance (AQE
     skew handling recommended). Cost: ONE top-(k+1) TakeOrdered over
     the degree relation (per-partition heaps, no global sort) + one
-    k-row aggregate on the driver-side-free plan."""
+    k-row aggregate on the driver-side-free plan.
+
+    Degenerate-input caveats (r5 advice, documented as the pinned
+    contract): when the k_tail largest degrees all equal d_min the
+    log-sum is 0 and alpha is NULL in Spark vs inf in DuckDB (0/0 vs
+    x/0 conventions); fewer than k_tail+1 degree rows yields an empty
+    frame rather than an error. The sf fixtures are non-degenerate, so
+    the cross-engine hash is pinned on real inputs only."""
     top = (
         degrees.select(F.col(deg_col).cast("double").alias("d"))
         .orderBy(F.desc("d"))

@@ -241,6 +241,11 @@ def group_percentile_rank(
         .otherwise(F.lit(0.0))
         .alias(out_col),
     )
+    # NOTE (r5 advice, documented semantics): the rank join uses plain
+    # equality, so rows with NULL in value_col are excluded from the output
+    # — unlike SQL percent_rank, which keeps them. This is the pinned
+    # cross-engine contract (the DuckDB oracle replays the same equality
+    # join); callers that need NULL rows must filter/handle them upstream.
     join_cond = gcols + ["__v"]
     return (
         df.withColumn("__v", F.col(value_col))

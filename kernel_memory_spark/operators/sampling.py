@@ -223,6 +223,12 @@ def referential_sample(
     agree because the gate is a pure function of the key value."""
     gate_pos = int(fraction * _M)
 
+    # NOTE (r5 advice, documented semantics): the hash gate evaluates to
+    # NULL for NULL keys, so child rows with a NULL foreign key (and parent
+    # rows with a NULL key) are dropped from every sample regardless of
+    # fraction — the pinned cross-engine contract (the oracle replays the
+    # same gate). Callers sampling nullable-FK children that must keep
+    # orphan rows should add `fk.isNull() | gate` explicitly.
     def gate(col_name):
         return _hash_pos(col_name, salt) < F.lit(gate_pos)
 
