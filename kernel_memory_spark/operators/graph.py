@@ -173,10 +173,18 @@ def triangles_per_node(
             "b",
         )
     )
+    # lazy checkpoint: `oriented` feeds FOUR consumers (both wedge-join
+    # sides and the two `closing` union branches) and `tris` feeds the
+    # three corner projections — without materialization Spark re-derives
+    # the degree-join pipeline four times and the wedge semi-join three
+    # times (subtrees are never shared across join/union branches). Values
+    # are unchanged; both materialize inside the terminal action.
     oriented = ranked.filter(
         (F.col("deg_a") < F.col("deg_b"))
         | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
-    ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+    ).select(F.col("a").alias("u"), F.col("b").alias("v")).localCheckpoint(
+        eager=False
+    )
     wedges = (
         oriented.alias("e1")
         .join(oriented.alias("e2"), F.col("e1.u") == F.col("e2.u"))
@@ -190,7 +198,8 @@ def triangles_per_node(
     closing = oriented.select(
         F.col("u").alias("v"), F.col("v").alias("w")
     ).unionByName(oriented.select(F.col("v").alias("v"), F.col("u").alias("w")))
-    tris = wedges.join(closing.distinct(), ["v", "w"], "left_semi")
+    tris = wedges.join(closing.distinct(), ["v", "w"], "left_semi")\
+        .localCheckpoint(eager=False)
     corners = (
         tris.select(F.col("u").alias("node"))
         .unionByName(tris.select(F.col("v").alias("node")))
@@ -311,10 +320,22 @@ def hits(
     hub = nodes.select("node", F.lit(1.0).alias("s"))
     auth = None
     for i in range(iterations):
-        auth = _half_step(hub, src, dst)
+        # Lazy checkpoint per half-step: hub_t's lineage contains auth_t,
+        # which the final hub ⋈ auth join would otherwise RE-derive as a
+        # second full chain (Spark shares no subtrees across join sides),
+        # and the un-truncated plan grew by three joins per half-step —
+        # at 3 iterations the single final action carried a ~20-join tree
+        # that spent minutes in planning/AQE. The lazy checkpoints
+        # materialize each half-step once inside the terminal action
+        # (no extra jobs, no value change); the eager checkpoint + rescale
+        # cadence below is unchanged so magnitudes still can't overflow
+        # between checkpoints on deep iteration counts.
+        auth = _half_step(hub, src, dst).localCheckpoint(eager=False)
         hub = _half_step(auth, dst, src)
         if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < iterations:
             hub = _l2_normalize(hub.localCheckpoint())
+        else:
+            hub = hub.localCheckpoint(eager=False)
     return (
         _l2_normalize(hub)
         .select("node", F.col("s").alias("hub"))
