@@ -55,4 +55,33 @@ def get_spark(
         builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if os.environ.get("SPARK_GRAFT_PREWARM", "1") != "0":
+        _prewarm_python_workers(spark)
+    return spark
+
+
+_PREWARMED: set = set()
+
+
+def _prewarm_python_workers(spark) -> None:
+    """Fork the Python worker pool once at session creation: the first
+    pandas-UDF/mapInPandas stage otherwise absorbs one worker fork plus a
+    pandas+pyarrow import per core (~1-2s on 32 cores), charged to whatever
+    operator happens to run Python first. Workers are reused
+    (spark.python.worker.reuse default), so this is per-session setup cost
+    moved out of the first query — no data is touched, nothing is cached.
+    Disable with SPARK_GRAFT_PREWARM=0."""
+    key = id(spark)
+    if key in _PREWARMED:
+        return
+    _PREWARMED.add(key)
+    try:
+        n = spark.sparkContext.defaultParallelism
+        (
+            spark.range(n, numPartitions=n)
+            .mapInPandas(lambda it: it, schema="id long")
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception:  # prewarm is best-effort, never fail session creation
+        pass
