@@ -252,6 +252,27 @@ class Pipeline:
         # self-upgrade pre-artifact_type catalogs on read (resume safety)
         partitions = prt.upgrade_partitions(cat.read(spark, "partitions"))
 
+        # The extractions table (one Arrow pass of mention/pattern rules
+        # over partition text) depends ONLY on the committed partitions
+        # table — not on embeddings or records — so its write starts here
+        # and overlaps the gen_embeddings + save_records stages (guide
+        # §2.6). The "triples" step below joins this future before doing
+        # anything, and its ledger row still commits only after all triples
+        # writes are durable; a crash before that row simply re-runs the
+        # (idempotent, snapshot-overwrite) extraction. Serial under
+        # stop_after, as for the other overlapped steps.
+        extractions_t0 = time.time()
+        extractions_fut = extractions_pool = None
+        if "triples" not in done and stop_after is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            extractions_pool = ThreadPoolExecutor(max_workers=1)
+            extractions_fut = extractions_pool.submit(
+                lambda: cat.overwrite(
+                    tri.extract_all_df(partitions), "extractions"
+                )
+            )
+
         if "gen_embeddings" not in done:
             # dedupe=False: the distinct-texts + join-back path exists to
             # avoid paying a REMOTE model endpoint twice for identical
@@ -333,11 +354,16 @@ class Pipeline:
 
         triples_fut = triples_pool = None
         if "triples" not in done:
-            t_triples = time.time()
+            t_triples = extractions_t0
             # one Arrow pass extracts mentions AND pattern triples; the
-            # extractions table is what the link/canonicalize chain reads,
-            # so it is written first and synchronously
-            cat.overwrite(tri.extract_all_df(partitions), "extractions")
+            # extractions table is what the link/canonicalize chain reads —
+            # join the overlapped write started above (or run it serially
+            # under stop_after)
+            if extractions_fut is not None:
+                extractions_fut.result()
+                extractions_pool.shutdown()
+            else:
+                cat.overwrite(tri.extract_all_df(partitions), "extractions")
 
             def _triples_base():
                 lineage = tri.lineage_triples(
