@@ -59,7 +59,11 @@ def entry(spark: SparkSession) -> DataFrame:
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     corpus = corpus_from_documents(docs)
     extracted = EX.extract(corpus)
-    parts = PRT.partition(extracted, max_tokens=200, overlap=20)
+    # lazy checkpoint: the chunker feeds both union branches (same
+    # reasoning as kg_triples_sf) — computed fresh per invocation
+    parts = PRT.partition(
+        extracted, max_tokens=200, overlap=20
+    ).localCheckpoint(eager=False)
     lineage = TRI.lineage_triples(parts, extracted, None, "entry")
     mentions = TRI.extract_mentions_df(parts)
     return lineage.unionByName(TRI.mention_triples(mentions, "entry"))
