@@ -82,10 +82,12 @@ def candidate_pairs(
 
     The exploded band table is materialized once (localCheckpoint): it
     feeds the hot-bucket aggregation AND both self-join sides — without it
-    the minhash pandas-UDF subtree re-executes for all three consumers."""
+    the minhash pandas-UDF subtree re-executes for all three consumers.
+    Lazy: the hot-bucket aggregation's own job materializes it, instead of
+    paying a separate eager-checkpoint job first."""
     exploded = signatures.select(
         "norm", F.explode("bands").alias("band")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     hot = (
         exploded.groupBy("band")
         .agg(F.count("*").alias("n"))
